@@ -1,0 +1,277 @@
+"""Configuration dataclasses and enums.
+
+The reference exposes its configuration as module-level UPPER_CASE constants
+shadowed by constructor kwargs (reference signal_processor.py:45-72,
+inference_runner.py:46-53, roi.py:16-30, video_reader.py:19-29,
+drawer.py:34-52).  Here every knob lives in explicit dataclasses so configs
+are hashable/static for jit, serializable, and CLI-exposable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Sequence
+
+
+class ModelType(enum.Enum):
+    """Vision model families (reference model.py:4-8)."""
+
+    FACE_DETECTOR = "face_detector"
+    FACE_LANDMARKER = "face_landmarker"
+    HAND_LANDMARKER = "hand_landmarker"
+    PERSON_SEGMENTER = "person_segmenter"
+
+
+class SignalColorChannel(enum.Enum):
+    """Pixel statistic sampled inside each ROI (reference signal_processor.py:23-25)."""
+
+    GREEN = "green"
+    CHROM_GREEN = "chrom_green"  # G/2 - B/4 - R/4 + 0.5
+
+
+class SignalProcessingMethod(enum.Enum):
+    """DSP chain elements (reference signal_processor.py:28-36)."""
+
+    DIFF_1 = "diff_1"
+    DIFF_2 = "diff_2"
+    INTERP_LINEAR = "interp_linear"
+    INTERP_CUBIC = "interp_cubic"
+    DETREND_CONST = "detrend_const"
+    DETREND_LINEAR = "detrend_linear"
+    FILTER_BUTTER = "filter_butter"
+    FILTER_FIR = "filter_fir"
+
+
+class SignalSpectrumTransform(enum.Enum):
+    """Spectral estimators (reference signal_processor.py:39-42)."""
+
+    DFT_RFFT = "dft_rfft"
+    PGRAM_WELCH = "pgram_welch"
+    PGRAM_LS = "pgram_ls"
+
+
+# --- ROI configuration (reference roi.py) ----------------------------------
+
+# Landmark index constants (reference roi.py:16-22).
+FACE_DETECTION_NOSE_INDEX = 2
+FACE_LANDMARKS_NOSE_INDEX = 4
+FACE_LANDMARKS_FOREHEAD_INDEX = 151
+FACE_LANDMARKS_CHEEK_INDEX = 330
+FACE_LANDMARKS_EYEBROW_INDEX = 337
+HAND_LANDMARKS_WRIST_INDEX = 0
+HAND_LANDMARKS_MIDDLE_INDEX = 9
+
+
+@dataclasses.dataclass(frozen=True)
+class ROIConfig:
+    """Declarative ROI spec: anchor landmarks + margins relative to the
+    detection bbox size (reference roi.py:8-13)."""
+
+    model_type: ModelType
+    landmark_indices: tuple[int, ...]
+    # (left, top, right, bottom) margins as fractions of detection bbox w/h.
+    relative_bbox: tuple[float, float, float, float]
+
+    def __post_init__(self):
+        object.__setattr__(self, "landmark_indices", tuple(self.landmark_indices))
+        object.__setattr__(self, "relative_bbox", tuple(self.relative_bbox))
+
+
+# Shipped ROI presets (reference roi.py:24-28).
+FACE_CHEEK_CONFIG = ROIConfig(
+    ModelType.FACE_LANDMARKER, (FACE_LANDMARKS_CHEEK_INDEX,), (-0.05, -0.05, 0.15, 0.05))
+FACE_EYEBROW_CONFIG = ROIConfig(
+    ModelType.FACE_LANDMARKER, (FACE_LANDMARKS_EYEBROW_INDEX,), (-0.10, -0.15, 0.25, 0.00))
+FACE_FOREHEAD_CONFIG = ROIConfig(
+    ModelType.FACE_LANDMARKER, (FACE_LANDMARKS_FOREHEAD_INDEX,), (-0.00, -0.10, 0.20, 0.05))
+HAND_WRIST_CONFIG = ROIConfig(
+    ModelType.HAND_LANDMARKER, (HAND_LANDMARKS_WRIST_INDEX,), (-0.10, -0.10, 0.10, 0.10))
+HAND_PALM_CONFIG = ROIConfig(
+    ModelType.HAND_LANDMARKER,
+    (HAND_LANDMARKS_WRIST_INDEX, HAND_LANDMARKS_MIDDLE_INDEX),
+    (-0.10, -0.10, 0.10, 0.10))
+
+# Default ROI selection (reference roi.py:30).
+SELECTED_ROI_CONFIGS: tuple[ROIConfig, ...] = (FACE_FOREHEAD_CONFIG, HAND_PALM_CONFIG)
+
+
+# --- Signal-processing configuration ----------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SignalConfig:
+    """All DSP knobs (defaults mirror reference signal_processor.py:45-72)."""
+
+    roi_configs: tuple[ROIConfig, ...] = SELECTED_ROI_CONFIGS
+    roi_max_samples: int = 1          # temporal bbox filter depth (:47)
+    signal_max_samples: int = 250     # raw/processed ring depth (:48)
+    peak_max_samples: int = 50        # BPM/PTT smoothing ring depth (:49)
+
+    color_channel: SignalColorChannel = SignalColorChannel.GREEN  # (:45)
+    processing_methods: tuple[SignalProcessingMethod, ...] = (
+        SignalProcessingMethod.FILTER_BUTTER,)                    # (:51-55)
+    spectrum_transform: SignalSpectrumTransform = SignalSpectrumTransform.PGRAM_LS  # (:62)
+
+    butter_order: int = 16            # (:57)
+    butter_min_bw: float = 0.1        # (:58)
+    fir_taps: int = 127               # (:59)
+    fir_df: float = 0.3               # (:60)
+
+    min_freq: float = 0.8             # HR band (:64)
+    max_freq: float = 4.0             # (:65)
+    min_mag: float = 0.0              # spectrum plot range (:66-67)
+    max_mag: float = 1.0
+    min_lag: float = -0.5             # correlation peak window, seconds (:69-70)
+    max_lag: float = 0.5
+    min_corr: float = -1.0            # (:71-72)
+    max_corr: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "roi_configs", tuple(self.roi_configs))
+        object.__setattr__(self, "processing_methods", tuple(self.processing_methods))
+
+    @property
+    def num_signals(self) -> int:
+        return len(self.roi_configs)
+
+    @property
+    def num_pairs(self) -> int:
+        return math.comb(self.num_signals, 2)
+
+
+# --- Inference configuration -------------------------------------------------
+
+
+class RunningMode(enum.Enum):
+    """IMAGE = stateless per-frame; VIDEO = detect-then-track
+    (reference inference_runner.py:53, VisionTaskRunningMode)."""
+
+    IMAGE = "image"
+    VIDEO = "video"
+
+
+# Default per-model enable flags (reference inference_runner.py:46-51).
+DEFAULT_MODEL_ENABLED: dict[ModelType, bool] = {
+    ModelType.FACE_DETECTOR: False,
+    ModelType.FACE_LANDMARKER: True,
+    ModelType.HAND_LANDMARKER: True,
+    ModelType.PERSON_SEGMENTER: False,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Model-selection knobs (reference inference_runner.py:46-76)."""
+
+    face_detector: bool = False
+    face_landmarker: bool = True
+    hand_landmarker: bool = True
+    person_segmenter: bool = False
+    running_mode: RunningMode = RunningMode.VIDEO
+
+    # Asset paths; ``None`` disables weight loading (random-init fallback).
+    face_detector_path: str | None = "models/blaze_face_short_range.tflite"
+    face_landmarker_path: str | None = "models/face_landmarker.task"
+    hand_landmarker_path: str | None = "models/hand_landmarker.task"
+    person_segmenter_path: str | None = "models/selfie_multiclass.tflite"
+
+    max_faces: int = 1
+    max_hands: int = 2
+
+    def enabled(self, model_type: ModelType) -> bool:
+        return {
+            ModelType.FACE_DETECTOR: self.face_detector,
+            ModelType.FACE_LANDMARKER: self.face_landmarker,
+            ModelType.HAND_LANDMARKER: self.hand_landmarker,
+            ModelType.PERSON_SEGMENTER: self.person_segmenter,
+        }[model_type]
+
+
+# --- Capture configuration ---------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptureConfig:
+    """Host-side capture knobs (reference video_reader.py:19-47)."""
+
+    path: int | str = 0
+    target_res: tuple[int, int] | None = None  # (height, width)
+    crop_portrait: bool | None = None
+    flip_horizontally: bool | None = None
+    calibration_time: float = 5.0   # (:19)
+
+
+# --- Rendering configuration --------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DrawConfig:
+    """Overlay/plot layout knobs (reference drawer.py:44-52)."""
+
+    line_thickness: int = 1
+    point_radius: int = 1
+    num_plots: int = 3
+    window_size: tuple[int, int] = (640, 720)  # (width, height)
+    window_margins: tuple[int, int] = (40, 40)
+    graph_default_range: tuple[float, float] = (-1.0, 1.0)
+    alpha: float = 0.75
+    on_device: bool = True  # rasterize overlays/plots on the TPU
+
+
+# --- Top-level engine config ---------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static configuration of the fused per-frame step."""
+
+    signal: SignalConfig = SignalConfig()
+    inference: InferenceConfig = InferenceConfig()
+    draw: DrawConfig = DrawConfig()
+    frame_height: int = 480
+    frame_width: int = 640
+    num_streams: int = 1
+    compute_dtype: str = "float32"
+
+
+def preset_configs() -> dict[str, EngineConfig]:
+    """The five BASELINE.json benchmark configurations as presets."""
+
+    return {
+        # 0: FaceLandmarker brow ROI, green-mean, Butterworth + Welch HR.
+        "butter_welch_face": EngineConfig(signal=SignalConfig(
+            roi_configs=(FACE_EYEBROW_CONFIG,),
+            processing_methods=(SignalProcessingMethod.FILTER_BUTTER,),
+            spectrum_transform=SignalSpectrumTransform.PGRAM_WELCH),
+            inference=InferenceConfig(hand_landmarker=False)),
+        # 1: Face+hand dual-ROI, chrominance sampling + Lomb-Scargle.
+        "dual_roi_ls": EngineConfig(signal=SignalConfig(
+            roi_configs=(FACE_FOREHEAD_CONFIG, HAND_PALM_CONFIG),
+            color_channel=SignalColorChannel.CHROM_GREEN,
+            processing_methods=(SignalProcessingMethod.FILTER_BUTTER,),
+            spectrum_transform=SignalSpectrumTransform.PGRAM_LS)),
+        # 2: Segmenter skin mask + spline interp + detrend + FIR chain.
+        "segmenter_fir": EngineConfig(signal=SignalConfig(
+            roi_configs=(FACE_FOREHEAD_CONFIG,),
+            processing_methods=(
+                SignalProcessingMethod.INTERP_CUBIC,
+                SignalProcessingMethod.DETREND_LINEAR,
+                SignalProcessingMethod.FILTER_FIR),
+            spectrum_transform=SignalSpectrumTransform.PGRAM_LS),
+            inference=InferenceConfig(hand_landmarker=False, person_segmenter=True)),
+        # 3: Dual-ROI PTT with bbox temporal filtering.
+        "ptt_filtered": EngineConfig(signal=SignalConfig(
+            roi_configs=(FACE_FOREHEAD_CONFIG, HAND_PALM_CONFIG),
+            roi_max_samples=5,
+            processing_methods=(SignalProcessingMethod.FILTER_BUTTER,),
+            spectrum_transform=SignalSpectrumTransform.PGRAM_LS)),
+        # 4: 8× multi-stream, all 4 models, on-device overlays.
+        "multistream": EngineConfig(signal=SignalConfig(
+            roi_configs=(FACE_FOREHEAD_CONFIG, HAND_PALM_CONFIG)),
+            inference=InferenceConfig(
+                face_detector=True, face_landmarker=True,
+                hand_landmarker=True, person_segmenter=True),
+            num_streams=8),
+    }

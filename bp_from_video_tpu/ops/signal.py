@@ -1,0 +1,189 @@
+"""Fixed-shape, NaN-masked signal ring buffers — the TPU-native equivalent of
+the reference's ``collections.deque``-based Signal/SignalGroup core
+(reference signal_data.py:12-117).
+
+Design: a "signal" is a pair of device arrays ``(x, y)`` whose trailing axis
+is time, NaN-prefilled to capacity so every array is always "full"
+(mirroring reference signal_data.py:18-19).  Validity is never stored — it is
+re-derived from finiteness exactly like the reference's ``v``/``w`` masks
+(signal_data.py:43-45).  A ring "push" is a roll + set of the last slot; all
+analytics (mean sampling frequency, NaN-mean, windowed arg-peak) are masked
+reductions, so every function here is jit/vmap/shard-friendly with static
+shapes.
+
+Groups (reference SignalGroup, signal_data.py:73-117) are just a leading
+signal axis; use ``jax.vmap`` or the batched helpers below.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def full_signal(length: int, y_shape: tuple[int, ...] = (), dtype=jnp.float32
+                ) -> tuple[Array, Array]:
+    """NaN-prefilled (x, y) ring pair of capacity ``length``.
+
+    ``y_shape`` adds trailing per-sample dims (e.g. ``(6,)`` for ROI tuples,
+    matching reference SignalStore sg_roi, signal_processor.py:78).
+    """
+    x = jnp.full((length,), jnp.nan, dtype)
+    y = jnp.full((length,) + tuple(y_shape), jnp.nan, dtype)
+    return x, y
+
+
+def push(x: Array, y: Array, new_x: Array, new_y: Array) -> tuple[Array, Array]:
+    """Ring push: drop the oldest sample, append the newest
+    (reference signal_data.py:31-35: ``deque.append`` with maxlen)."""
+    x = jnp.roll(x, -1, axis=0).at[-1].set(new_x)
+    y = jnp.roll(y, -1, axis=0).at[-1].set(new_y)
+    return x, y
+
+
+def valid_x(x: Array) -> Array:
+    """The ``v`` mask: finite timestamps (reference signal_data.py:44)."""
+    return jnp.isfinite(x)
+
+
+def valid_y(y: Array) -> Array:
+    """The ``w`` mask: finite values; rows-all-finite for per-sample vectors
+    (reference signal_data.py:45). Time is axis 0 of ``y`` here."""
+    w = jnp.isfinite(y)
+    if y.ndim >= 2:
+        w = jnp.all(w.reshape(y.shape[0], -1), axis=-1)
+    return w
+
+
+def masked_minmax(a: Array, mask: Array) -> tuple[Array, Array]:
+    """(nanmin, nanmax) over masked entries; (NaN, NaN) when fewer than two
+    valid entries (reference signal_data.py:47-49 ``reset_range``)."""
+    flat = a.reshape(-1)
+    m = jnp.broadcast_to(mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim)),
+                         a.shape).reshape(-1)
+    lo = jnp.min(jnp.where(m, flat, jnp.inf))
+    hi = jnp.max(jnp.where(m, flat, -jnp.inf))
+    ok = jnp.sum(mask) >= 2
+    nan = jnp.float32(jnp.nan)
+    return jnp.where(ok, lo, nan), jnp.where(ok, hi, nan)
+
+
+def mean_fs(x: Array, w: Array | None = None) -> Array:
+    """Mean sampling frequency 1/mean(Δx over valid x)
+    (reference signal_data.py:55-58 ``get_fs``). NaN when <2 valid samples.
+
+    The reference compresses ``x[u]`` before differencing; because invalid
+    timestamps only occur in the NaN-prefill prefix (timestamps themselves
+    are always finite once pushed), differencing consecutive-valid pairs is
+    equivalent. ``w=None`` uses the ``v`` mask (get_fs(only_valid=False)).
+    """
+    u = valid_x(x) if w is None else w
+    # Pairs of consecutive valid entries. With a contiguous valid suffix this
+    # matches diff-after-compress exactly.
+    dx = x[1:] - x[:-1]
+    pair = u[1:] & u[:-1]
+    cnt = jnp.sum(pair)
+    mean_dx = jnp.sum(jnp.where(pair, dx, 0.0)) / jnp.maximum(cnt, 1)
+    return jnp.where(jnp.sum(u) >= 2, 1.0 / mean_dx, jnp.nan)
+
+
+def masked_mean(y: Array, as_int: bool = False) -> Array:
+    """NaN-mean over the time axis, falling back to the newest sample when
+    nothing is valid (reference signal_data.py:60-63 ``get_mean``)."""
+    w = valid_y(y)
+    any_valid = jnp.any(w)
+    wb = w.reshape(w.shape + (1,) * (y.ndim - 1))
+    cnt = jnp.maximum(jnp.sum(w), 1)
+    mean = jnp.sum(jnp.where(wb, y, 0.0), axis=0) / cnt
+    out = jnp.where(any_valid, mean, y[-1])
+    if as_int:
+        # Reference rounds only when some sample is valid (y.round() of the
+        # NaN fallback would be NaN anyway; we keep NaN to stay branchless).
+        out = jnp.where(any_valid, jnp.round(out), out)
+    return out
+
+
+def peak(x: Array, y: Array, min_x: Array | float, max_x: Array | float
+         ) -> tuple[Array, Array]:
+    """Arg-max of y restricted to ``min_x <= x <= max_x`` and valid y;
+    (NaN, NaN) when fewer than 2 in-window valid samples
+    (reference signal_data.py:65-70 ``get_peak``)."""
+    u = (x >= min_x) & (x <= max_x) & valid_y(y)
+    ok = jnp.sum(u) >= 2
+    yv = jnp.where(u, y, -jnp.inf)
+    i = jnp.argmax(yv)
+    nan = jnp.float32(jnp.nan)
+    return jnp.where(ok, x[i], nan), jnp.where(ok, y[i], nan)
+
+
+def auto_range(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
+    """(min_x, max_x, min_y, max_y) auto data ranges (reference
+    signal_data.py:47-49)."""
+    lo_x, hi_x = masked_minmax(x, valid_x(x))
+    lo_y, hi_y = masked_minmax(y, valid_y(y))
+    return lo_x, hi_x, lo_y, hi_y
+
+
+def group_range(los: Array, his: Array) -> tuple[Array, Array]:
+    """Joint range across a group's per-signal ranges: NaN unless every
+    signal has at least one finite bound (reference signal_data.py:100-105
+    ``reset_ranges``)."""
+    per_signal_ok = jnp.isfinite(los) | jnp.isfinite(his)
+    ok = jnp.all(per_signal_ok)
+    lo = jnp.min(jnp.where(jnp.isfinite(los), los, jnp.inf))
+    hi = jnp.max(jnp.where(jnp.isfinite(his), his, -jnp.inf))
+    nan = jnp.float32(jnp.nan)
+    return jnp.where(ok, lo, nan), jnp.where(ok, hi, nan)
+
+
+# --- Compaction --------------------------------------------------------------
+
+
+class Compacted(NamedTuple):
+    """Valid samples moved to the front of a fixed-shape array.
+
+    The reference freely takes ``y[valid]`` (dynamic shape); on TPU we keep
+    static shapes and carry ``count`` = number of valid leading entries.
+    Slots at and beyond ``count`` hold ``fill``.
+    """
+
+    values: Array
+    count: Array  # scalar int32
+
+
+def compact(mask: Array, values: Array, fill: float = 0.0) -> Compacted:
+    """Stable-move masked entries of ``values`` (time axis 0) to the front.
+
+    Implemented as a cumsum scatter: O(N), branchless, grad-safe.
+    """
+    n = mask.shape[0]
+    idx = jnp.cumsum(mask) - 1                      # target slot per entry
+    tgt = jnp.where(mask, idx, n)                   # invalid -> dropped
+    shape = (n,) + values.shape[1:]
+    out = jnp.full(shape, fill, values.dtype).at[tgt].set(values, mode="drop")
+    return Compacted(out, jnp.sum(mask).astype(jnp.int32))
+
+
+def scatter_back(mask: Array, compacted: Array, original: Array) -> Array:
+    """Inverse of :func:`compact`: write compacted values back into the
+    masked slots of ``original`` (the reference's ``y[valid] = result``)."""
+    n = mask.shape[0]
+    idx = jnp.cumsum(mask) - 1
+    src = jnp.take(compacted, jnp.clip(idx, 0, n - 1), axis=0)
+    m = mask.reshape(mask.shape + (1,) * (original.ndim - 1))
+    return jnp.where(m, src, original)
+
+
+def arange_mask(n: int, count: Array) -> Array:
+    """Boolean mask of the first ``count`` slots of a length-``n`` axis."""
+    return jnp.arange(n) < count
+
+
+def take_at(values: Array, i: Array, count: Array) -> Array:
+    """``values[i]`` with negative-from-count semantics: ``i=-1`` is the last
+    valid entry of a compacted array."""
+    return values[jnp.where(i < 0, count + i, i)]
