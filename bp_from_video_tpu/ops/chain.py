@@ -1,0 +1,258 @@
+"""The per-frame DSP chain (reference signal_processor.py:196-241):
+derivatives, linear/cubic interpolation onto a uniform grid, constant/linear
+detrending, and Butterworth/FIR zero-phase band-pass — applied in configured
+order over the valid samples of a NaN-masked ring.
+
+Everything is static-shape: dynamic valid counts are carried as scalars over
+compacted arrays (ops.signal.compact), so the whole chain traces into one
+XLA program per static SignalConfig.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bp_from_video_tpu.config import SignalConfig, SignalProcessingMethod as M
+from bp_from_video_tpu.ops import fir, iir
+from bp_from_video_tpu.ops import signal as sig
+
+Array = jax.Array
+
+
+class ChainState(NamedTuple):
+    """Mutable view the chain threads through methods (the reference mutates
+    x, y, valid, fs in place — signal_processor.py:197-236)."""
+
+    x: Array       # [N] timestamps (rewritten by interpolation)
+    y: Array       # [N] values, NaN at invalid slots
+    valid: Array   # [N] current valid mask (reference `valid`)
+    block: Array   # [N] x-finite mask (reference `block`)
+    fs: Array      # scalar sampling frequency
+
+
+def _safe(v: Array, fallback: float = 1.0) -> Array:
+    return jnp.where(jnp.isfinite(v), v, fallback)
+
+
+# --- individual methods -------------------------------------------------------
+
+
+def diff1(st: ChainState) -> ChainState:
+    """y[valid] = diff(y[valid], n=1, prepend=y[valid][0])
+    (reference signal_processor.py:203-204)."""
+    c = sig.compact(st.valid, st.y)
+    prev = jnp.concatenate([c.values[:1], c.values[:-1]])
+    d = c.values - prev
+    return st._replace(y=sig.scatter_back(st.valid, d, st.y))
+
+
+def diff2(st: ChainState) -> ChainState:
+    """y[valid] = diff(y[valid], n=2, prepend=y[valid][:2])
+    (reference signal_processor.py:205)."""
+    c = sig.compact(st.valid, st.y)
+    z = jnp.concatenate([c.values[:2], c.values])  # prepend first two samples
+    d1 = z[1:] - z[:-1]
+    d2 = (d1[1:] - d1[:-1])[: c.values.shape[0]]
+    return st._replace(y=sig.scatter_back(st.valid, d2, st.y))
+
+
+def _block_grid(st: ChainState) -> tuple[Array, Array, Array]:
+    """Uniform grid spanning x[block], with block.sum() points
+    (reference: np.linspace(x[block][0], x[block][-1], block.sum(),
+    retstep=True), signal_processor.py:207, :214)."""
+    n = st.x.shape[0]
+    cb = sig.compact(st.block, st.x)
+    kb = cb.count
+    x0 = cb.values[0]
+    x1 = sig.take_at(cb.values, -1, kb)
+    ts = (x1 - x0) / jnp.maximum(kb - 1, 1)
+    grid = x0 + jnp.arange(n, dtype=st.x.dtype) * ts
+    return grid, ts, kb
+
+
+def _masked_searchsorted(xs: Array, count: Array, queries: Array) -> Array:
+    """searchsorted over the first ``count`` entries of compacted ``xs``."""
+    padded = jnp.where(jnp.arange(xs.shape[0]) < count, xs, jnp.inf)
+    return jnp.searchsorted(padded, queries, side="right") - 1
+
+
+def interp_linear(st: ChainState) -> ChainState:
+    """np.interp of valid samples onto the uniform block grid; valid:=block,
+    fs:=1/step (reference signal_processor.py:206-211)."""
+    grid, ts, kb = _block_grid(st)
+    cx = sig.compact(st.valid, st.x)
+    cy = sig.compact(st.valid, st.y)
+    k = cx.count
+    j = jnp.clip(_masked_searchsorted(cx.values, k, grid), 0, jnp.maximum(k - 2, 0))
+    x_j = cx.values[j]
+    x_j1 = cx.values[jnp.clip(j + 1, 0, cx.values.shape[0] - 1)]
+    y_j = cy.values[j]
+    y_j1 = cy.values[jnp.clip(j + 1, 0, cy.values.shape[0] - 1)]
+    t = (grid - x_j) / jnp.where(x_j1 == x_j, 1.0, x_j1 - x_j)
+    y_new = y_j + jnp.clip(t, 0.0, 1.0) * (y_j1 - y_j)  # np.interp clamps
+    # Clamp outside the valid x-range to the endpoint values.
+    y_new = jnp.where(grid <= cx.values[0], cy.values[0], y_new)
+    y_last = sig.take_at(cy.values, -1, k)
+    x_last = sig.take_at(cx.values, -1, k)
+    y_new = jnp.where(grid >= x_last, y_last, y_new)
+    x_out = sig.scatter_back(st.block, grid, st.x)
+    y_out = sig.scatter_back(st.block, y_new, st.y)
+    return ChainState(x_out, y_out, st.block, st.block, 1.0 / ts)
+
+
+def _notaknot_m(xc: Array, yc: Array, k: Array) -> Array:
+    """Second derivatives of the not-a-knot cubic spline through the first
+    ``k`` points of (xc, yc), via a dense masked solve (the N×N system is
+    tiny — MXU food). Handles k==2 (line) and k==3 (parabola) like scipy."""
+    n = xc.shape[0]
+    hs = jnp.where(jnp.arange(n - 1) < k - 1, xc[1:] - xc[:-1], 1.0)
+    hs = jnp.where(hs == 0, 1.0, hs)
+    slope = (yc[1:] - yc[:-1]) / hs
+    r = jnp.arange(n)[:, None]
+    c = jnp.arange(n)[None, :]
+    h_rm1 = hs[jnp.clip(r - 1, 0, n - 2)]
+    h_r = hs[jnp.clip(r, 0, n - 2)]
+    interior = (r >= 1) & (r <= k - 2)
+    a_int = (jnp.where(c == r - 1, h_rm1, 0.0)
+             + jnp.where(c == r, 2.0 * (h_rm1 + h_r), 0.0)
+             + jnp.where(c == r + 1, h_r, 0.0))
+    s_r = slope[jnp.clip(r[:, 0], 0, n - 2)]
+    s_rm1 = slope[jnp.clip(r[:, 0] - 1, 0, n - 2)]
+    rhs_int = 6.0 * (s_r - s_rm1)
+
+    h0, h1 = hs[0], hs[1]
+    hk3 = hs[jnp.clip(k - 3, 0, n - 2)]
+    hk2 = hs[jnp.clip(k - 2, 0, n - 2)]
+    # Not-a-knot rows (third-derivative continuity at x1 and x_{k-2}).
+    row0 = (jnp.where(c == 0, h1, 0.0) + jnp.where(c == 1, -(h0 + h1), 0.0)
+            + jnp.where(c == 2, h0, 0.0))
+    row_last = (jnp.where(c == k - 3, hk2, 0.0)
+                + jnp.where(c == k - 2, -(hk3 + hk2), 0.0)
+                + jnp.where(c == k - 1, hk3, 0.0))
+    # k==3: both not-a-knot rows coincide; use M0-M1=0 and M1-M2=0 instead.
+    row0_k3 = jnp.where(c == 0, 1.0, 0.0) + jnp.where(c == 1, -1.0, 0.0)
+    rowl_k3 = jnp.where(c == 1, 1.0, 0.0) + jnp.where(c == 2, -1.0, 0.0)
+    ident = jnp.where(c == r, 1.0, 0.0)
+
+    is3 = k == 3
+    first = jnp.where(k <= 2, ident, jnp.where(is3, row0_k3, row0))
+    last = jnp.where(k <= 2, ident, jnp.where(is3, rowl_k3, row_last))
+    a = jnp.where(interior, a_int,
+                  jnp.where(r == 0, first, jnp.where(r == k - 1, last, ident)))
+    rhs = jnp.where(interior[:, 0], rhs_int, 0.0)
+    return jnp.linalg.solve(a, rhs)
+
+
+def _spline_eval(xc: Array, yc: Array, m2: Array, k: Array, t: Array) -> Array:
+    """Evaluate the cubic with second derivatives ``m2`` at points ``t``
+    (extrapolates with the end polynomials, like scipy CubicSpline)."""
+    n = xc.shape[0]
+    j = jnp.clip(_masked_searchsorted(xc, k, t), 0, jnp.maximum(k - 2, 0))
+    j1 = jnp.clip(j + 1, 0, n - 1)
+    h = jnp.where(xc[j1] == xc[j], 1.0, xc[j1] - xc[j])
+    dr = xc[j1] - t
+    dl = t - xc[j]
+    return (m2[j] * dr**3 / (6.0 * h) + m2[j1] * dl**3 / (6.0 * h)
+            + (yc[j] / h - m2[j] * h / 6.0) * dr
+            + (yc[j1] / h - m2[j1] * h / 6.0) * dl)
+
+
+def interp_cubic(st: ChainState) -> ChainState:
+    """Not-a-knot cubic spline of valid samples onto the uniform block grid
+    (reference signal_processor.py:212-218, scipy.interpolate.CubicSpline)."""
+    grid, ts, kb = _block_grid(st)
+    cx = sig.compact(st.valid, st.x)
+    cy = sig.compact(st.valid, st.y)
+    m2 = _notaknot_m(cx.values, cy.values, cx.count)
+    y_new = _spline_eval(cx.values, cy.values, m2, cx.count, grid)
+    x_out = sig.scatter_back(st.block, grid, st.x)
+    y_out = sig.scatter_back(st.block, y_new, st.y)
+    return ChainState(x_out, y_out, st.block, st.block, 1.0 / ts)
+
+
+def detrend_const(st: ChainState) -> ChainState:
+    """Subtract the mean of the valid samples (reference :219-221)."""
+    cnt = jnp.maximum(jnp.sum(st.valid), 1)
+    mean = jnp.sum(jnp.where(st.valid, st.y, 0.0)) / cnt
+    return st._replace(y=jnp.where(st.valid, st.y - mean, st.y))
+
+
+def detrend_linear(st: ChainState) -> ChainState:
+    """Subtract the least-squares line over the sample index (matching
+    scipy.signal.detrend(type='linear'), reference :222-224)."""
+    c = sig.compact(st.valid, st.y)
+    n = c.values.shape[0]
+    k = jnp.maximum(c.count, 1)
+    i = jnp.arange(n, dtype=st.y.dtype)
+    m = jnp.arange(n) < c.count
+    kf = k.astype(st.y.dtype)
+    si = jnp.sum(jnp.where(m, i, 0.0))
+    sii = jnp.sum(jnp.where(m, i * i, 0.0))
+    sy = jnp.sum(jnp.where(m, c.values, 0.0))
+    siy = jnp.sum(jnp.where(m, i * c.values, 0.0))
+    det = kf * sii - si * si
+    det = jnp.where(det == 0, 1.0, det)
+    slope = (kf * siy - si * sy) / det
+    icept = (sy - slope * si) / kf
+    resid = c.values - (slope * i + icept)
+    return st._replace(y=sig.scatter_back(st.valid, resid, st.y))
+
+
+def make_filter_butter(cfg: SignalConfig, st: ChainState) -> ChainState:
+    """Butterworth band-pass, Nyquist-clamped band (reference :159-162,
+    :225-230)."""
+    fs = _safe(st.fs, 100.0)
+    lo = jnp.minimum(cfg.min_freq, fs / 2.0 - 2.0 * cfg.butter_min_bw)
+    hi = jnp.minimum(cfg.max_freq, fs / 2.0 - cfg.butter_min_bw)
+    c = sig.compact(st.valid, st.y)
+    ext_cap = st.y.shape[0] + 2 * iir.default_padlen(cfg.butter_order)
+    out = iir.sosfiltfilt(cfg.butter_order, lo, hi, fs, c.values,
+                          jnp.maximum(c.count, 2), ext_cap)
+    return st._replace(y=sig.scatter_back(st.valid, out, st.y))
+
+
+def make_filter_fir(cfg: SignalConfig, st: ChainState) -> ChainState:
+    """Least-squares FIR band-pass (reference :163-170, :231-236)."""
+    fs = _safe(st.fs, 100.0)
+    bands, desired = fir.reference_fir_bands(
+        jnp.float32(cfg.min_freq), jnp.float32(cfg.max_freq),
+        jnp.float32(cfg.fir_df), fs)
+    h = fir.firls_bandpass(cfg.fir_taps, bands, desired, fs)
+    c = sig.compact(st.valid, st.y)
+    ext_cap = st.y.shape[0] + 2 * 3 * cfg.fir_taps + cfg.fir_taps - 1
+    out = fir.filtfilt_fir(h, c.values, jnp.maximum(c.count, 2), ext_cap)
+    return st._replace(y=sig.scatter_back(st.valid, out, st.y))
+
+
+_METHOD_FNS = {
+    M.DIFF_1: lambda cfg, st: diff1(st),
+    M.DIFF_2: lambda cfg, st: diff2(st),
+    M.INTERP_LINEAR: lambda cfg, st: interp_linear(st),
+    M.INTERP_CUBIC: lambda cfg, st: interp_cubic(st),
+    M.DETREND_CONST: lambda cfg, st: detrend_const(st),
+    M.DETREND_LINEAR: lambda cfg, st: detrend_linear(st),
+    M.FILTER_BUTTER: make_filter_butter,
+    M.FILTER_FIR: make_filter_fir,
+}
+
+
+def process_signal(cfg: SignalConfig, x: Array, y: Array) -> tuple[Array, Array]:
+    """Run the configured chain over one signal ring; returns the processed
+    (x, y) with NaNs preserved at invalid slots (the device analog of
+    reference signal_processor.py:196-241 ``process_signal``).
+
+    The chain only runs when >=2 valid samples exist and fs is finite
+    (reference :200); otherwise (x, y) pass through untouched.
+    """
+    st = ChainState(x=x, y=y, valid=sig.valid_y(y), block=sig.valid_x(x),
+                    fs=sig.mean_fs(x))
+    ok = (jnp.sum(st.valid) >= 2) & jnp.isfinite(st.fs)
+    out = st
+    for method in cfg.processing_methods:
+        out = _METHOD_FNS[method](cfg, out)
+    x_out = jnp.where(ok, out.x, x)
+    y_out = jnp.where(ok, out.y, y)
+    return x_out, y_out

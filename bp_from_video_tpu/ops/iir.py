@@ -1,0 +1,161 @@
+"""Zero-phase Butterworth band-pass on TPU (reference signal_processor.py:159-162,
+:225-230: ``scipy.signal.butter(order, band, output='sos', fs)`` +
+``sosfiltfilt`` with adaptive padlen).
+
+TPU-native design — no sequential scans:
+  * The band-pass is designed **in-graph** from a traced sampling frequency
+    (closed-form Butterworth prototype → lp2bp → bilinear), so per-frame fs
+    changes never leave the device.
+  * Each biquad section is applied as an **exact causal FFT convolution**
+    with the section's closed-form AR(2) impulse response.  Causality makes
+    truncation at the buffer length exact, so the cascade equals scipy's
+    ``sosfilt`` to float precision — but runs as batched FFTs/elementwise
+    math on the VPU instead of a length-N sequential recurrence.
+  * ``sosfiltfilt`` = odd extension (scipy's default padlen formula) +
+    steady-state initial conditions + forward/backward passes, built with
+    static shapes and dynamic valid counts (gather-based reversal).
+
+Validated against scipy.signal.sosfiltfilt: exact in f64, ~1e-4 relative in
+f32 after pre-centering (tests/test_dsp.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def butter_bandpass_poles(order: int, lo: Array, hi: Array, fs: Array
+                          ) -> tuple[Array, Array]:
+    """Digital poles of ``scipy.signal.butter(order, [lo, hi], 'bandpass',
+    fs=fs)`` — one representative per conjugate pair (``order`` of them) —
+    plus the overall real gain.
+
+    Follows the classic design pipeline (prototype → lp2bp_zpk →
+    bilinear_zpk) in closed form; all ops are elementwise complex math, so
+    ``lo``/``hi``/``fs`` may be traced values.
+    """
+    if order % 2 != 0:
+        raise ValueError("even butterworth order required (reference default 16)")
+    # Prewarp band edges (scipy normalizes to fs_internal=2: warped = 4 tan(pi f / fs)).
+    w_lo = 4.0 * jnp.tan(jnp.pi * lo / fs)
+    w_hi = 4.0 * jnp.tan(jnp.pi * hi / fs)
+    bw = w_hi - w_lo
+    wo2 = w_lo * w_hi
+    # Butterworth prototype poles, upper half-plane representatives.
+    m = jnp.arange(1, order, 2, dtype=jnp.float32)
+    p = -jnp.exp(1j * jnp.pi * m / (2 * order))
+    # Low-pass -> band-pass: each prototype pole splits into two.
+    p_lp = p * (bw / 2.0)
+    s = jnp.sqrt(p_lp * p_lp - wo2)
+    p_bp = jnp.concatenate([p_lp + s, p_lp - s])  # `order` representatives
+    # Bilinear transform (fs_internal=2 → 2*fs_internal = 4).
+    fs2 = 4.0
+    p_d = (fs2 + p_bp) / (fs2 - p_bp)
+    # Gain: k_bp = bw**order; zeros of the BP analog filter sit at 0 (order of
+    # them), so prod(fs2 - z) = fs2**order; poles contribute |fs2 - p|^2 per
+    # conjugate pair.
+    log_prod_p = jnp.sum(jnp.log(jnp.abs(fs2 - p_bp) ** 2))
+    log_k = order * (jnp.log(bw) + jnp.log(fs2)) - log_prod_p
+    return p_d, jnp.exp(log_k)
+
+
+def default_padlen(order: int) -> int:
+    """scipy.signal.sosfiltfilt's default padlen for this construction:
+    3*(2*n_sections+1) — every section here has b2=-g≠0 and a2=|q|²≠0
+    (reference signal_processor.py:227 computes the same value for the
+    shipped Butterworth defaults: 99 for order 16)."""
+    return 3 * (2 * order + 1)
+
+
+def _ar2_impulse(q: Array, length: int) -> Array:
+    """Impulse response of 1/(1 + a1 z^-1 + a2 z^-2) with conjugate pole pair
+    (q, q̄):  h[k] = Im(q^{k+1}) / Im(q) = r^k sin((k+1)θ)/sin(θ)."""
+    k = jnp.arange(length, dtype=jnp.float32)
+    r = jnp.abs(q)
+    th = jnp.angle(q)
+    return jnp.exp(k * jnp.log(r)) * (jnp.sin((k + 1.0) * th) / jnp.sin(th))
+
+
+def sosfilt_conv(p_d: Array, gain: Array, x: Array, x0: Array) -> Array:
+    """Causal Butterworth-cascade filter of ``x`` via exact FFT convolutions.
+
+    ``x0`` scales the steady-state initial condition of the first section
+    (scipy sosfilt_zi: later sections receive zero because each section's
+    DC gain H(1)=0 for b=g·[1,0,-1]).
+    """
+    length = x.shape[0]
+    n_sec = p_d.shape[0]
+    g = jnp.exp(jnp.log(gain) / n_sec)  # distribute gain for f32 stability
+    nfft = 1 << (2 * length - 1).bit_length()
+    y = x
+    for i in range(n_sec):
+        # b = g*[1, 0, -1]:  u[n] = g*(y[n] - y[n-2])
+        u = g * (y - jnp.concatenate([jnp.zeros(2, y.dtype), y[:-2]]))
+        if i == 0:
+            # Steady-state zi for section 0: (z0, z1) = (-g, -g)·x0. Injecting
+            # zi is equivalent to adding [z0, z1] to the AR input (transposed
+            # DF-II recurrence unrolled).
+            u = u.at[0].add(-g * x0).at[1].add(-g * x0)
+        h = _ar2_impulse(p_d[i], length)
+        y = jnp.fft.irfft(jnp.fft.rfft(u, nfft) * jnp.fft.rfft(h, nfft),
+                          nfft)[:length].astype(x.dtype)
+    return y
+
+
+def odd_ext(yc: Array, count: Array, padlen: Array, ext_cap: int) -> Array:
+    """Odd extension of the first ``count`` entries of compacted ``yc`` by a
+    *dynamic* ``padlen`` on each side, into a static length-``ext_cap``
+    buffer (zeros beyond ``count + 2*padlen``) — scipy's ``odd_ext``."""
+    n = yc.shape[0]
+    i = jnp.arange(ext_cap)
+    p = padlen
+    y0 = yc[0]
+    y_last = yc[jnp.clip(count - 1, 0, n - 1)]
+    left = 2.0 * y0 - yc[jnp.clip(p - i, 0, n - 1)]
+    mid = yc[jnp.clip(i - p, 0, n - 1)]
+    right = 2.0 * y_last - yc[jnp.clip(2 * count - 2 + p - i, 0, n - 1)]
+    ext = jnp.where(i < p, left, jnp.where(i < p + count, mid,
+                    jnp.where(i < 2 * p + count, right, 0.0)))
+    return ext
+
+
+def _reverse_prefix(a: Array, length: Array) -> Array:
+    """Reverse the first ``length`` entries of ``a`` (zeros elsewhere)."""
+    n = a.shape[0]
+    i = jnp.arange(n)
+    src = jnp.clip(length - 1 - i, 0, n - 1)
+    return jnp.where(i < length, a[src], 0.0)
+
+
+def sosfiltfilt(order: int, lo: Array, hi: Array, fs: Array,
+                yc: Array, count: Array, ext_cap: int) -> Array:
+    """Zero-phase Butterworth band-pass of the first ``count`` entries of
+    compacted ``yc``; mirrors ``scipy.signal.sosfiltfilt(butter(...), y,
+    padlen=min(3*(2*nsec+1), count-1))`` (reference signal_processor.py:225-230).
+
+    Returns a compacted array (first ``count`` entries valid).
+    ``ext_cap`` must be >= len(yc) + 2*default_padlen(order).
+    """
+    p_d, gain = butter_bandpass_poles(order, lo, hi, fs)
+    pmax = default_padlen(order)
+    padlen = jnp.minimum(jnp.asarray(pmax, jnp.int32), count - 1)
+    # Pre-center: H(DC)=0 exactly, so subtracting the mean leaves the result
+    # unchanged mathematically but removes the large DC term from the f32
+    # intermediate sums.
+    nmask = jnp.arange(yc.shape[0]) < count
+    mean = jnp.sum(jnp.where(nmask, yc, 0.0)) / jnp.maximum(count, 1)
+    yz = jnp.where(nmask, yc - mean, 0.0)
+
+    ext = odd_ext(yz, count, padlen, ext_cap)
+    ext_len = count + 2 * padlen
+    y = sosfilt_conv(p_d, gain, ext, ext[0])
+    y = _reverse_prefix(y, ext_len)
+    y = sosfilt_conv(p_d, gain, y, y[0])
+    y = _reverse_prefix(y, ext_len)
+    # Slice out [padlen : padlen+count] with a gather (dynamic start).
+    i = jnp.arange(yc.shape[0])
+    out = y[jnp.clip(i + padlen, 0, ext_cap - 1)]
+    return jnp.where(nmask, out, 0.0)

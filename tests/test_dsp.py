@@ -1,0 +1,225 @@
+"""DSP chain / spectra / correlation parity vs the reference implementation
+(driven through scipy in float64) on NaN-masked, non-uniformly sampled
+signals."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.signal
+
+from bp_from_video_tpu.config import (
+    SignalConfig, SignalProcessingMethod as M, SignalSpectrumTransform as T)
+from bp_from_video_tpu.ops import chain, correlate, iir, fir, spectrum
+
+from tests.ref_oracle import ref_signal_processor
+
+
+def make_signal(n=250, n_valid=200, fs=25.0, jitter=0.3, nan_prob=0.1,
+                seed=0, offset=100.0):
+    """A NaN-prefilled ring like the live pipeline produces: n_valid newest
+    slots hold samples at jittered timestamps; some y are NaN (lost ROI)."""
+    rng = np.random.RandomState(seed)
+    x = np.full(n, np.nan, np.float64)
+    y = np.full(n, np.nan, np.float64)
+    t = 0.0
+    for i in range(n - n_valid, n):
+        t += (1.0 / fs) * (1.0 + jitter * rng.uniform(-1, 1))
+        x[i] = t
+        if rng.uniform() > nan_prob:
+            y[i] = (np.sin(2 * np.pi * 1.25 * t)
+                    + 0.4 * np.sin(2 * np.pi * 0.3 * t)
+                    + 0.1 * rng.normal() + offset)
+    # Round to f32 so oracle (f64) and device (f32) see identical inputs.
+    return x.astype(np.float32).astype(np.float64), y.astype(np.float32).astype(np.float64)
+
+
+def run_oracle(cfg_methods, transform, x, y):
+    sp = ref_signal_processor.SignalProcessor(
+        selected_roi_configs=[None, None],
+        processing_methods=[getattr(ref_signal_processor.SignalProcessingMethod,
+                                    m.name) for m in cfg_methods],
+        spectrum_transform=getattr(ref_signal_processor.SignalSpectrumTransform,
+                                   transform.name))
+    s = ref_signal_processor.signal_data.Signal(list(x), list(y), len(x))
+    return sp, sp.process_signal(s)
+
+
+def _assert_masked_close(mine, ref, atol, what=""):
+    mine, ref = np.asarray(mine, np.float64), np.asarray(ref, np.float64)
+    assert mine.shape == ref.shape
+    both_nan = np.isnan(mine) & np.isnan(ref)
+    assert (np.isnan(mine) == np.isnan(ref)).all(), f"{what}: NaN mask differs"
+    m = ~both_nan
+    if m.any():
+        err = np.abs(mine[m] - ref[m]).max()
+        assert err < atol, f"{what}: max err {err} >= {atol}"
+
+
+CHAINS = [
+    (M.DETREND_CONST,),
+    (M.DETREND_LINEAR,),
+    (M.DIFF_1,),
+    (M.DIFF_2,),
+    (M.INTERP_LINEAR,),
+    (M.INTERP_CUBIC,),
+    (M.FILTER_BUTTER,),
+    (M.FILTER_FIR,),
+    (M.INTERP_CUBIC, M.DETREND_LINEAR, M.FILTER_FIR),
+    (M.DIFF_1, M.INTERP_LINEAR, M.FILTER_BUTTER),
+]
+
+
+@pytest.mark.parametrize("methods", CHAINS, ids=lambda ms: "+".join(m.value for m in ms))
+@pytest.mark.parametrize("n_valid,nan_prob", [(200, 0.1), (250, 0.0), (40, 0.2)])
+def test_chain_parity(methods, n_valid, nan_prob):
+    x, y = make_signal(n_valid=n_valid, nan_prob=nan_prob,
+                       seed=hash((methods, n_valid)) % 2**31)
+    cfg = SignalConfig(processing_methods=methods)
+    _, ref_sig = run_oracle(methods, T.PGRAM_LS, x, y)
+    ref_y = np.array(ref_sig.y, np.float64)
+    ref_x = np.array(ref_sig.x, np.float64)
+    mx, my = chain.process_signal(cfg, jnp.asarray(x, jnp.float32),
+                                  jnp.asarray(y, jnp.float32))
+    scale = np.nanmax(np.abs(ref_y)) + 1e-9
+    has_filter = M.FILTER_BUTTER in methods or M.FILTER_FIR in methods
+    # f32 vs the oracle's f64: filters and long chains accumulate more error.
+    atol = (1e-3 + 2e-3 * has_filter + 2e-3 * (len(methods) > 2)) * scale
+    _assert_masked_close(my, ref_y, atol, f"y {methods}")
+    _assert_masked_close(mx, ref_x, 1e-4, f"x {methods}")
+
+
+def test_chain_skips_when_too_few_valid():
+    x, y = make_signal(n_valid=5, nan_prob=1.0)  # all y NaN
+    cfg = SignalConfig(processing_methods=(M.FILTER_BUTTER,))
+    mx, my = chain.process_signal(cfg, jnp.asarray(x, jnp.float32),
+                                  jnp.asarray(y, jnp.float32))
+    np.testing.assert_array_equal(np.isnan(np.asarray(my)), np.isnan(y))
+
+
+def test_butter_design_matches_scipy():
+    lo, hi, fs = 0.8, 4.0, 27.7
+    p_mine, k_mine = iir.butter_bandpass_poles(16, lo, hi, fs)
+    _, p_ref, k_ref = scipy.signal.butter(16, [lo, hi], btype="bandpass",
+                                          output="zpk", fs=fs)
+    p_all = np.concatenate([np.asarray(p_mine), np.conj(np.asarray(p_mine))])
+    np.testing.assert_allclose(np.sort_complex(p_all), np.sort_complex(p_ref),
+                               atol=2e-6)
+    np.testing.assert_allclose(float(k_mine), k_ref, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k", [20, 99, 100, 250])
+def test_sosfiltfilt_matches_scipy(k):
+    rng = np.random.RandomState(k)
+    fs = 25.0
+    t = np.arange(k) / fs
+    y = np.sin(2 * np.pi * 1.3 * t) + 0.2 * rng.normal(size=k) + 50.0
+    y = y.astype(np.float32).astype(np.float64)
+    sos = scipy.signal.butter(16, [0.8, 4.0], btype="bandpass", output="sos", fs=fs)
+    dflt = 3 * (2 * len(sos) + 1 - min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum()))
+    padlen = k - 1 if k <= dflt else dflt
+    ref = scipy.signal.sosfiltfilt(sos, y, padlen=padlen)
+    n = 250
+    yc = np.zeros(n, np.float32)
+    yc[:k] = y
+    mine = iir.sosfiltfilt(16, jnp.float32(0.8), jnp.float32(4.0),
+                           jnp.float32(fs), jnp.asarray(yc), jnp.int32(k),
+                           n + 2 * iir.default_padlen(16))
+    err = np.abs(np.asarray(mine)[:k] - ref).max()
+    assert err < 2e-3 * (np.abs(ref).max() + 1e-9), err
+
+
+def test_firls_design_matches_scipy():
+    fs = 25.0
+    lo, hi, df, taps = 0.8, 4.0, 0.3, 127
+    bands = [0, max(lo - df, df), lo, hi, min(hi + df, fs / 2 - df), fs / 2]
+    ref = scipy.signal.firls(taps, bands, [0, 0, 1, 1, 0, 0], fs=fs)
+    b, d = fir.reference_fir_bands(jnp.float32(lo), jnp.float32(hi),
+                                   jnp.float32(df), jnp.float32(fs))
+    mine = np.asarray(fir.firls_bandpass(taps, b, d, jnp.float32(fs)))
+    np.testing.assert_allclose(mine, ref, atol=5e-4)
+
+
+@pytest.mark.parametrize("k", [50, 250, 400])
+def test_filtfilt_fir_matches_scipy(k):
+    rng = np.random.RandomState(k)
+    fs = 25.0
+    t = np.arange(k) / fs
+    y = (np.sin(2 * np.pi * 1.1 * t) + 0.2 * rng.normal(size=k)).astype(
+        np.float32).astype(np.float64)
+    taps = 127
+    bands = [0, 0.5, 0.8, 4.0, 4.3, fs / 2]
+    h = scipy.signal.firls(taps, bands, [0, 0, 1, 1, 0, 0], fs=fs)
+    padlen = k - 1 if k <= 3 * taps else 3 * taps
+    ref = scipy.signal.filtfilt(h, 1.0, y, padlen=padlen)
+    n = max(k, 250)
+    yc = np.zeros(n, np.float32)
+    yc[:k] = y
+    mine = fir.filtfilt_fir(jnp.asarray(h, jnp.float32), jnp.asarray(yc),
+                            jnp.int32(k), n + 2 * 3 * taps + taps - 1)
+    err = np.abs(np.asarray(mine)[:k] - ref).max()
+    assert err < 2e-3 * (np.abs(ref).max() + 1e-9), err
+
+
+@pytest.mark.parametrize("transform", [T.DFT_RFFT, T.PGRAM_WELCH, T.PGRAM_LS])
+@pytest.mark.parametrize("n_valid,nan_prob", [(200, 0.1), (250, 0.0), (10, 0.3)])
+def test_spectrum_parity(transform, n_valid, nan_prob):
+    x, y = make_signal(n_valid=n_valid, nan_prob=nan_prob, offset=0.0,
+                       seed=n_valid)
+    sp, _ = run_oracle((M.DETREND_CONST,), transform, x, y)
+    s = ref_signal_processor.signal_data.Signal(list(x), list(y), len(x))
+    ref_spec = sp.transform_signal(s)
+    ref_f = np.array(ref_spec.x, np.float64)
+    ref_m = np.array(ref_spec.y, np.float64)
+    cfg = SignalConfig(spectrum_transform=transform)
+    mf, mm = spectrum.transform_signal(cfg, jnp.asarray(x, jnp.float32),
+                                       jnp.asarray(y, jnp.float32))
+    mf, mm = np.asarray(mf, np.float64), np.asarray(mm, np.float64)
+    kv = np.isfinite(mf).sum()
+    assert kv == len(ref_f), (kv, len(ref_f))
+    if kv:
+        np.testing.assert_allclose(mf[:kv], ref_f, atol=1e-4)
+        scale = np.abs(ref_m).max() + 1e-12
+        np.testing.assert_allclose(mm[:kv], ref_m, atol=2e-3 * scale)
+
+
+def test_spectrum_peak_bpm_parity():
+    """The acceptance metric: spectral-peak HR within ±1 BPM (it is in fact
+    exactly the same bin)."""
+    from bp_from_video_tpu.ops import signal as sig
+    for seed in range(5):
+        x, y = make_signal(n_valid=220, nan_prob=0.1, seed=seed, offset=0.0)
+        for transform in [T.PGRAM_LS, T.PGRAM_WELCH, T.DFT_RFFT]:
+            sp, _ = run_oracle((M.DETREND_CONST,), transform, x, y)
+            s = ref_signal_processor.signal_data.Signal(list(x), list(y), len(x))
+            ref_spec = sp.transform_signal(s)
+            ref_spec.set_range((0.8, 4.0), (0.0, 1.0))
+            f_ref, _ = ref_spec.get_peak()
+            cfg = SignalConfig(spectrum_transform=transform)
+            mf, mm = spectrum.transform_signal(
+                cfg, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))
+            f_mine, _ = sig.peak(mf, mm, 0.8, 4.0)
+            bpm_ref = 60 * f_ref
+            bpm_mine = 60 * float(f_mine)
+            assert abs(bpm_mine - bpm_ref) <= 1.0, (transform, bpm_mine, bpm_ref)
+
+
+@pytest.mark.parametrize("n_valid,nan_prob", [(200, 0.1), (250, 0.0), (30, 0.4)])
+def test_correlation_parity(n_valid, nan_prob):
+    x, ya = make_signal(n_valid=n_valid, nan_prob=nan_prob, seed=7, offset=0.0)
+    _, yb = make_signal(n_valid=n_valid, nan_prob=nan_prob, seed=8, offset=0.0)
+    sp, _ = run_oracle((M.DETREND_CONST,), T.PGRAM_LS, x, ya)
+    sa = ref_signal_processor.signal_data.Signal(list(x), list(ya), len(x))
+    sb = ref_signal_processor.signal_data.Signal(list(x), list(yb), len(x))
+    ref_corr = sp.correlate_signal_pair(sa, sb)
+    ref_l = np.array(ref_corr.x, np.float64)
+    ref_c = np.array(ref_corr.y, np.float64)
+    ml, mc = correlate.correlate_pair(jnp.asarray(x, jnp.float32),
+                                      jnp.asarray(ya, jnp.float32),
+                                      jnp.asarray(yb, jnp.float32))
+    ml, mc = np.asarray(ml, np.float64), np.asarray(mc, np.float64)
+    kv = np.isfinite(mc).sum()
+    assert kv == len(ref_c)
+    if kv:
+        np.testing.assert_allclose(ml[:kv], ref_l, atol=1e-4)
+        scale = np.abs(ref_c).max() + 1e-12
+        np.testing.assert_allclose(mc[:kv], ref_c, atol=1e-3 * scale)
