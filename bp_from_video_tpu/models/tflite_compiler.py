@@ -1,0 +1,507 @@
+"""TFLite → JAX graph compiler: the framework's model "graph builder".
+
+The reference executes its four vision networks inside MediaPipe's C++ graph
+runtime + TFLite interpreter (reference inference_runner.py:6-12, :79-91).
+Here the `.tflite` flatbuffer itself is compiled into a **pure JAX function**
+plus a weights pytree, so the network runs inside the fused jitted per-frame
+step on the TPU — jit/vmap/pjit-compatible, weights castable to bf16 for the
+MXU, no interpreter in the loop.
+
+Covers the op set of the MediaPipe face/hand/segmentation model family
+(conv/dwconv/pool/pad/prelu/resize/transpose-conv/... ); unsupported ops
+raise with the op name so coverage gaps are explicit.
+
+Parsing uses TensorFlow's generated flatbuffer schema bindings (the .tflite
+schema is public); execution is plain jax.numpy / lax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import zipfile
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+# Lazy import: tensorflow is only needed at model-load time, never inside
+# the jitted step.
+_schema = None
+
+
+def _schema_fb():
+    global _schema
+    if _schema is None:
+        from tensorflow.lite.python import schema_py_generated as schema_fb
+        _schema = schema_fb
+    return _schema
+
+
+_TENSOR_DTYPES = {
+    0: np.float32, 1: np.float16, 2: np.int32, 3: np.uint8, 4: np.int64,
+    6: np.bool_, 7: np.int16, 9: np.int8, 10: np.float64, 17: np.uint32,
+}
+
+
+@dataclasses.dataclass
+class TensorInfo:
+    name: str
+    shape: tuple[int, ...]
+    dtype: Any
+    data: np.ndarray | None          # constant data, already dequantized
+    quant: tuple[float, int] | None  # (scale, zero_point) if quantized
+
+
+@dataclasses.dataclass
+class OpNode:
+    opcode: str
+    inputs: list[int]
+    outputs: list[int]
+    options: dict
+
+
+@dataclasses.dataclass
+class Graph:
+    tensors: list[TensorInfo]
+    ops: list[OpNode]
+    inputs: list[int]
+    outputs: list[int]
+
+
+def _opcode_name(model, op) -> str:
+    schema_fb = _schema_fb()
+    oc = model.OperatorCodes(op.OpcodeIndex())
+    code = oc.DeprecatedBuiltinCode()
+    if code == 127:  # BuiltinOperator placeholder: real code in BuiltinCode
+        code = oc.BuiltinCode()
+    else:
+        code = max(code, oc.BuiltinCode())
+    for name in dir(schema_fb.BuiltinOperator):
+        if not name.startswith("_") and getattr(schema_fb.BuiltinOperator, name) == code:
+            return name
+    return f"UNKNOWN_{code}"
+
+
+def _options(op, cls) -> Any:
+    o = cls()
+    tab = op.BuiltinOptions()
+    if tab is None:
+        return None
+    o.Init(tab.Bytes, tab.Pos)
+    return o
+
+
+_ACT_NAMES = {0: "NONE", 1: "RELU", 2: "RELU_N1_TO_1", 3: "RELU6", 4: "TANH"}
+_PAD_NAMES = {0: "SAME", 1: "VALID"}
+
+
+def _parse_options(model, op, name) -> dict:
+    schema_fb = _schema_fb()
+    if name == "CONV_2D":
+        o = _options(op, schema_fb.Conv2DOptions)
+        return dict(stride=(o.StrideH(), o.StrideW()),
+                    dilation=(o.DilationHFactor(), o.DilationWFactor()),
+                    padding=_PAD_NAMES[o.Padding()],
+                    activation=_ACT_NAMES[o.FusedActivationFunction()])
+    if name == "DEPTHWISE_CONV_2D":
+        o = _options(op, schema_fb.DepthwiseConv2DOptions)
+        return dict(stride=(o.StrideH(), o.StrideW()),
+                    dilation=(o.DilationHFactor(), o.DilationWFactor()),
+                    padding=_PAD_NAMES[o.Padding()],
+                    depth_multiplier=o.DepthMultiplier(),
+                    activation=_ACT_NAMES[o.FusedActivationFunction()])
+    if name == "TRANSPOSE_CONV":
+        o = _options(op, schema_fb.TransposeConvOptions)
+        return dict(stride=(o.StrideH(), o.StrideW()),
+                    padding=_PAD_NAMES[o.Padding()])
+    if name in ("MAX_POOL_2D", "AVERAGE_POOL_2D"):
+        o = _options(op, schema_fb.Pool2DOptions)
+        return dict(stride=(o.StrideH(), o.StrideW()),
+                    filter=(o.FilterHeight(), o.FilterWidth()),
+                    padding=_PAD_NAMES[o.Padding()],
+                    activation=_ACT_NAMES[o.FusedActivationFunction()])
+    if name in ("ADD", "SUB", "MUL", "DIV"):
+        cls = getattr(schema_fb, name.capitalize() + "Options")
+        o = _options(op, cls)
+        act = o.FusedActivationFunction() if o is not None else 0
+        return dict(activation=_ACT_NAMES[act])
+    if name == "CONCATENATION":
+        o = _options(op, schema_fb.ConcatenationOptions)
+        return dict(axis=o.Axis())
+    if name == "RESHAPE":
+        o = _options(op, schema_fb.ReshapeOptions)
+        new_shape = None
+        if o is not None and o.NewShapeLength() > 0:
+            new_shape = tuple(o.NewShape(i) for i in range(o.NewShapeLength()))
+        return dict(new_shape=new_shape)
+    if name in ("MEAN", "SUM", "REDUCE_MAX"):
+        o = _options(op, schema_fb.ReducerOptions)
+        return dict(keep_dims=bool(o.KeepDims()) if o is not None else False)
+    if name == "STRIDED_SLICE":
+        o = _options(op, schema_fb.StridedSliceOptions)
+        return dict(begin_mask=o.BeginMask(), end_mask=o.EndMask(),
+                    ellipsis_mask=o.EllipsisMask(),
+                    new_axis_mask=o.NewAxisMask(),
+                    shrink_axis_mask=o.ShrinkAxisMask())
+    if name == "RESIZE_BILINEAR":
+        o = _options(op, schema_fb.ResizeBilinearOptions)
+        return dict(align_corners=bool(o.AlignCorners()),
+                    half_pixel_centers=bool(o.HalfPixelCenters()))
+    if name == "RESIZE_NEAREST_NEIGHBOR":
+        o = _options(op, schema_fb.ResizeNearestNeighborOptions)
+        return dict(align_corners=bool(o.AlignCorners()),
+                    half_pixel_centers=bool(o.HalfPixelCenters()))
+    if name == "FULLY_CONNECTED":
+        o = _options(op, schema_fb.FullyConnectedOptions)
+        return dict(activation=_ACT_NAMES[o.FusedActivationFunction()])
+    if name == "SOFTMAX":
+        o = _options(op, schema_fb.SoftmaxOptions)
+        return dict(beta=o.Beta())
+    return {}
+
+
+def parse_tflite(data: bytes) -> Graph:
+    """Parse a .tflite flatbuffer into a small IR (tensors + topo op list)."""
+    schema_fb = _schema_fb()
+    model = schema_fb.Model.GetRootAsModel(data, 0)
+    sg = model.Subgraphs(0)
+    tensors: list[TensorInfo] = []
+    for i in range(sg.TensorsLength()):
+        t = sg.Tensors(i)
+        shape = tuple(t.ShapeAsNumpy().tolist()) if t.ShapeLength() else ()
+        dtype = _TENSOR_DTYPES.get(t.Type(), np.float32)
+        buf = model.Buffers(t.Buffer())
+        arr = None
+        if buf.DataLength() > 0:
+            raw = buf.DataAsNumpy().view(dtype)
+            arr = raw.reshape(shape) if shape else raw
+        quant = None
+        q = t.Quantization()
+        if q is not None and q.ScaleLength() > 0:
+            quant = (float(q.Scale(0)),
+                     int(q.ZeroPoint(0)) if q.ZeroPointLength() else 0)
+        name = t.Name().decode() if t.Name() else f"t{i}"
+        tensors.append(TensorInfo(name, shape, dtype, arr, quant))
+    ops: list[OpNode] = []
+    for i in range(sg.OperatorsLength()):
+        op = sg.Operators(i)
+        name = _opcode_name(model, op)
+        ins = [op.Inputs(j) for j in range(op.InputsLength())]
+        outs = [op.Outputs(j) for j in range(op.OutputsLength())]
+        ops.append(OpNode(name, ins, outs, _parse_options(model, op, name)))
+    inputs = [sg.Inputs(i) for i in range(sg.InputsLength())]
+    outputs = [sg.Outputs(i) for i in range(sg.OutputsLength())]
+    return Graph(tensors, ops, inputs, outputs)
+
+
+# --- execution ---------------------------------------------------------------
+
+
+def _act(x: Array, name: str) -> Array:
+    if name == "NONE":
+        return x
+    if name == "RELU":
+        return jnp.maximum(x, 0.0)
+    if name == "RELU6":
+        return jnp.clip(x, 0.0, 6.0)
+    if name == "RELU_N1_TO_1":
+        return jnp.clip(x, -1.0, 1.0)
+    if name == "TANH":
+        return jnp.tanh(x)
+    raise NotImplementedError(f"activation {name}")
+
+
+def _dequant(info: TensorInfo, arr: np.ndarray) -> np.ndarray:
+    if arr.dtype in (np.float16,):
+        return arr.astype(np.float32)
+    if arr.dtype in (np.int8, np.uint8) and info.quant is not None:
+        scale, zp = info.quant
+        return (arr.astype(np.float32) - zp) * scale
+    return arr
+
+
+def compile_tflite(data: bytes, dtype=jnp.float32
+                   ) -> tuple[Callable[..., list[Array]], dict[str, Array]]:
+    """Compile a .tflite model into ``fn(params, *inputs) -> [outputs]`` and
+    its weights pytree.
+
+    Constant DEQUANTIZE chains are folded into the weights at load time.
+    ``dtype`` casts float weights/compute (e.g. jnp.bfloat16 for the MXU).
+    """
+    graph = parse_tflite(data)
+    tensors = graph.ops and graph.tensors or graph.tensors
+
+    params: dict[str, Array] = {}
+    const_keys: dict[int, str] = {}
+    # Fold constant-input DEQUANTIZE ops.
+    dequant_of: dict[int, int] = {}
+    for op in graph.ops:
+        if op.opcode == "DEQUANTIZE":
+            src = op.inputs[0]
+            if graph.tensors[src].data is not None:
+                dequant_of[op.outputs[0]] = src
+
+    def const_value(idx: int) -> np.ndarray | None:
+        if idx in dequant_of:
+            src = dequant_of[idx]
+            return _dequant(graph.tensors[src], graph.tensors[src].data)
+        info = graph.tensors[idx]
+        if info.data is None:
+            return None
+        return info.data
+
+    for idx, info in enumerate(graph.tensors):
+        val = const_value(idx)
+        if val is None:
+            continue
+        key = f"{idx}:{info.name}"
+        if np.issubdtype(np.asarray(val).dtype, np.floating):
+            params[key] = jnp.asarray(np.asarray(val, np.float32), dtype)
+        else:
+            params[key] = jnp.asarray(val)
+        const_keys[idx] = key
+
+    input_shapes = [graph.tensors[i].shape for i in graph.inputs]
+
+    def fn(p: dict[str, Array], *inputs: Array) -> list[Array]:
+        if len(inputs) != len(graph.inputs):
+            raise ValueError(f"expected {len(graph.inputs)} inputs")
+        env: dict[int, Array] = {}
+        for idx, key in const_keys.items():
+            env[idx] = p[key]
+        for idx, x in zip(graph.inputs, inputs):
+            env[idx] = jnp.asarray(x, dtype)
+
+        def get(i: int) -> Array:
+            return env[i]
+
+        def np_const(i: int) -> np.ndarray:
+            v = const_value(i)
+            if v is None:
+                raise NotImplementedError("dynamic shape operand")
+            return np.asarray(v)
+
+        for op in graph.ops:
+            name, ins, outs, o = op.opcode, op.inputs, op.outputs, op.options
+            if name == "DEQUANTIZE":
+                if outs[0] in dequant_of:
+                    continue  # folded constant
+                env[outs[0]] = get(ins[0]).astype(dtype)
+            elif name == "CONV_2D":
+                x, w = get(ins[0]), get(ins[1])
+                # TFLite weights: [out, kh, kw, in] -> HWIO
+                wt = jnp.transpose(w, (1, 2, 3, 0))
+                y = jax.lax.conv_general_dilated(
+                    x, wt, window_strides=o["stride"], padding=o["padding"],
+                    rhs_dilation=o["dilation"],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32).astype(dtype)
+                if len(ins) > 2 and ins[2] >= 0:
+                    y = y + get(ins[2])
+                env[outs[0]] = _act(y, o["activation"])
+            elif name == "DEPTHWISE_CONV_2D":
+                x, w = get(ins[0]), get(ins[1])
+                cin = x.shape[-1]
+                mult = o["depth_multiplier"]
+                # TFLite weights: [1, kh, kw, in*mult] -> HWIO with groups=in
+                wt = jnp.transpose(w, (1, 2, 0, 3))
+                wt = wt.reshape(w.shape[1], w.shape[2], 1, cin * mult)
+                y = jax.lax.conv_general_dilated(
+                    x, wt, window_strides=o["stride"], padding=o["padding"],
+                    rhs_dilation=o["dilation"], feature_group_count=cin,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32).astype(dtype)
+                if len(ins) > 2 and ins[2] >= 0:
+                    y = y + get(ins[2])
+                env[outs[0]] = _act(y, o["activation"])
+            elif name == "TRANSPOSE_CONV":
+                out_shape = np_const(ins[0])
+                w, x = get(ins[1]), get(ins[2])
+                # TFLite weights: [out, kh, kw, in]; lax transpose conv via
+                # conv_transpose with HWIO of the forward conv.
+                wt = jnp.transpose(w, (1, 2, 3, 0))  # H W I O
+                y = jax.lax.conv_transpose(
+                    x, wt, strides=o["stride"], padding=o["padding"],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    transpose_kernel=True).astype(dtype)
+                if len(ins) > 3 and ins[3] >= 0:
+                    y = y + get(ins[3])
+                env[outs[0]] = y
+            elif name in ("MAX_POOL_2D", "AVERAGE_POOL_2D"):
+                x = get(ins[0])
+                window = (1,) + o["filter"] + (1,)
+                strides = (1,) + o["stride"] + (1,)
+                if name == "MAX_POOL_2D":
+                    y = jax.lax.reduce_window(
+                        x, -jnp.inf, jax.lax.max, window, strides, o["padding"])
+                else:
+                    s = jax.lax.reduce_window(
+                        x, 0.0, jax.lax.add, window, strides, o["padding"])
+                    c = jax.lax.reduce_window(
+                        jnp.ones_like(x), 0.0, jax.lax.add, window, strides,
+                        o["padding"])
+                    y = s / c
+                env[outs[0]] = _act(y.astype(dtype), o["activation"])
+            elif name == "PAD":
+                x = get(ins[0])
+                pads = np_const(ins[1])
+                env[outs[0]] = jnp.pad(x, [(int(a), int(b)) for a, b in pads])
+            elif name == "MIRROR_PAD":
+                x = get(ins[0])
+                pads = np_const(ins[1])
+                env[outs[0]] = jnp.pad(
+                    x, [(int(a), int(b)) for a, b in pads], mode="reflect")
+            elif name in ("ADD", "SUB", "MUL", "DIV"):
+                a, b = get(ins[0]), get(ins[1])
+                y = {"ADD": jnp.add, "SUB": jnp.subtract,
+                     "MUL": jnp.multiply, "DIV": jnp.divide}[name](a, b)
+                env[outs[0]] = _act(y, o.get("activation", "NONE"))
+            elif name == "SQUARED_DIFFERENCE":
+                d = get(ins[0]) - get(ins[1])
+                env[outs[0]] = d * d
+            elif name == "NEG":
+                env[outs[0]] = -get(ins[0])
+            elif name == "SQRT":
+                env[outs[0]] = jnp.sqrt(get(ins[0]))
+            elif name == "RSQRT":
+                env[outs[0]] = jax.lax.rsqrt(get(ins[0]))
+            elif name == "RELU":
+                env[outs[0]] = jnp.maximum(get(ins[0]), 0.0)
+            elif name == "RELU6":
+                env[outs[0]] = jnp.clip(get(ins[0]), 0.0, 6.0)
+            elif name == "PRELU":
+                x, alpha = get(ins[0]), get(ins[1])
+                env[outs[0]] = jnp.where(x >= 0, x, x * alpha)
+            elif name == "LEAKY_RELU":
+                x = get(ins[0])
+                env[outs[0]] = jnp.where(x >= 0, x, 0.01 * x)
+            elif name == "LOGISTIC":
+                env[outs[0]] = jax.nn.sigmoid(get(ins[0]))
+            elif name == "TANH":
+                env[outs[0]] = jnp.tanh(get(ins[0]))
+            elif name == "HARD_SWISH":
+                x = get(ins[0])
+                env[outs[0]] = x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+            elif name == "SOFTMAX":
+                env[outs[0]] = jax.nn.softmax(get(ins[0]) * o.get("beta", 1.0),
+                                              axis=-1)
+            elif name == "RESHAPE":
+                x = get(ins[0])
+                shape = o.get("new_shape")
+                if shape is None:
+                    shape = tuple(int(v) for v in np_const(ins[1]))
+                env[outs[0]] = jnp.reshape(x, shape)
+            elif name == "TRANSPOSE":
+                perm = tuple(int(v) for v in np_const(ins[1]))
+                env[outs[0]] = jnp.transpose(get(ins[0]), perm)
+            elif name == "CONCATENATION":
+                env[outs[0]] = jnp.concatenate([get(i) for i in ins],
+                                               axis=o["axis"])
+            elif name in ("MEAN", "SUM", "REDUCE_MAX"):
+                axes = tuple(int(v) for v in np.atleast_1d(np_const(ins[1])))
+                red = {"MEAN": jnp.mean, "SUM": jnp.sum,
+                       "REDUCE_MAX": jnp.max}[name]
+                env[outs[0]] = red(get(ins[0]), axis=axes,
+                                   keepdims=o.get("keep_dims", False))
+            elif name == "STRIDED_SLICE":
+                x = get(ins[0])
+                begin = np_const(ins[1]).astype(int)
+                end = np_const(ins[2]).astype(int)
+                strides = np_const(ins[3]).astype(int)
+                if o["ellipsis_mask"] or o["new_axis_mask"]:
+                    raise NotImplementedError("strided_slice masks")
+                idx = []
+                for d in range(len(begin)):
+                    b = None if (o["begin_mask"] >> d) & 1 else int(begin[d])
+                    e = None if (o["end_mask"] >> d) & 1 else int(end[d])
+                    if (o["shrink_axis_mask"] >> d) & 1:
+                        idx.append(int(begin[d]))
+                    else:
+                        idx.append(slice(b, e, int(strides[d])))
+                env[outs[0]] = x[tuple(idx)]
+            elif name == "SLICE":
+                x = get(ins[0])
+                begin = np_const(ins[1]).astype(int)
+                size = np_const(ins[2]).astype(int)
+                idx = tuple(slice(int(b), None if s == -1 else int(b + s))
+                            for b, s in zip(begin, size))
+                env[outs[0]] = x[idx]
+            elif name in ("RESIZE_BILINEAR", "RESIZE_NEAREST_NEIGHBOR"):
+                x = get(ins[0])
+                hw = tuple(int(v) for v in np_const(ins[1]))
+                shape = (x.shape[0], hw[0], hw[1], x.shape[3])
+                if name == "RESIZE_NEAREST_NEIGHBOR":
+                    env[outs[0]] = jax.image.resize(x, shape, "nearest")
+                elif o["half_pixel_centers"]:
+                    env[outs[0]] = jax.image.resize(x, shape, "bilinear").astype(dtype)
+                else:
+                    # align_corners / asymmetric bilinear via explicit gather.
+                    env[outs[0]] = _resize_bilinear_legacy(
+                        x, hw, o["align_corners"]).astype(dtype)
+            elif name == "FULLY_CONNECTED":
+                x, w = get(ins[0]), get(ins[1])
+                y = jnp.einsum("...i,oi->...o", x, w,
+                               preferred_element_type=jnp.float32).astype(dtype)
+                if len(ins) > 2 and ins[2] >= 0:
+                    y = y + get(ins[2])
+                env[outs[0]] = _act(y, o["activation"])
+            elif name in ("MAXIMUM", "MINIMUM"):
+                fn2 = jnp.maximum if name == "MAXIMUM" else jnp.minimum
+                env[outs[0]] = fn2(get(ins[0]), get(ins[1]))
+            elif name == "EXP":
+                env[outs[0]] = jnp.exp(get(ins[0]))
+            else:
+                raise NotImplementedError(f"TFLite op {name}")
+        return [env[i] for i in graph.outputs]
+
+    fn.input_shapes = input_shapes  # type: ignore[attr-defined]
+    fn.graph = graph                # type: ignore[attr-defined]
+    return fn, params
+
+
+def _resize_bilinear_legacy(x: Array, hw: tuple[int, int],
+                            align_corners: bool) -> Array:
+    """TFLite RESIZE_BILINEAR without half-pixel centers."""
+    _, h, w, _ = x.shape
+    nh, nw = hw
+    if align_corners and nh > 1 and nw > 1:
+        ys = jnp.linspace(0.0, h - 1.0, nh)
+        xs = jnp.linspace(0.0, w - 1.0, nw)
+    else:
+        ys = jnp.arange(nh) * (h / nh)
+        xs = jnp.arange(nw) * (w / nw)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    fy = (ys - y0).astype(x.dtype)[None, :, None, None]
+    fx = (xs - x0).astype(x.dtype)[None, None, :, None]
+    a = x[:, y0][:, :, x0]
+    b = x[:, y0][:, :, x1]
+    c = x[:, y1][:, :, x0]
+    d = x[:, y1][:, :, x1]
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+            + c * fy * (1 - fx) + d * fy * fx)
+
+
+# --- asset loading -----------------------------------------------------------
+
+
+def load_task_bundle(path: str) -> dict[str, bytes]:
+    """Unpack a MediaPipe .task zip bundle into {filename: tflite bytes}
+    (the reference ships face_landmarker.task; inference_runner.py:62)."""
+    out = {}
+    with zipfile.ZipFile(path) as z:
+        for name in z.namelist():
+            if name.endswith(".tflite"):
+                out[name] = z.read(name)
+    return out
+
+
+def load_tflite_file(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()

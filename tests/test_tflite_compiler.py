@@ -1,0 +1,84 @@
+"""TFLite->JAX compiler parity vs the TFLite interpreter on the real bundled
+model binaries (face detector, face landmarks, blendshapes)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bp_from_video_tpu.models import tflite_compiler as tc
+
+BUNDLE = "/root/reference/models/face_landmarker.task"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(BUNDLE),
+                                reason="reference model bundle absent")
+
+
+def tflite_reference(data: bytes, inputs):
+    import tensorflow as tf
+    ip = tf.lite.Interpreter(model_content=data)
+    ip.allocate_tensors()
+    for d, x in zip(ip.get_input_details(), inputs):
+        ip.set_tensor(d["index"], x)
+    ip.invoke()
+    return [ip.get_tensor(d["index"]) for d in ip.get_output_details()]
+
+
+def _models():
+    blobs = tc.load_task_bundle(BUNDLE)
+    return blobs
+
+
+@pytest.mark.parametrize("name,atol", [
+    ("face_detector.tflite", 5e-4),
+    ("face_landmarks_detector.tflite", 5e-3),
+    ("face_blendshapes.tflite", 5e-3),
+])
+def test_compiled_matches_interpreter(name, atol):
+    data = _models()[name]
+    fn, params = tc.compile_tflite(data)
+    rng = np.random.RandomState(0)
+    inputs = []
+    for shape in fn.input_shapes:
+        if name == "face_blendshapes.tflite":
+            x = rng.uniform(0, 256, size=shape).astype(np.float32)
+        else:
+            x = rng.uniform(0, 1, size=shape).astype(np.float32)
+        inputs.append(x)
+    ref = tflite_reference(data, inputs)
+    mine = jax.jit(fn)(params, *[jnp.asarray(x) for x in inputs])
+    # The interpreter may order outputs differently from graph.outputs; match
+    # by shape + value proximity.
+    assert len(mine) == len(ref)
+    ref_by_shape = {tuple(r.shape): r for r in ref}
+    for m in mine:
+        m = np.asarray(m, np.float32)
+        r = ref_by_shape[tuple(m.shape)]
+        scale = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(m, r, atol=atol * scale,
+                                   err_msg=f"{name} output {m.shape}")
+
+
+def test_vmap_over_compiled_model():
+    data = _models()["face_detector.tflite"]
+    fn, params = tc.compile_tflite(data)
+    rng = np.random.RandomState(1)
+    batch = rng.uniform(0, 1, size=(3, 1, 128, 128, 3)).astype(np.float32)
+    single = [np.asarray(fn(params, jnp.asarray(batch[i]))[0]) for i in range(3)]
+    batched = jax.vmap(lambda x: fn(params, x)[0])(jnp.asarray(batch))
+    np.testing.assert_allclose(np.asarray(batched), np.stack(single),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_bf16_compile_is_close():
+    data = _models()["face_detector.tflite"]
+    fn32, p32 = tc.compile_tflite(data)
+    fn16, p16 = tc.compile_tflite(data, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(2)
+    x = rng.uniform(0, 1, size=(1, 128, 128, 3)).astype(np.float32)
+    o32 = np.asarray(fn32(p32, jnp.asarray(x))[1], np.float32)
+    o16 = np.asarray(fn16(p16, jnp.asarray(x))[1], np.float32)
+    # classificator logits: bf16 keeps ranking-level accuracy
+    assert np.abs(o32 - o16).max() < 0.35 * (np.abs(o32).max() + 1e-6)
