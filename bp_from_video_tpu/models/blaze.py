@@ -1,0 +1,155 @@
+"""BlazePalm/BlazeHand/segmenter architecture stand-ins, randomly initialized.
+
+The reference snapshot ships only the face model weights; the hand landmarker
+and selfie-multiclass blobs are absent (/root/reference/models — SURVEY.md
+§2.2, .MISSING_LARGE_BLOBS).  These generators provide real JAX
+architectures with the correct I/O contracts (anchor counts, landmark
+counts, mask classes) and representative compute cost, so the full 4-model
+pipeline runs end-to-end; drop the standard MediaPipe bundles into the asset
+dir and the TFLite->JAX compiler path replaces them with real weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _conv_init(key, kh, kw, cin, cout):
+    k1, k2 = jax.random.split(key)
+    fan_in = kh * kw * cin
+    w = jax.random.normal(k1, (kh, kw, cin, cout), jnp.float32)
+    return {"w": w * np.sqrt(2.0 / fan_in), "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _conv(p, x, stride=1, padding="SAME", groups=1):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+    return y + p["b"]
+
+
+def _blaze_block_init(key, cin, cout):
+    k1, k2 = jax.random.split(key)
+    return {"dw": _conv_init(k1, 5, 5, 1, cin), "pw": _conv_init(k2, 1, 1, cin, cout)}
+
+
+def _blaze_block(p, x, stride=1):
+    cin = x.shape[-1]
+    y = _conv(p["dw"], x, stride=stride, groups=cin)
+    y = _conv(p["pw"], y)
+    if stride == 2:
+        x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
+    cout = y.shape[-1]
+    if cout != cin:
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, cout - cin),))
+    return jax.nn.relu(y + x)
+
+
+def init_blaze_detector(seed: int, input_size: int, num_anchors: int,
+                        num_kps: int) -> dict:
+    """Two-scale SSD detector: heads at /8 and /16 with 2 and 6 anchors per
+    cell (matching the face/palm anchor layouts)."""
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 10)
+    c8 = input_size // 8
+    box_dim = 4 + 2 * num_kps
+    return {
+        "stem": _conv_init(ks[0], 5, 5, 3, 24),
+        "b1": _blaze_block_init(ks[1], 24, 24),
+        "b2": _blaze_block_init(ks[2], 24, 48),   # /4
+        "b3": _blaze_block_init(ks[3], 48, 48),
+        "b4": _blaze_block_init(ks[4], 48, 96),   # /8
+        "b5": _blaze_block_init(ks[5], 96, 96),
+        "b6": _blaze_block_init(ks[6], 96, 96),   # /16
+        "head8_box": _conv_init(ks[7], 1, 1, 96, 2 * box_dim),
+        "head16_box": _conv_init(ks[8], 1, 1, 96, 6 * box_dim),
+        "head8_cls": _conv_init(ks[9], 1, 1, 96, 2),
+        "head16_cls": _conv_init(jax.random.fold_in(key, 99), 1, 1, 96, 6),
+    }
+
+
+def blaze_detector_apply(p: dict, x: Array, num_kps: int) -> tuple[Array, Array]:
+    """x: [1, S, S, 3] -> (regressors [1, A, 4+2K], logits [1, A, 1])."""
+    box_dim = 4 + 2 * num_kps
+    y = jax.nn.relu(_conv(p["stem"], x, stride=2))   # /2
+    y = _blaze_block(p["b1"], y)
+    y = _blaze_block(p["b2"], y, stride=2)           # /4
+    y = _blaze_block(p["b3"], y)
+    y8 = _blaze_block(p["b4"], y, stride=2)          # /8
+    y8 = _blaze_block(p["b5"], y8)
+    y16 = _blaze_block(p["b6"], y8, stride=2)        # /16
+    r8 = _conv(p["head8_box"], y8).reshape(1, -1, box_dim)
+    r16 = _conv(p["head16_box"], y16).reshape(1, -1, box_dim)
+    c8 = _conv(p["head8_cls"], y8).reshape(1, -1, 1)
+    c16 = _conv(p["head16_cls"], y16).reshape(1, -1, 1)
+    return (jnp.concatenate([r8, r16], axis=1),
+            jnp.concatenate([c8, c16], axis=1))
+
+
+def init_blaze_landmark(seed: int, input_size: int, num_landmarks: int) -> dict:
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 9)
+    return {
+        "stem": _conv_init(ks[0], 5, 5, 3, 24),
+        "b1": _blaze_block_init(ks[1], 24, 48),
+        "b2": _blaze_block_init(ks[2], 48, 96),
+        "b3": _blaze_block_init(ks[3], 96, 96),
+        "b4": _blaze_block_init(ks[4], 96, 192),
+        "head_lm": _conv_init(ks[5], 1, 1, 192, 3 * num_landmarks),
+        "head_presence": _conv_init(ks[6], 1, 1, 192, 1),
+        "head_aux": _conv_init(ks[7], 1, 1, 192, 1),
+    }
+
+
+def blaze_landmark_apply(p: dict, x: Array, input_size: int) -> tuple[Array, Array, Array]:
+    """x: [1, S, S, 3] -> (landmarks [1, 3L] in crop pixels, presence [1, 1]
+    (sigmoided), aux/handedness [1, 1])."""
+    s = input_size
+    y = jax.nn.relu(_conv(p["stem"], x, stride=2))
+    y = _blaze_block(p["b1"], y, stride=2)
+    y = _blaze_block(p["b2"], y, stride=2)
+    y = _blaze_block(p["b3"], y, stride=2)
+    y = _blaze_block(p["b4"], y, stride=2)
+    y = jnp.mean(y, axis=(1, 2), keepdims=True)
+    lm = _conv(p["head_lm"], y).reshape(1, -1)
+    # Scale random-init outputs into the crop-pixel range so downstream
+    # geometry stays well-conditioned.
+    lm = (jax.nn.sigmoid(lm) * s)
+    presence = jax.nn.sigmoid(_conv(p["head_presence"], y).reshape(1, 1))
+    aux = jax.nn.sigmoid(_conv(p["head_aux"], y).reshape(1, 1))
+    return lm, presence, aux
+
+
+def init_segmenter(seed: int, input_size: int, num_classes: int = 6) -> dict:
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 8)
+    return {
+        "stem": _conv_init(ks[0], 3, 3, 3, 16),
+        "b1": _blaze_block_init(ks[1], 16, 32),
+        "b2": _blaze_block_init(ks[2], 32, 64),
+        "b3": _blaze_block_init(ks[3], 64, 64),
+        "up1": _conv_init(ks[4], 3, 3, 64, 32),
+        "up2": _conv_init(ks[5], 3, 3, 32, 16),
+        "head": _conv_init(ks[6], 1, 1, 16, num_classes),
+    }
+
+
+def segmenter_apply(p: dict, x: Array, input_size: int) -> Array:
+    """x: [1, S, S, 3] -> confidence masks [1, S, S, C] (softmaxed)."""
+    s = input_size
+    y = jax.nn.relu(_conv(p["stem"], x, stride=2))   # /2
+    y = _blaze_block(p["b1"], y, stride=2)           # /4
+    y = _blaze_block(p["b2"], y, stride=2)           # /8
+    y = _blaze_block(p["b3"], y)
+    y = jax.image.resize(y, (1, s // 4, s // 4, y.shape[-1]), "bilinear")
+    y = jax.nn.relu(_conv(p["up1"], y))
+    y = jax.image.resize(y, (1, s, s, y.shape[-1]), "bilinear")
+    y = jax.nn.relu(_conv(p["up2"], y))
+    return jax.nn.softmax(_conv(p["head"], y), axis=-1)

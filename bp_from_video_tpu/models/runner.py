@@ -1,0 +1,413 @@
+"""The fused TPU inference runner — the reference's InferenceRunner
+(inference_runner.py:56-188) rebuilt as one pure jitted function over all
+enabled models, with detect-then-track VIDEO semantics carried in an explicit
+state pytree instead of MediaPipe's hidden C++ graph state.
+
+Per frame:  face detector (standalone) / face landmarker (internal detector +
+mesh, tracked) / hand landmarker (palm detector + per-hand landmark net,
+tracked) / person segmenter — all compiled from the real TFLite weights when
+the asset files exist (models/tflite_compiler.py), falling back to
+randomly-initialized architecture stand-ins otherwise (models/blaze.py;
+the hand/segmenter blobs are absent from the reference snapshot).
+
+Outputs use the reference's pixel-integer contract: landmark coordinates are
+clipped to the frame then truncated (inference_runner.py:108-110, :126-129,
+:145-148), bboxes are landmark min/max for landmarkers and the detection box
+for the face detector, detections sorted by area descending.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bp_from_video_tpu.config import InferenceConfig, ModelType, RunningMode
+from bp_from_video_tpu.models import anchors as anchors_lib
+from bp_from_video_tpu.models import blaze, detection, warp
+from bp_from_video_tpu.models import tflite_compiler as tc
+from bp_from_video_tpu.models.detection import NMSOut
+from bp_from_video_tpu.ops.roi import Detections
+
+Array = jax.Array
+
+NUM_FACE_LANDMARKS = 478
+NUM_HAND_LANDMARKS = 21
+NUM_FACE_DET_KPS = 6
+NUM_PALM_KPS = 7
+MAX_FACE_DETS = 4
+SEG_CLASSES = 6
+PRESENCE_THRESHOLD = 0.5
+
+# Tracking-rect anchor landmarks: face = outer eye corners, hand = wrist ->
+# middle-finger MCP (the MediaPipe landmarks-to-ROI conventions).
+FACE_ROT_LANDMARKS = (33, 263)
+HAND_ROT_LANDMARKS = (0, 9)
+
+
+class TrackState(NamedTuple):
+    """Detect-then-track state (replaces MediaPipe VIDEO-mode hidden state)."""
+
+    face_rect: Array       # [5] (cx, cy, w, h, rot) in pixels
+    face_tracking: Array   # bool scalar
+    hand_rects: Array      # [max_hands, 5]
+    hand_tracking: Array   # bool [max_hands]
+
+
+class ModelResults(NamedTuple):
+    """Per-frame outputs for all four models (reference InferenceResults,
+    inference_runner.py:34-43). Disabled models hold empty placeholders."""
+
+    face_detector: Detections
+    face_landmarker: Detections
+    hand_landmarker: Detections
+    seg_class: Array   # [H, W] int32 category mask (or [0,0])
+    seg_conf: Array    # [C, H, W] f32 confidence masks (or [0,0,0])
+    seg_valid: Array   # bool scalar
+
+    def model_outputs(self):
+        """The reference's 4-way iteration order (InferenceResults.__iter__,
+        inference_runner.py:42-43)."""
+        return (self.face_detector, self.face_landmarker,
+                self.hand_landmarker, (self.seg_class, self.seg_conf))
+
+
+def _rect_arr(r: warp.Rect) -> Array:
+    return jnp.stack([r.cx, r.cy, r.w, r.h, r.rotation])
+
+
+def _arr_rect(a: Array) -> warp.Rect:
+    return warp.Rect(a[0], a[1], a[2], a[3], a[4])
+
+
+def _clip_floor(pts: Array, width: int, height: int) -> Array:
+    """Reference pixel contract: clip to [0, dim-1] then truncate to int
+    (inference_runner.py:108-110)."""
+    x = jnp.floor(jnp.clip(pts[..., 0], 0, width - 1))
+    y = jnp.floor(jnp.clip(pts[..., 1], 0, height - 1))
+    return jnp.stack([x, y], axis=-1)
+
+
+def _safe_rect(a: Array, width: int, height: int) -> warp.Rect:
+    """Replace non-finite rect entries with a frame-centered default so crop
+    gathers stay in-range (results are masked out downstream)."""
+    default = jnp.asarray([width / 2, height / 2, width, height, 0.0], jnp.float32)
+    a = jnp.where(jnp.isfinite(a), a, default)
+    return _arr_rect(a)
+
+
+class InferenceRunner:
+    """Builds the compiled model set and exposes a pure ``predict`` step.
+
+    Host-side construction (asset loading, TFLite compilation) happens once;
+    ``predict(params, state, frame_rgb)`` is pure and jit/vmap-friendly.
+    Mirrors the reference constructor surface (model enable flags, asset
+    paths, running mode — inference_runner.py:58-76).
+    """
+
+    def __init__(self, cfg: InferenceConfig, frame_height: int,
+                 frame_width: int, asset_dir: str | None = None,
+                 dtype=jnp.float32) -> None:
+        self.cfg = cfg
+        self.h, self.w = frame_height, frame_width
+        self.dtype = dtype
+        self.params: dict[str, Any] = {}
+        self._fns: dict[str, Callable] = {}
+        asset_dir = asset_dir or "."
+
+        def resolve(p):
+            if p is None:
+                return None
+            for cand in (p, os.path.join(asset_dir, p),
+                         os.path.join("/root/reference", p)):
+                if os.path.exists(cand):
+                    return cand
+            return None
+
+        self.face_anchors = jnp.asarray(
+            anchors_lib.generate_anchors(anchors_lib.FACE_SHORT_RANGE))
+        self.palm_anchors = jnp.asarray(
+            anchors_lib.generate_anchors(anchors_lib.PALM))
+
+        if cfg.face_detector:
+            path = resolve(cfg.face_detector_path)
+            self._load_detector("face_det", path, fallback_size=128,
+                                fallback_anchors=896, fallback_kps=NUM_FACE_DET_KPS)
+        if cfg.face_landmarker:
+            path = resolve(cfg.face_landmarker_path)
+            blobs = tc.load_task_bundle(path) if path else {}
+            self._load_detector("flm_det", None, fallback_size=128,
+                                fallback_anchors=896, fallback_kps=NUM_FACE_DET_KPS,
+                                blob=blobs.get("face_detector.tflite"))
+            self._load_landmark("flm_lm", blobs.get("face_landmarks_detector.tflite"),
+                                fallback_size=256, num_landmarks=NUM_FACE_LANDMARKS)
+        if cfg.hand_landmarker:
+            path = resolve(cfg.hand_landmarker_path)
+            blobs = tc.load_task_bundle(path) if path else {}
+            palm_blob = next((v for k, v in blobs.items() if "palm" in k), None)
+            lm_blob = next((v for k, v in blobs.items()
+                            if "landmark" in k and "palm" not in k), None)
+            self._load_detector("palm_det", None, fallback_size=192,
+                                fallback_anchors=2016, fallback_kps=NUM_PALM_KPS,
+                                blob=palm_blob)
+            self._load_landmark("hand_lm", lm_blob, fallback_size=224,
+                                num_landmarks=NUM_HAND_LANDMARKS)
+        if cfg.person_segmenter:
+            path = resolve(cfg.person_segmenter_path)
+            blob = tc.load_tflite_file(path) if path else None
+            self._load_segmenter("seg", blob, fallback_size=256)
+
+    # -- model loading ---------------------------------------------------
+
+    def _load_detector(self, key, path, fallback_size, fallback_anchors,
+                       fallback_kps, blob=None):
+        if blob is None and path is not None:
+            blob = tc.load_tflite_file(path)
+        if blob is not None:
+            fn, params = tc.compile_tflite(blob, self.dtype)
+            size = fn.input_shapes[0][1]
+
+            def apply(p, x, fn=fn):
+                outs = fn(p, x)
+                # regressors: widest output; logits: single-channel output.
+                reg = max(outs, key=lambda t: t.shape[-1])
+                log = min(outs, key=lambda t: t.shape[-1])
+                return reg, log
+            self.params[key] = params
+            self._fns[key] = apply
+            self._fns[key + "_size"] = size
+        else:
+            params = blaze.init_blaze_detector(hash(key) % 2**31, fallback_size,
+                                               fallback_anchors, fallback_kps)
+            self.params[key] = params
+            self._fns[key] = (lambda p, x, k=fallback_kps:
+                              blaze.blaze_detector_apply(p, x, k))
+            self._fns[key + "_size"] = fallback_size
+
+    def _load_landmark(self, key, blob, fallback_size, num_landmarks):
+        if blob is not None:
+            fn, params = tc.compile_tflite(blob, self.dtype)
+            size = fn.input_shapes[0][1]
+
+            def apply(p, x, fn=fn, nl=num_landmarks):
+                outs = fn(p, x)
+                flat = [o.reshape(-1) for o in outs]
+                lm = next(o for o in flat if o.shape[0] >= 3 * nl)[: 3 * nl]
+                scalars = [o for o in flat if o.shape[0] == 1]
+                presence = scalars[0] if scalars else jnp.ones((1,))
+                aux = scalars[1] if len(scalars) > 1 else jnp.zeros((1,))
+                return lm[None], presence[None], aux[None]
+            self.params[key] = params
+            self._fns[key] = apply
+            self._fns[key + "_size"] = size
+        else:
+            params = blaze.init_blaze_landmark(hash(key) % 2**31, fallback_size,
+                                               num_landmarks)
+            self.params[key] = params
+            self._fns[key] = (lambda p, x, s=fallback_size:
+                              blaze.blaze_landmark_apply(p, x, s))
+            self._fns[key + "_size"] = fallback_size
+
+    def _load_segmenter(self, key, blob, fallback_size):
+        if blob is not None:
+            fn, params = tc.compile_tflite(blob, self.dtype)
+            size = fn.input_shapes[0][1]
+
+            def apply(p, x, fn=fn):
+                out = max(fn(p, x), key=lambda t: t.size)
+                return out
+            self.params[key] = params
+            self._fns[key] = apply
+            self._fns[key + "_size"] = size
+        else:
+            params = blaze.init_segmenter(hash(key) % 2**31, fallback_size,
+                                          SEG_CLASSES)
+            self.params[key] = params
+            self._fns[key] = (lambda p, x, s=fallback_size:
+                              blaze.segmenter_apply(p, x, s))
+            self._fns[key + "_size"] = fallback_size
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self) -> TrackState:
+        default = jnp.asarray([self.w / 2, self.h / 2, self.w, self.h, 0.0],
+                              jnp.float32)
+        return TrackState(
+            face_rect=default,
+            face_tracking=jnp.asarray(False),
+            hand_rects=jnp.tile(default[None], (self.cfg.max_hands, 1)),
+            hand_tracking=jnp.zeros((self.cfg.max_hands,), bool))
+
+    def empty_results(self) -> ModelResults:
+        return ModelResults(
+            face_detector=Detections.empty(MAX_FACE_DETS, NUM_FACE_DET_KPS),
+            face_landmarker=Detections.empty(self.cfg.max_faces,
+                                             NUM_FACE_LANDMARKS),
+            hand_landmarker=Detections.empty(self.cfg.max_hands,
+                                             NUM_HAND_LANDMARKS),
+            seg_class=jnp.zeros((0, 0), jnp.int32),
+            seg_conf=jnp.zeros((0, 0, 0), jnp.float32),
+            seg_valid=jnp.asarray(False))
+
+    # -- sub-pipelines ------------------------------------------------------
+
+    def _run_detector(self, key: str, decode_cfg: detection.DecodeConfig,
+                      anchors: Array, params, frame: Array, in_range: str,
+                      max_out: int) -> tuple[NMSOut, warp.Letterbox]:
+        size = self._fns[key + "_size"]
+        lb = warp.letterbox(frame, size)
+        x = lb.image / 255.0
+        if in_range == "pm1":
+            x = x * 2.0 - 1.0
+        reg, log = self._fns[key](params, x[None].astype(self.dtype))
+        raw = detection.decode(decode_cfg, reg[0].astype(jnp.float32),
+                               log[0].astype(jnp.float32), anchors)
+        nms = detection.weighted_nms(decode_cfg, raw, max_out)
+        # Map normalized letterbox coords to frame pixels.
+        boxes = nms.boxes.reshape(-1, 2, 2)
+        boxes_px = warp.unletterbox_points(boxes, lb, size)
+        kps_px = warp.unletterbox_points(nms.kps, lb, size)
+        return NMSOut(boxes_px.reshape(-1, 4), kps_px, nms.scores, nms.count), lb
+
+    def _run_landmarker(self, key: str, params, frame: Array,
+                        rect: warp.Rect) -> tuple[Array, Array, Array]:
+        size = self._fns[key + "_size"]
+        crop = warp.crop_rect(frame, rect, size) / 255.0
+        lm, presence, aux = self._fns[key](params, crop[None].astype(self.dtype))
+        pts = lm[0].astype(jnp.float32).reshape(-1, 3)[:, :2] / size
+        pts_px = warp.project_landmarks(pts, rect)
+        return pts_px, presence[0, 0].astype(jnp.float32), aux[0, 0]
+
+    # -- fused predict ------------------------------------------------------
+
+    def predict(self, params: dict, state: TrackState, frame_rgb: Array
+                ) -> tuple[TrackState, ModelResults]:
+        """One fused inference pass over all enabled models.
+
+        frame_rgb: uint8/float [H, W, 3]. Pure function of its inputs —
+        jit/vmap/shard it freely. VIDEO mode consumes/produces tracking
+        state; IMAGE mode re-detects every frame (reference
+        inference_runner.py:97-102 branch).
+        """
+        frame = frame_rgb.astype(jnp.float32)
+        res = self.empty_results()
+        video = self.cfg.running_mode is RunningMode.VIDEO
+
+        if self.cfg.face_detector:
+            nms, _ = self._run_detector(
+                "face_det", detection.FACE_DECODE, self.face_anchors,
+                params["face_det"], frame, "pm1", MAX_FACE_DETS)
+            nms = detection.sort_by_area_desc(nms)
+            kps = _clip_floor(nms.kps, self.w, self.h)
+            res = res._replace(face_detector=Detections(
+                bbox=jnp.round(nms.boxes), points=kps, count=nms.count))
+
+        new_face_rect, new_face_tracking = state.face_rect, state.face_tracking
+        if self.cfg.face_landmarker:
+            def detect_face(_):
+                nms, _ = self._run_detector(
+                    "flm_det", detection.FACE_DECODE, self.face_anchors,
+                    params["flm_det"], frame, "pm1", 1)
+                r = warp.detection_to_rect(nms.boxes[0], nms.kps[0], 0, 1, 0.0)
+                r = warp.rect_transform(r, scale=1.5)
+                return _rect_arr(r), nms.count > 0
+
+            def reuse_rect(_):
+                return state.face_rect, jnp.asarray(True)
+
+            if video:
+                rect_a, det_ok = jax.lax.cond(state.face_tracking,
+                                              reuse_rect, detect_face, None)
+            else:
+                rect_a, det_ok = detect_face(None)
+            rect = _safe_rect(rect_a, self.w, self.h)
+            pts_px, presence, _ = self._run_landmarker(
+                "flm_lm", params["flm_lm"], frame, rect)
+            present = det_ok & (presence > PRESENCE_THRESHOLD)
+            next_r = warp.rect_transform(
+                warp.landmarks_to_rect(pts_px, *FACE_ROT_LANDMARKS, 0.0),
+                scale=1.5)
+            new_face_rect = jnp.where(present, _rect_arr(next_r), state.face_rect)
+            new_face_tracking = present
+            pts_i = _clip_floor(pts_px, self.w, self.h)
+            bbox = jnp.concatenate([jnp.min(pts_i, axis=0), jnp.max(pts_i, axis=0)])
+            nanf = jnp.float32(jnp.nan)
+            res = res._replace(face_landmarker=Detections(
+                bbox=jnp.where(present, bbox, nanf)[None],
+                points=jnp.where(present, pts_i, nanf)[None],
+                count=present.astype(jnp.int32)))
+
+        new_hand_rects, new_hand_tracking = state.hand_rects, state.hand_tracking
+        if self.cfg.hand_landmarker:
+            n_hands = self.cfg.max_hands
+
+            def detect_palms(_):
+                nms, _ = self._run_detector(
+                    "palm_det", detection.PALM_DECODE, self.palm_anchors,
+                    params["palm_det"], frame, "zero1", n_hands)
+                def mk(i):
+                    r = warp.detection_to_rect(nms.boxes[i], nms.kps[i], 0, 2,
+                                               jnp.pi / 2)
+                    r = warp.rect_transform(r, scale=2.6, shift_y=-0.5)
+                    return _rect_arr(r)
+                rects = jnp.stack([mk(i) for i in range(n_hands)])
+                valid = jnp.arange(n_hands) < nms.count
+                return rects, valid
+
+            def reuse_palms(_):
+                return state.hand_rects, state.hand_tracking
+
+            if video:
+                det_rects, det_valid = jax.lax.cond(
+                    jnp.all(state.hand_tracking), reuse_palms, detect_palms, None)
+                rects_a = jnp.where(state.hand_tracking[:, None],
+                                    state.hand_rects, det_rects)
+                slot_ok = state.hand_tracking | det_valid
+            else:
+                rects_a, slot_ok = detect_palms(None)
+
+            def per_hand(rect_a):
+                rect = _safe_rect(rect_a, self.w, self.h)
+                pts_px, presence, handed = self._run_landmarker(
+                    "hand_lm", params["hand_lm"], frame, rect)
+                next_r = warp.rect_transform(
+                    warp.landmarks_to_rect(pts_px, *HAND_ROT_LANDMARKS,
+                                           jnp.pi / 2), scale=2.0, shift_y=-0.1)
+                return pts_px, presence, _rect_arr(next_r)
+
+            pts_all, presences, next_rects = jax.vmap(per_hand)(rects_a)
+            present = slot_ok & (presences > PRESENCE_THRESHOLD)
+            new_hand_rects = jnp.where(present[:, None], next_rects,
+                                       state.hand_rects)
+            new_hand_tracking = present
+            pts_i = _clip_floor(pts_all, self.w, self.h)
+            bbox = jnp.concatenate([jnp.min(pts_i, axis=1), jnp.max(pts_i, axis=1)],
+                                   axis=-1)
+            nanf = jnp.float32(jnp.nan)
+            # Sort present hands by bbox area desc (reference :150).
+            area = (bbox[:, 2] - bbox[:, 0]) * (bbox[:, 3] - bbox[:, 1])
+            order = jnp.argsort(jnp.where(present, -area, jnp.inf))
+            present_s = present[order]
+            res = res._replace(hand_landmarker=Detections(
+                bbox=jnp.where(present_s[:, None], bbox[order], nanf),
+                points=jnp.where(present_s[:, None, None], pts_i[order], nanf),
+                count=jnp.sum(present).astype(jnp.int32)))
+
+        if self.cfg.person_segmenter:
+            size = self._fns["seg_size"]
+            small = jax.image.resize(frame, (size, size, 3), "bilinear") / 255.0
+            conf = self._fns["seg"](params["seg"], small[None].astype(self.dtype))
+            conf = conf[0].astype(jnp.float32)
+            conf_full = jax.image.resize(conf, (self.h, self.w, conf.shape[-1]),
+                                         "bilinear")
+            res = res._replace(
+                seg_class=jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
+                seg_conf=jnp.transpose(conf_full, (2, 0, 1)),
+                seg_valid=jnp.asarray(True))
+
+        new_state = TrackState(new_face_rect, new_face_tracking,
+                               new_hand_rects, new_hand_tracking)
+        return new_state, res

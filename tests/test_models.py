@@ -1,0 +1,175 @@
+"""Detection pre/post-processing and fused runner tests: anchors, decode,
+weighted NMS, rotated-rect warps, tracking semantics, end-to-end runner with
+real face weights."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bp_from_video_tpu.config import InferenceConfig, RunningMode
+from bp_from_video_tpu.models import anchors as anchors_lib
+from bp_from_video_tpu.models import detection, warp
+from bp_from_video_tpu.models.runner import InferenceRunner, ModelResults
+
+
+def test_anchor_counts_and_layout():
+    a = anchors_lib.generate_anchors(anchors_lib.FACE_SHORT_RANGE)
+    assert a.shape == (896, 2)
+    # stride-8 map: first 512 anchors on a 16x16 grid, 2 per cell
+    np.testing.assert_allclose(a[0], [0.5 / 16, 0.5 / 16])
+    np.testing.assert_allclose(a[1], a[0])
+    np.testing.assert_allclose(a[2], [1.5 / 16, 0.5 / 16])
+    # merged stride-16 map: 6 per cell on 8x8
+    np.testing.assert_allclose(a[512], [0.5 / 8, 0.5 / 8])
+    assert (a[512:518] == a[512]).all()
+    p = anchors_lib.generate_anchors(anchors_lib.PALM)
+    assert p.shape == (2016, 2)
+
+
+def test_decode_centers_on_anchor():
+    anchors = jnp.asarray([[0.25, 0.5]])
+    raw = jnp.asarray([[12.8, -12.8, 25.6, 25.6] + [0.0] * 12])  # /128
+    logits = jnp.asarray([[0.0]])
+    out = detection.decode(detection.FACE_DECODE, raw, logits, anchors)
+    np.testing.assert_allclose(np.asarray(out.boxes[0]),
+                               [0.25 + 0.1 - 0.1, 0.5 - 0.1 - 0.1,
+                                0.25 + 0.1 + 0.1, 0.5 - 0.1 + 0.1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.kps[0, 0]), [0.25, 0.5])
+    np.testing.assert_allclose(float(out.scores[0]), 0.5)
+
+
+def test_weighted_nms_blends_cluster():
+    boxes = jnp.asarray([[0.1, 0.1, 0.3, 0.3],
+                         [0.11, 0.11, 0.31, 0.31],   # overlaps first
+                         [0.6, 0.6, 0.8, 0.8]])      # separate
+    kps = jnp.zeros((3, 2, 2)).at[0].set(0.2).at[1].set(0.3).at[2].set(0.7)
+    scores = jnp.asarray([0.9, 0.6, 0.8])
+    raw = detection.RawDetections(boxes, kps, scores)
+    out = detection.weighted_nms(detection.FACE_DECODE, raw, max_out=4)
+    assert int(out.count) == 2
+    w = np.asarray([0.9, 0.6]) / 1.5
+    expect0 = w[0] * np.asarray(boxes[0]) + w[1] * np.asarray(boxes[1])
+    np.testing.assert_allclose(np.asarray(out.boxes[0]), expect0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.boxes[1]),
+                               [0.6, 0.6, 0.8, 0.8], atol=1e-6)
+    assert np.isnan(np.asarray(out.boxes[2])).all()
+
+
+def test_nms_score_threshold():
+    boxes = jnp.asarray([[0.1, 0.1, 0.2, 0.2]])
+    raw = detection.RawDetections(boxes, jnp.zeros((1, 1, 2)),
+                                  jnp.asarray([0.3]))
+    out = detection.weighted_nms(detection.FACE_DECODE, raw, max_out=2)
+    assert int(out.count) == 0
+
+
+def test_crop_project_roundtrip():
+    """project_landmarks must invert crop_rect's grid mapping."""
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.randint(0, 255, (120, 160, 3)), jnp.float32)
+    r = warp.Rect(jnp.float32(80.0), jnp.float32(60.0), jnp.float32(64.0),
+                  jnp.float32(64.0), jnp.float32(0.3))
+    # A point at normalized crop coords (u, v) must land at the pixel the
+    # crop sampled from.
+    uv = jnp.asarray([[0.5, 0.5], [0.25, 0.75], [0.0, 0.0]])
+    pts = warp.project_landmarks(uv, r)
+    cos, sin = np.cos(0.3), np.sin(0.3)
+    for (u, v), p in zip(np.asarray(uv), np.asarray(pts)):
+        dx, dy = (u - 0.5) * 64, (v - 0.5) * 64
+        np.testing.assert_allclose(p, [80 + dx * cos - dy * sin,
+                                       60 + dx * sin + dy * cos], atol=1e-4)
+
+
+def test_crop_identity_rect_resamples_frame():
+    rng = np.random.RandomState(1)
+    frame = jnp.asarray(rng.randint(0, 255, (64, 64, 3)), jnp.float32)
+    r = warp.Rect(jnp.float32(32.0), jnp.float32(32.0), jnp.float32(64.0),
+                  jnp.float32(64.0), jnp.float32(0.0))
+    crop = warp.crop_rect(frame, r, 64)
+    np.testing.assert_allclose(np.asarray(crop), np.asarray(frame), atol=1e-3)
+
+
+def test_letterbox_roundtrip():
+    rng = np.random.RandomState(2)
+    frame = jnp.asarray(rng.randint(0, 255, (90, 160, 3)), jnp.float32)
+    lb = warp.letterbox(frame, 128)
+    assert lb.image.shape == (128, 128, 3)
+    # A point at the frame center maps to the letterbox center and back.
+    norm = jnp.asarray([[0.5, 0.5]])
+    pts = warp.unletterbox_points(norm, lb, 128)
+    np.testing.assert_allclose(np.asarray(pts[0]), [80.0, 45.0], atol=1e-3)
+    # Vertical padding: rows 0..~23 are zeros (90/160 aspect).
+    assert float(jnp.abs(lb.image[:22]).max()) == 0.0
+
+
+def test_rotation_from_points():
+    # Horizontal eye line -> zero rotation (y-down coords).
+    r = warp.rotation_from_points(jnp.asarray([10.0, 5.0]),
+                                  jnp.asarray([20.0, 5.0]), 0.0)
+    assert abs(float(r)) < 1e-6
+    # p1 below p0 -> positive angle of the vector is negative in y-down.
+    r = warp.rotation_from_points(jnp.asarray([0.0, 0.0]),
+                                  jnp.asarray([10.0, 10.0]), 0.0)
+    np.testing.assert_allclose(float(r), np.pi / 4, atol=1e-6)
+
+
+HAVE_ASSETS = os.path.exists("/root/reference/models/face_landmarker.task")
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="face assets absent")
+def test_runner_end_to_end_face_and_hand():
+    cfg = InferenceConfig(face_detector=True, face_landmarker=True,
+                          hand_landmarker=True, person_segmenter=True,
+                          max_hands=2)
+    runner = InferenceRunner(cfg, 96, 128, asset_dir="/root/reference")
+    state = runner.init_state()
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.randint(0, 255, (96, 128, 3)), jnp.uint8)
+    predict = jax.jit(runner.predict)
+    state2, res = predict(runner.params, state, frame)
+    assert isinstance(res, ModelResults)
+    assert res.face_landmarker.points.shape == (1, 478, 2)
+    assert res.hand_landmarker.points.shape == (2, 21, 2)
+    assert res.face_detector.points.shape == (4, 6, 2)
+    assert res.seg_conf.shape == (6, 96, 128)
+    assert res.seg_class.shape == (96, 128)
+    # Noise frame: no face should be present -> NaN landmark slots or valid
+    # count consistent with presence flags.
+    cnt = int(res.face_landmarker.count)
+    pts = np.asarray(res.face_landmarker.points)
+    if cnt == 0:
+        assert np.isnan(pts).all()
+    else:
+        assert np.isfinite(pts[:cnt]).all()
+    # Second step runs with the updated state (tracking path compiles).
+    state3, res2 = predict(runner.params, state2, frame)
+    assert res2.face_landmarker.points.shape == (1, 478, 2)
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="face assets absent")
+def test_runner_image_mode_is_stateless():
+    cfg = InferenceConfig(face_landmarker=True, hand_landmarker=False,
+                          running_mode=RunningMode.IMAGE)
+    runner = InferenceRunner(cfg, 64, 64, asset_dir="/root/reference")
+    state = runner.init_state()
+    frame = jnp.zeros((64, 64, 3), jnp.uint8)
+    s1, r1 = jax.jit(runner.predict)(runner.params, state, frame)
+    s2, r2 = jax.jit(runner.predict)(runner.params, s1, frame)
+    np.testing.assert_allclose(np.asarray(r1.face_landmarker.points),
+                               np.asarray(r2.face_landmarker.points),
+                               equal_nan=True)
+
+
+def test_runner_fallback_architectures_without_assets():
+    cfg = InferenceConfig(face_detector=False, face_landmarker=False,
+                          hand_landmarker=True, person_segmenter=True,
+                          hand_landmarker_path=None, person_segmenter_path=None)
+    runner = InferenceRunner(cfg, 64, 64)
+    state = runner.init_state()
+    frame = jnp.zeros((64, 64, 3), jnp.uint8)
+    s, res = jax.jit(runner.predict)(runner.params, state, frame)
+    assert res.hand_landmarker.points.shape == (2, 21, 2)
+    assert res.seg_conf.shape == (6, 64, 64)
