@@ -120,6 +120,17 @@ def peak(x: Array, y: Array, min_x: Array | float, max_x: Array | float
     return jnp.where(ok, x[i], nan), jnp.where(ok, y[i], nan)
 
 
+def peak_auto(x: Array, y: Array) -> tuple[Array, Array]:
+    """get_peak with the signal's own auto x-range — the reference's
+    *effective* default: SignalGroup.__init__ calls reset_ranges()
+    (signal_data.py:86, :100-105) which clobbers every set_range() done in
+    transform_signal/correlate_signal_pair (signal_processor.py:272, :294),
+    so sg_spec.get_peaks()/sg_corr.get_peaks() (:310, :312) search the FULL
+    data range, not the configured band."""
+    lo, hi = masked_minmax(x, valid_x(x))
+    return peak(x, y, lo, hi)
+
+
 def auto_range(x: Array, y: Array) -> tuple[Array, Array, Array, Array]:
     """(min_x, max_x, min_y, max_y) auto data ranges (reference
     signal_data.py:47-49)."""

@@ -1,0 +1,225 @@
+"""The fused per-frame engine step — the whole reference hot loop
+(bp.py:21-30: read→infer→sample→filter→spectrum→peaks) after the capture
+boundary, as ONE pure jitted function:
+
+    step(params, state, frame_rgb, timestamp) -> (state, StepOutputs)
+
+All signal state (reference SignalStore's seven ring-buffer groups,
+signal_processor.py:75-84) lives in a fixed-shape NaN-masked pytree carried
+through the step; inference tracking state rides along.  The reference's
+``copy.deepcopy(self.store)`` snapshot isolation (signal_processor.py:313)
+is free here — functional outputs ARE snapshots.
+
+Multi-stream scaling: ``vmap``/shard the step over a leading stream axis
+(parallel/streams.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bp_from_video_tpu.config import EngineConfig, ModelType
+from bp_from_video_tpu.models.runner import InferenceRunner, ModelResults, TrackState
+from bp_from_video_tpu.ops import chain, correlate, roi as roi_ops, spectrum
+from bp_from_video_tpu.ops import signal as sig
+
+Array = jax.Array
+
+
+class SignalState(NamedTuple):
+    """Device rings (reference SignalStore's stateful groups: sg_roi, sg_raw,
+    sg_bpm, sg_ptt; sg_proc/spec/corr are recomputed every frame)."""
+
+    roi_x: Array   # [Nr]
+    roi_y: Array   # [S, Nr, 6]
+    raw_x: Array   # [N]
+    raw_y: Array   # [S, N]
+    bpm_x: Array   # [Np]
+    bpm_y: Array   # [S, Np]
+    ptt_x: Array   # [Np]
+    ptt_y: Array   # [P, Np]
+
+
+class EngineState(NamedTuple):
+    signals: SignalState
+    track: TrackState
+
+
+class StepOutputs(NamedTuple):
+    """Everything the display/driver layer consumes per frame — the fused
+    analog of (InferenceResults, deep-copied SignalStore)."""
+
+    models: ModelResults
+    rois: Array          # [S, 6] temporally-filtered integral ROIs
+    raw_x: Array         # [N]
+    raw_y: Array         # [S, N]
+    proc_x: Array        # [S, N]
+    proc_y: Array        # [S, N]
+    spec_x: Array        # [S, N]
+    spec_y: Array        # [S, N]
+    corr_x: Array        # [P, 2N-1]
+    corr_y: Array        # [P, 2N-1]
+    bpm: Array           # [S] rounded means over the peak ring (NaN-safe)
+    ptt: Array           # [P]
+    curr_fs: Array       # instantaneous fs (from raw ring tail)
+    mean_fs: Array       # mean fs of the bpm ring (drawer.py:133)
+    proc_range: Array    # [4] joint (min_x, max_x, min_y, max_y) for plots
+    spec_range: Array    # [4]
+    corr_range: Array    # [4]
+
+
+class Engine:
+    """Builds the fused step for a static EngineConfig.
+
+    Public surface mirrors the reference stages' constructor knobs
+    (SignalProcessor signal_processor.py:89-109 + InferenceRunner
+    inference_runner.py:58-65) collapsed into one config.
+    """
+
+    def __init__(self, config: EngineConfig, asset_dir: str | None = None):
+        self.config = config
+        self.runner = InferenceRunner(
+            config.inference, config.frame_height, config.frame_width,
+            asset_dir=asset_dir,
+            dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16"
+            else jnp.float32)
+        self.params = self.runner.params
+        self._pairs = list(itertools.combinations(
+            range(config.signal.num_signals), 2))
+
+    # -- state ----------------------------------------------------------------
+
+    def init_signal_state(self) -> SignalState:
+        c = self.config.signal
+        s, p = c.num_signals, max(c.num_pairs, 1)
+        nr, n, np_ = c.roi_max_samples, c.signal_max_samples, c.peak_max_samples
+        nan = jnp.nan
+        return SignalState(
+            roi_x=jnp.full((nr,), nan, jnp.float32),
+            roi_y=jnp.full((s, nr, 6), nan, jnp.float32),
+            raw_x=jnp.full((n,), nan, jnp.float32),
+            raw_y=jnp.full((s, n), nan, jnp.float32),
+            bpm_x=jnp.full((np_,), nan, jnp.float32),
+            bpm_y=jnp.full((s, np_), nan, jnp.float32),
+            ptt_x=jnp.full((np_,), nan, jnp.float32),
+            ptt_y=jnp.full((p, np_), nan, jnp.float32))
+
+    def init_state(self) -> EngineState:
+        return EngineState(self.init_signal_state(), self.runner.init_state())
+
+    # -- the fused step ---------------------------------------------------------
+
+    def step(self, params, state: EngineState, frame_rgb: Array,
+             timestamp: Array) -> tuple[EngineState, StepOutputs]:
+        # 1. Inference (reference bp.py:24 -> inference_runner.predict).
+        track, models = self.runner.predict(params, state.track, frame_rgb)
+        # 2-11. Signal processing (reference bp.py:25 -> signal_processor).
+        signals, out = self.signal_step(state.signals, models, frame_rgb,
+                                        timestamp)
+        return EngineState(signals, track), out
+
+    def signal_step(self, st: SignalState, models: ModelResults,
+                    frame_rgb: Array, timestamp: Array
+                    ) -> tuple[SignalState, StepOutputs]:
+        """The DSP half of the step, taking inference results as input — the
+        exact analog of reference SignalProcessor.process
+        (signal_processor.py:302-313); separable for stage-isolation tests
+        and the pipelined driver."""
+        cfg = self.config.signal
+
+        # 2. ROI geometry (reference signal_processor.py:303).
+        by_model = {ModelType.FACE_LANDMARKER: models.face_landmarker,
+                    ModelType.HAND_LANDMARKER: models.hand_landmarker}
+        rois_now = roi_ops.calc_rois(cfg.roi_configs, by_model)
+
+        # 3. ROI temporal filter ring (reference :304-305).
+        roi_x, roi_y = sig.push(st.roi_x, jnp.swapaxes(st.roi_y, 0, 1),
+                                timestamp, rois_now)
+        roi_y = jnp.swapaxes(roi_y, 0, 1)
+        rois = jax.vmap(lambda y: sig.masked_mean(y, as_int=True))(roi_y)
+
+        # 4. Pixel sampling (reference :306): segmenter-weighted when the
+        # segmenter runs (skin-confidence mask, drawer.py:99's channel 3).
+        weights = None
+        if self.config.inference.person_segmenter:
+            weights = models.seg_conf[3]
+        samples = roi_ops.sample_rois(frame_rgb, rois, cfg.color_channel,
+                                      weights)
+
+        # 5. Raw ring push (reference :307).
+        raw_x, raw_y = sig.push(st.raw_x, jnp.swapaxes(st.raw_y, 0, 1),
+                                timestamp, samples)
+        raw_y = jnp.swapaxes(raw_y, 0, 1)
+
+        # 6. DSP chain (reference :308).
+        proc_x, proc_y = jax.vmap(
+            lambda y: chain.process_signal(cfg, raw_x, y))(raw_y)
+
+        # 7. Spectra (reference :309).
+        spec_x, spec_y = jax.vmap(
+            lambda x, y: spectrum.transform_signal(cfg, x, y))(proc_x, proc_y)
+
+        # 8. BPM peaks -> ring (reference :310). NOTE: the peak window is the
+        # spectrum's auto data range, not [min_freq, max_freq] — the
+        # SignalGroup constructor clobbers set_range (see sig.peak_auto).
+        bpm_now = jax.vmap(
+            lambda x, y: sig.peak_auto(x, y)[0] * 60.0)(spec_x, spec_y)
+        bpm_x, bpm_y = sig.push(st.bpm_x, jnp.swapaxes(st.bpm_y, 0, 1),
+                                timestamp, bpm_now)
+        bpm_y = jnp.swapaxes(bpm_y, 0, 1)
+
+        # 9. Pairwise correlation -> PTT ring (reference :311-312).
+        n = cfg.signal_max_samples
+        p_cnt = max(cfg.num_pairs, 1)
+        if self._pairs:
+            corr_out = [correlate.correlate_pair(proc_x[a], proc_y[a], proc_y[b])
+                        for a, b in self._pairs]
+            corr_x = jnp.stack([c[0] for c in corr_out])
+            corr_y = jnp.stack([c[1] for c in corr_out])
+            # Same auto-range quirk as BPM: all lags, not [min_lag, max_lag].
+            ptt_now = jax.vmap(
+                lambda x, y: sig.peak_auto(x, y)[0] * 1000.0)(corr_x, corr_y)
+        else:
+            corr_x = jnp.full((p_cnt, 2 * n - 1), jnp.nan, jnp.float32)
+            corr_y = jnp.full((p_cnt, 2 * n - 1), jnp.nan, jnp.float32)
+            ptt_now = jnp.full((p_cnt,), jnp.nan, jnp.float32)
+        ptt_x, ptt_y = sig.push(st.ptt_x, jnp.swapaxes(st.ptt_y, 0, 1),
+                                timestamp, ptt_now)
+        ptt_y = jnp.swapaxes(ptt_y, 0, 1)
+
+        # 10. HUD statistics (reference drawer.py:127-150 consumes these).
+        bpm_mean = jax.vmap(lambda y: sig.masked_mean(y, as_int=True))(bpm_y)
+        ptt_mean = jax.vmap(lambda y: sig.masked_mean(y, as_int=True))(ptt_y)
+        mean_fs = sig.mean_fs(bpm_x)
+        dx = raw_x[-1] - raw_x[-2]
+        curr_fs = 1.0 / dx
+
+        # 11. Plot ranges (reference drawer.py:233-235 via group ranges).
+        def group_rng(xs, ys):
+            prs = [sig.auto_range(xs[i], ys[i]) for i in range(xs.shape[0])]
+            lo_x, hi_x = sig.group_range(jnp.stack([p[0] for p in prs]),
+                                         jnp.stack([p[1] for p in prs]))
+            lo_y, hi_y = sig.group_range(jnp.stack([p[2] for p in prs]),
+                                         jnp.stack([p[3] for p in prs]))
+            return jnp.stack([lo_x, hi_x, lo_y, hi_y])
+
+        # All three plot ranges are auto data ranges — the group constructor
+        # clobbers the per-signal set_range calls (see sig.peak_auto).
+        proc_range = group_rng(proc_x, proc_y)
+        spec_range = group_rng(spec_x, spec_y)
+        corr_range = group_rng(corr_x, corr_y)
+
+        new_signals = SignalState(roi_x, roi_y, raw_x, raw_y,
+                                  bpm_x, bpm_y, ptt_x, ptt_y)
+        out = StepOutputs(models, rois, raw_x, raw_y, proc_x, proc_y,
+                          spec_x, spec_y, corr_x, corr_y,
+                          bpm_mean, ptt_mean, curr_fs, mean_fs,
+                          proc_range, spec_range, corr_range)
+        return new_signals, out
+
+    def jit_step(self):
+        return jax.jit(self.step)
