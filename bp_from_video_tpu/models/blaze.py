@@ -26,12 +26,14 @@ def _conv_init(key, kh, kw, cin, cout):
 
 
 def _conv(p, x, stride=1, padding="SAME", groups=1):
+    w = p["w"]
     y = jax.lax.conv_general_dilated(
-        x, p["w"], (stride, stride), padding,
+        x.astype(w.dtype), w, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32)
-    return y + p["b"]
+    # Accumulate f32 on the MXU, carry activations in the weight dtype.
+    return (y + p["b"].astype(jnp.float32)).astype(w.dtype)
 
 
 def _blaze_block_init(key, cin, cout):

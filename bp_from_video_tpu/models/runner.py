@@ -162,6 +162,12 @@ class InferenceRunner:
 
     # -- model loading ---------------------------------------------------
 
+    def _cast(self, params):
+        """Cast float params to the compute dtype (bf16 for the MXU)."""
+        return jax.tree.map(
+            lambda a: a.astype(self.dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
     def _load_detector(self, key, path, fallback_size, fallback_anchors,
                        fallback_kps, blob=None):
         if blob is None and path is not None:
@@ -182,7 +188,7 @@ class InferenceRunner:
         else:
             params = blaze.init_blaze_detector(hash(key) % 2**31, fallback_size,
                                                fallback_anchors, fallback_kps)
-            self.params[key] = params
+            self.params[key] = self._cast(params)
             self._fns[key] = (lambda p, x, k=fallback_kps:
                               blaze.blaze_detector_apply(p, x, k))
             self._fns[key + "_size"] = fallback_size
@@ -206,7 +212,7 @@ class InferenceRunner:
         else:
             params = blaze.init_blaze_landmark(hash(key) % 2**31, fallback_size,
                                                num_landmarks)
-            self.params[key] = params
+            self.params[key] = self._cast(params)
             self._fns[key] = (lambda p, x, s=fallback_size:
                               blaze.blaze_landmark_apply(p, x, s))
             self._fns[key + "_size"] = fallback_size
@@ -225,7 +231,7 @@ class InferenceRunner:
         else:
             params = blaze.init_segmenter(hash(key) % 2**31, fallback_size,
                                           SEG_CLASSES)
-            self.params[key] = params
+            self.params[key] = self._cast(params)
             self._fns[key] = (lambda p, x, s=fallback_size:
                               blaze.segmenter_apply(p, x, s))
             self._fns[key + "_size"] = fallback_size

@@ -1,0 +1,126 @@
+"""Multi-stream / mesh-sharding tests (SURVEY.md §4: single-chip vmap
+equivalence — N streams vmapped == N streams looped — plus sharded ==
+unsharded on a virtual 8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bp_from_video_tpu.config import EngineConfig, InferenceConfig, SignalConfig
+from bp_from_video_tpu.parallel import (
+    MultiStreamEngine, make_mesh, shard_params, shard_streams)
+from bp_from_video_tpu.parallel.mesh import MODEL_AXIS, STREAM_AXIS
+
+from conftest import cpu_devices
+
+
+def tiny_config(num_streams: int) -> EngineConfig:
+    return EngineConfig(
+        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
+        inference=InferenceConfig(
+            face_detector_path=None, face_landmarker_path=None,
+            hand_landmarker_path=None, person_segmenter_path=None),
+        frame_height=32, frame_width=32, num_streams=num_streams)
+
+
+def make_inputs(rng, num_streams, t, cfg):
+    frames = jnp.asarray(rng.integers(
+        0, 256, (num_streams, cfg.frame_height, cfg.frame_width, 3),
+        dtype=np.uint8))
+    ts = jnp.asarray(
+        (t + 1) / 30.0 + 0.001 * np.arange(num_streams, dtype=np.float32))
+    return frames, ts
+
+
+def test_vmap_matches_loop():
+    s = 3
+    cfg = tiny_config(s)
+    ms = MultiStreamEngine(cfg)
+    states = ms.init_states()
+    rng = np.random.default_rng(7)
+
+    # Per-stream sequential oracle using the same engine/params.
+    solo_step = jax.jit(ms.engine.step)
+    solo_states = [jax.tree.map(lambda x: x[i], states) for i in range(s)]
+
+    for t in range(6):
+        frames, ts = make_inputs(rng, s, t, cfg)
+        states, out = ms.step(ms.params, states, frames, ts)
+        for i in range(s):
+            solo_states[i], solo_out = solo_step(
+                ms.params, solo_states[i], frames[i], ts[i])
+            np.testing.assert_allclose(out.bpm[i], solo_out.bpm,
+                                       rtol=1e-5, equal_nan=True)
+            np.testing.assert_allclose(out.ptt[i], solo_out.ptt,
+                                       rtol=1e-5, equal_nan=True)
+            np.testing.assert_allclose(out.rois[i], solo_out.rois,
+                                       rtol=1e-5, equal_nan=True)
+
+
+def test_run_clip_matches_stepping():
+    s, t_len = 2, 8
+    cfg = tiny_config(s)
+    ms = MultiStreamEngine(cfg)
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.integers(
+        0, 256, (t_len, s, cfg.frame_height, cfg.frame_width, 3),
+        dtype=np.uint8))
+    ts = jnp.asarray(np.arange(1, t_len + 1, dtype=np.float32)[:, None]
+                     / 30.0 * np.ones((1, s), np.float32))
+
+    st_a = ms.init_states()
+    st_a, clip_out = ms.run_clip(ms.params, st_a, frames, ts)
+
+    st_b = ms.init_states()
+    for k in range(t_len):
+        st_b, out = ms.step(ms.params, st_b, frames[k], ts[k])
+        np.testing.assert_allclose(clip_out.bpm[k], out.bpm,
+                                   rtol=1e-5, equal_nan=True)
+        np.testing.assert_allclose(clip_out.ptt[k], out.ptt,
+                                   rtol=1e-5, equal_nan=True)
+    np.testing.assert_allclose(
+        np.asarray(st_a.signals.raw_y), np.asarray(st_b.signals.raw_y),
+        rtol=1e-6, equal_nan=True)
+
+
+@pytest.mark.parametrize("axes", [{STREAM_AXIS: 8},
+                                  {STREAM_AXIS: 4, MODEL_AXIS: 2}])
+def test_sharded_matches_unsharded(axes):
+    s = 8
+    cfg = tiny_config(s)
+    mesh = make_mesh(axes, cpu_devices(8))
+    ms = MultiStreamEngine(cfg, mesh=mesh)
+    rng = np.random.default_rng(11)
+
+    ms_u = MultiStreamEngine(cfg)
+    states_u = ms_u.init_states()
+    states_s = ms.shard_state(ms.init_states())
+    params_s = ms.shard_params(ms.params)
+
+    for t in range(4):
+        frames, ts = make_inputs(rng, s, t, cfg)
+        states_u, out_u = ms_u.step(ms.params, states_u, frames, ts)
+        states_s, out_s = ms.step(params_s, states_s,
+                                  ms.shard_frames(frames),
+                                  ms.shard_frames(ts))
+        np.testing.assert_allclose(np.asarray(out_u.bpm),
+                                   np.asarray(out_s.bpm),
+                                   rtol=1e-4, equal_nan=True)
+        np.testing.assert_allclose(np.asarray(out_u.rois),
+                                   np.asarray(out_s.rois),
+                                   rtol=1e-4, equal_nan=True)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh({STREAM_AXIS: 64}, cpu_devices(8))
+
+
+def test_shard_streams_and_params_placement():
+    mesh = make_mesh({STREAM_AXIS: 4, MODEL_AXIS: 2}, cpu_devices(8))
+    x = shard_streams(jnp.zeros((8, 5)), mesh)
+    assert not x.sharding.is_fully_replicated
+    p = shard_params({"w": jnp.zeros((3, 16)), "b": jnp.zeros((3,))}, mesh)
+    assert not p["w"].sharding.is_fully_replicated
+    assert p["b"].sharding.is_fully_replicated

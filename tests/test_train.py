@@ -1,0 +1,67 @@
+"""BP-regressor training tests (the reference's abandoned end goal,
+README.md:38/:46-48, completed here)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bp_from_video_tpu.train import bp_regressor as bpr
+
+
+def test_features_nan_handling():
+    bpm = jnp.array([70.0, jnp.nan])
+    ptt = jnp.array([30.0])
+    f = bpr.features_from_outputs(bpm, ptt)
+    assert f.shape == (6,)
+    np.testing.assert_allclose(f, [70.0, 0.0, 30.0, 1.0, 0.0, 1.0])
+
+
+def test_training_reduces_loss():
+    key = jax.random.key(0)
+    in_dim = 6
+    state, opt = bpr.init_train_state(key, in_dim, hidden=(32,), lr=1e-2)
+    step = jax.jit(lambda st, f, l: bpr.train_step(opt, st, f, l))
+
+    # Synthetic law: SBP/DBP linear in HR and PTT (plausible physiology).
+    rng = np.random.default_rng(0)
+    hr = rng.uniform(50, 110, (256, 2)).astype(np.float32)
+    ptt = rng.uniform(10, 60, (256, 1)).astype(np.float32)
+    feats = np.asarray(bpr.features_from_outputs(jnp.asarray(hr),
+                                                 jnp.asarray(ptt)))
+    labels = np.stack([100 + 0.2 * hr[:, 0] - 0.3 * ptt[:, 0],
+                       60 + 0.1 * hr[:, 0] - 0.2 * ptt[:, 0]], -1)
+    labels = labels.astype(np.float32)
+
+    first = None
+    for _ in range(200):
+        state, loss = step(state, jnp.asarray(feats), jnp.asarray(labels))
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.5 * first
+
+
+def test_e2e_train_step_runs():
+    from bp_from_video_tpu.config import (EngineConfig, InferenceConfig,
+                                          SignalConfig)
+    from bp_from_video_tpu.parallel import MultiStreamEngine
+
+    s = 2
+    cfg = EngineConfig(
+        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
+        inference=InferenceConfig(
+            face_detector_path=None, face_landmarker_path=None,
+            hand_landmarker_path=None, person_segmenter_path=None),
+        frame_height=32, frame_width=32, num_streams=s)
+    ms = MultiStreamEngine(cfg)
+    sig = cfg.signal
+    in_dim = 2 * (sig.num_signals + sig.num_pairs)
+    tstate, opt = bpr.init_train_state(jax.random.key(1), in_dim)
+    e2e = jax.jit(bpr.make_e2e_train_step(ms._vstep, opt))
+
+    estate = ms.init_states()
+    frames = jnp.zeros((s, 32, 32, 3), jnp.uint8)
+    ts = jnp.full((s,), 1 / 30.0)
+    labels = jnp.tile(jnp.array([[120.0, 80.0]]), (s, 1))
+    estate, tstate, loss = e2e(ms.params, estate, tstate, frames, ts, labels)
+    assert jnp.isfinite(loss)
+    assert int(tstate.step) == 1
