@@ -180,6 +180,13 @@ class InferenceConfig:
     max_faces: int = 1
     max_hands: int = 2
 
+    # True: rotated landmark crops via exact affine gather (MediaPipe
+    # semantics; element-serial gathers are slow on TPU).  False (default):
+    # crop the axis-aligned cover of the tracking rect with two MXU matmuls
+    # — the TPU-native path; landmark projection stays self-consistent, the
+    # nets just see an unrotated view (equivalent for near-upright subjects).
+    exact_rotation: bool = False
+
     def enabled(self, model_type: ModelType) -> bool:
         return {
             ModelType.FACE_DETECTOR: self.face_detector,

@@ -281,7 +281,10 @@ class InferenceRunner:
     def _run_landmarker(self, key: str, params, frame: Array,
                         rect: warp.Rect) -> tuple[Array, Array, Array]:
         size = self._fns[key + "_size"]
-        crop = warp.crop_rect(frame, rect, size) / 255.0
+        if not self.cfg.exact_rotation:
+            rect = warp.axis_aligned_cover(rect)
+        crop = warp.crop_rect(frame, rect, size,
+                              exact_rotation=self.cfg.exact_rotation) / 255.0
         lm, presence, aux = self._fns[key](params, crop[None].astype(self.dtype))
         pts = lm[0].astype(jnp.float32).reshape(-1, 3)[:, :2] / size
         pts_px = warp.project_landmarks(pts, rect)
@@ -404,11 +407,10 @@ class InferenceRunner:
 
         if self.cfg.person_segmenter:
             size = self._fns["seg_size"]
-            small = jax.image.resize(frame, (size, size, 3), "bilinear") / 255.0
+            small = warp.resize_bilinear(frame, size, size) / 255.0
             conf = self._fns["seg"](params["seg"], small[None].astype(self.dtype))
             conf = conf[0].astype(jnp.float32)
-            conf_full = jax.image.resize(conf, (self.h, self.w, conf.shape[-1]),
-                                         "bilinear")
+            conf_full = warp.resize_bilinear(conf, self.h, self.w)
             res = res._replace(
                 seg_class=jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
                 seg_conf=jnp.transpose(conf_full, (2, 0, 1)),

@@ -79,11 +79,64 @@ def rect_transform(r: Rect, scale: float, shift_x: float = 0.0,
     return Rect(cx, cy, w, h, r.rotation)
 
 
-def crop_rect(frame: Array, r: Rect, out_size: int) -> Array:
-    """Affine bilinear crop of the rotated rect into (out_size, out_size, C),
-    zero padding outside the frame (ImageToTensor / ExtractSubRect)."""
+def axis_aligned_cover(r: Rect) -> Rect:
+    """The axis-aligned rect covering the rotated rect ``r`` (same center).
+
+    The fast separable crop path samples this cover instead of the rotated
+    rect: landmark nets then see an unrotated view (fine for near-upright
+    subjects), and landmark projection stays exactly consistent because the
+    same cover rect is used for both crop and projection."""
+    cos = jnp.abs(jnp.cos(r.rotation))
+    sin = jnp.abs(jnp.sin(r.rotation))
+    return Rect(r.cx, r.cy, r.w * cos + r.h * sin, r.w * sin + r.h * cos,
+                jnp.zeros_like(r.rotation))
+
+
+def interp_matrix(samples: Array, in_len: int, mode: str = "zero") -> Array:
+    """Bilinear interpolation matrix W [out, in]: W @ signal samples the
+    signal at pixel-center coordinates ``samples``.
+
+    The triangular kernel max(0, 1-|d|) IS bilinear-with-zero-pad, but as a
+    dense matrix the resample becomes an MXU matmul instead of a gather —
+    the TPU-native formulation (gathers are element-serial on TPU).
+    mode='zero': zero outside (crop semantics); 'edge': clamp (resize
+    semantics, rows always sum to 1)."""
+    if mode == "edge":
+        samples = jnp.clip(samples, 0.0, in_len - 1.0)
+    grid = jnp.arange(in_len, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(samples[:, None] - grid[None, :]))
+
+
+def resample_separable(frame: Array, ys: Array, xs: Array,
+                       dtype=jnp.float32, mode: str = "zero") -> Array:
+    """Separable bilinear resample: out[i, j] = frame[ys[i], xs[j]] (pixel
+    coords where integer k = center of pixel k; zero outside) via two
+    matmuls.  frame [H, W, C] -> [len(ys), len(xs), C]."""
+    h, w, c = frame.shape
+    wy = interp_matrix(ys, h, mode).astype(dtype)     # [oy, H]
+    wx = interp_matrix(xs, w, mode).astype(dtype)     # [ox, W]
+    f = frame.reshape(h, w * c).astype(dtype)
+    tmp = jnp.dot(wy, f, preferred_element_type=jnp.float32)  # [oy, W*C]
+    tmp = tmp.reshape(-1, w, c).astype(dtype)
+    out = jnp.einsum("ywc,xw->yxc", tmp, wx,
+                     preferred_element_type=jnp.float32)
+    return out
+
+
+def crop_rect(frame: Array, r: Rect, out_size: int,
+              exact_rotation: bool = True, dtype=jnp.float32) -> Array:
+    """Bilinear crop of the rect into (out_size, out_size, C), zero padding
+    outside the frame (ImageToTensor / ExtractSubRect).
+
+    exact_rotation=True: rotated affine grid via gather (exact MediaPipe
+    semantics, slow on TPU).  False: the caller must pass an axis-aligned
+    rect (rotation ignored) and the crop is two MXU matmuls."""
     s = out_size
     u = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s - 0.5
+    if not exact_rotation:
+        ys = r.cy + u * r.h - 0.5
+        xs = r.cx + u * r.w - 0.5
+        return resample_separable(frame, ys, xs, dtype)
     vv, uu = jnp.meshgrid(u, u, indexing="ij")  # vv: rows, uu: cols
     cos, sin = jnp.cos(r.rotation), jnp.sin(r.rotation)
     xs = r.cx + uu * r.w * cos - vv * r.h * sin
@@ -152,11 +205,21 @@ def letterbox(frame: Array, out_size: int) -> Letterbox:
     pad_x = (s - w / scale) / 2.0
     pad_y = (s - h / scale) / 2.0
     j = jnp.arange(s, dtype=jnp.float32) + 0.5
-    xs = (j[None, :] - pad_x) * scale
-    ys = (j[:, None] - pad_y) * scale
-    xs, ys = jnp.broadcast_to(xs, (s, s)), jnp.broadcast_to(ys, (s, s))
-    img = bilinear_sample(frame, xs, ys)
+    xs = (j - pad_x) * scale
+    ys = (j - pad_y) * scale
+    # Axis-aligned by construction -> two-matmul separable resample (the
+    # interp matrices are compile-time constants here: h/w/s are static).
+    img = resample_separable(frame, ys - 0.5, xs - 0.5)
     return Letterbox(img, scale, pad_x, pad_y)
+
+
+def resize_bilinear(image: Array, out_h: int, out_w: int) -> Array:
+    """Half-pixel bilinear resize with edge clamp (jax.image.resize
+    'bilinear' semantics in the interior) as two MXU matmuls."""
+    h, w = image.shape[0], image.shape[1]
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
+    return resample_separable(image, ys, xs, mode="edge")
 
 
 def unletterbox_points(pts_norm: Array, lb: Letterbox, out_size: int) -> Array:

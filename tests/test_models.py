@@ -173,3 +173,69 @@ def test_runner_fallback_architectures_without_assets():
     s, res = jax.jit(runner.predict)(runner.params, state, frame)
     assert res.hand_landmarker.points.shape == (2, 21, 2)
     assert res.seg_conf.shape == (6, 64, 64)
+
+
+def test_separable_matches_gather_axis_aligned():
+    """The MXU-matmul crop path must equal the exact gather path for
+    axis-aligned rects (identical bilinear + zero-pad semantics)."""
+    rng = np.random.default_rng(5)
+    frame = jnp.asarray(rng.uniform(0, 255, (48, 64, 3)).astype(np.float32))
+    r = warp.Rect(jnp.float32(30.0), jnp.float32(25.0), jnp.float32(40.0),
+                  jnp.float32(36.0), jnp.float32(0.0))
+    exact = warp.crop_rect(frame, r, 32, exact_rotation=True)
+    fast = warp.crop_rect(frame, r, 32, exact_rotation=False)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(fast),
+                               atol=1e-3, rtol=1e-4)
+    # Partially out-of-frame rect: zero padding must match too.
+    r2 = warp.Rect(jnp.float32(4.0), jnp.float32(2.0), jnp.float32(40.0),
+                   jnp.float32(36.0), jnp.float32(0.0))
+    exact2 = warp.crop_rect(frame, r2, 32, exact_rotation=True)
+    fast2 = warp.crop_rect(frame, r2, 32, exact_rotation=False)
+    np.testing.assert_allclose(np.asarray(exact2), np.asarray(fast2),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_axis_aligned_cover():
+    r = warp.Rect(jnp.float32(10.0), jnp.float32(20.0), jnp.float32(100.0),
+                  jnp.float32(50.0), jnp.float32(np.pi / 2))
+    cov = warp.axis_aligned_cover(r)
+    np.testing.assert_allclose(float(cov.w), 50.0, atol=1e-4)
+    np.testing.assert_allclose(float(cov.h), 100.0, atol=1e-4)
+    np.testing.assert_allclose(float(cov.rotation), 0.0)
+    # Zero rotation -> unchanged.
+    r0 = warp.Rect(jnp.float32(10.0), jnp.float32(20.0), jnp.float32(100.0),
+                   jnp.float32(50.0), jnp.float32(0.0))
+    cov0 = warp.axis_aligned_cover(r0)
+    np.testing.assert_allclose(float(cov0.w), 100.0, atol=1e-4)
+    np.testing.assert_allclose(float(cov0.h), 50.0, atol=1e-4)
+
+
+def test_resize_bilinear_point_sampling():
+    """resize_bilinear is plain (non-antialiased) half-pixel bilinear — the
+    TFLite/MediaPipe resize semantics (jax.image.resize antialias-filters on
+    downscale, which MediaPipe does not)."""
+    import scipy.ndimage
+
+    rng = np.random.default_rng(6)
+    img = rng.uniform(0, 1, (48, 64, 3)).astype(np.float32)
+
+    def oracle(out_h, out_w):
+        ys = (np.arange(out_h) + 0.5) * (48 / out_h) - 0.5
+        xs = (np.arange(out_w) + 0.5) * (64 / out_w) - 0.5
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        out = np.stack([scipy.ndimage.map_coordinates(
+            img[..., c], [yy, xx], order=1, mode="nearest")
+            for c in range(3)], -1)
+        return out
+
+    for oh, ow in [(24, 32), (96, 128), (48, 64)]:
+        ours = np.asarray(warp.resize_bilinear(jnp.asarray(img), oh, ow))
+        np.testing.assert_allclose(ours, oracle(oh, ow), atol=1e-5, rtol=1e-5)
+
+    # Upscale agrees with jax.image.resize in the interior (antialias is a
+    # no-op for scale >= 1).
+    up = warp.resize_bilinear(jnp.asarray(img), 96, 128)
+    ref_up = jax.image.resize(jnp.asarray(img), (96, 128, 3), "bilinear")
+    np.testing.assert_allclose(np.asarray(up)[2:-2, 2:-2],
+                               np.asarray(ref_up)[2:-2, 2:-2],
+                               atol=1e-5, rtol=1e-5)
