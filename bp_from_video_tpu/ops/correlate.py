@@ -6,6 +6,11 @@ mapped to seconds through the actual (possibly non-uniform) timestamps.
 Static-shape layout: for rings of length N the output is 2N-1 wide; entry j
 corresponds to lag index j-(K-1) of the reference's dynamic-length result
 (K = joint valid count), NaN beyond |lag| <= K-1.
+
+TPU-native formulation: the correlation AND the K-dependent re-alignment are
+one batched FFT pipeline — the data-dependent shifts become phase ramps in
+the frequency domain (a vmapped dynamic_slice with per-lane starts lowers to
+an element-serial gather; an FFT phase multiply is pure VPU work).
 """
 
 from __future__ import annotations
@@ -18,6 +23,20 @@ from bp_from_video_tpu.ops import signal as sig
 Array = jax.Array
 
 
+def _fft_len(n: int) -> int:
+    """Power-of-two length covering circular-shift wraparound for the 2N-1
+    output window with shifts up to N."""
+    return 1 << (3 * n).bit_length()
+
+
+def _shift_spectrum(spec: Array, shift: Array, length: int) -> Array:
+    """Multiply an rfft spectrum by the phase ramp realizing
+    ``out[j] = in[j + shift]`` (circular)."""
+    f = jnp.arange(spec.shape[-1], dtype=jnp.float32)
+    ang = (2.0 * jnp.pi / length) * f * shift.astype(jnp.float32)
+    return spec * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
 def correlate_pair(x_a: Array, y_a: Array, y_b: Array) -> tuple[Array, Array]:
     """(lags_seconds, normalized_correlation), each length 2N-1.
 
@@ -27,6 +46,7 @@ def correlate_pair(x_a: Array, y_a: Array, y_b: Array) -> tuple[Array, Array]:
     All-NaN when fewer than 2 jointly-valid samples.
     """
     n = x_a.shape[0]
+    nfft = _fft_len(n)
     w = sig.valid_y(y_a) & sig.valid_y(y_b)
     k = jnp.sum(w)
     ok = k >= 2
@@ -35,23 +55,36 @@ def correlate_pair(x_a: Array, y_a: Array, y_b: Array) -> tuple[Array, Array]:
     cb = sig.compact(w, y_b)
     cx = sig.compact(w, x_a)
 
-    # Full correlation of the zero-padded compacted arrays: lags beyond
-    # +-(K-1) are exactly zero, so the reference's 2K-1 window is the
-    # centered sub-window starting at N-K.
-    full = jnp.correlate(ca.values, cb.values, mode="full")  # length 2N-1
+    # scipy.correlate(a, b, 'full')[j] = sum_t a[t]·b[t-(j-(n-1))]; the
+    # reference layout wants entry j at lag index j-(K-1), i.e. the full
+    # correlation shifted by K-1 — folded into the correlation's own phase.
+    fa = jnp.fft.rfft(ca.values, nfft)
+    fb = jnp.fft.rfft(cb.values, nfft)
+    spec = fa * jnp.conj(fb)
+    full_s = jnp.fft.irfft(_shift_spectrum(spec, -(k - 1), nfft),
+                           nfft)[: 2 * n - 1]
+
     aa = jnp.dot(ca.values, ca.values)
     bb = jnp.dot(cb.values, cb.values)
     ab = jnp.dot(ca.values, cb.values)
     denom = jnp.maximum(jnp.maximum(aa, bb), ab)
     denom = jnp.where(denom == 0, 1.0, denom)
+    corr = full_s / denom
 
     j = jnp.arange(2 * n - 1)
     li = j - (k - 1)                       # reference lag index
-    corr = full[jnp.clip(n - k + j, 0, 2 * n - 2)] / denom
-
+    # x_rev[j] = cx[k-1-|li|].  Forward branch (li<=0) is cx[j] verbatim;
+    # backward branch is flip(cx) shifted by n-1-2(k-1), done as a phase
+    # ramp.  Values are centered on x_last first so FFT roundoff scales with
+    # the lag magnitude, not the absolute timestamp.
     x_last = sig.take_at(cx.values, -1, k)
-    x_rev = cx.values[jnp.clip(k - 1 - jnp.abs(li), 0, n - 1)]
-    lags = (x_last - x_rev) * jnp.sign(li).astype(x_a.dtype)
+    centered = jnp.where(jnp.arange(n) < k, cx.values - x_last, 0.0)
+    fwd = jnp.concatenate([centered, jnp.zeros((n - 1,), centered.dtype)])
+    fr = jnp.fft.rfft(centered[::-1], nfft)
+    bwd = jnp.fft.irfft(_shift_spectrum(fr, n - 1 - 2 * (k - 1), nfft),
+                        nfft)[: 2 * n - 1]
+    x_rev_c = jnp.where(li <= 0, fwd, bwd)      # = x_rev - x_last
+    lags = -x_rev_c * jnp.sign(li).astype(x_a.dtype)
 
     valid_out = (j < 2 * k - 1) & ok
     nan = jnp.float32(jnp.nan)

@@ -105,6 +105,16 @@ def sosfilt_conv(p_d: Array, gain: Array, x: Array, x0: Array) -> Array:
     return y
 
 
+def _shifted(a: Array, left_pad: int, right_pad: int, start: Array,
+             out_len: int) -> Array:
+    """``out[i] = a[start + i]`` with ``start`` possibly negative, as one
+    dynamic_slice of a statically padded buffer (gathers with affine indices
+    are element-serial on TPU; shifted slices are vector copies)."""
+    buf = jnp.concatenate([jnp.zeros((left_pad,), a.dtype), a,
+                           jnp.zeros((right_pad,), a.dtype)])
+    return jax.lax.dynamic_slice(buf, (left_pad + start,), (out_len,))
+
+
 def odd_ext(yc: Array, count: Array, padlen: Array, ext_cap: int) -> Array:
     """Odd extension of the first ``count`` entries of compacted ``yc`` by a
     *dynamic* ``padlen`` on each side, into a static length-``ext_cap``
@@ -113,10 +123,15 @@ def odd_ext(yc: Array, count: Array, padlen: Array, ext_cap: int) -> Array:
     i = jnp.arange(ext_cap)
     p = padlen
     y0 = yc[0]
-    y_last = yc[jnp.clip(count - 1, 0, n - 1)]
-    left = 2.0 * y0 - yc[jnp.clip(p - i, 0, n - 1)]
-    mid = yc[jnp.clip(i - p, 0, n - 1)]
-    right = 2.0 * y_last - yc[jnp.clip(2 * count - 2 + p - i, 0, n - 1)]
+    y_last = _shifted(yc, 0, 1, count - 1, 1)[0]
+    ycf = yc[::-1]
+    # left[i] = 2*y0 - yc[p-i]   (i < p):       yc[p-i] = ycf[n-1-p+i]
+    left = 2.0 * y0 - _shifted(ycf, n, ext_cap, n - 1 - p, ext_cap)
+    # mid[i] = yc[i-p]           (p <= i < p+count)
+    mid = _shifted(yc, n, ext_cap, -p, ext_cap)
+    # right[i] = 2*y_last - yc[2*count-2+p-i]:  = ycf[n-1-(2*count-2+p)+i]
+    right = 2.0 * y_last - _shifted(ycf, 2 * n, ext_cap,
+                                    n - 1 - (2 * count - 2 + p), ext_cap)
     ext = jnp.where(i < p, left, jnp.where(i < p + count, mid,
                     jnp.where(i < 2 * p + count, right, 0.0)))
     return ext
@@ -126,8 +141,9 @@ def _reverse_prefix(a: Array, length: Array) -> Array:
     """Reverse the first ``length`` entries of ``a`` (zeros elsewhere)."""
     n = a.shape[0]
     i = jnp.arange(n)
-    src = jnp.clip(length - 1 - i, 0, n - 1)
-    return jnp.where(i < length, a[src], 0.0)
+    # a[length-1-i] = flip(a)[n-length+i]
+    rev = _shifted(a[::-1], 0, n, n - length, n)
+    return jnp.where(i < length, rev, 0.0)
 
 
 def sosfiltfilt(order: int, lo: Array, hi: Array, fs: Array,
@@ -155,7 +171,6 @@ def sosfiltfilt(order: int, lo: Array, hi: Array, fs: Array,
     y = _reverse_prefix(y, ext_len)
     y = sosfilt_conv(p_d, gain, y, y[0])
     y = _reverse_prefix(y, ext_len)
-    # Slice out [padlen : padlen+count] with a gather (dynamic start).
-    i = jnp.arange(yc.shape[0])
-    out = y[jnp.clip(i + padlen, 0, ext_cap - 1)]
+    # Slice out [padlen : padlen+count] (dynamic start -> dynamic_slice).
+    out = _shifted(y, 0, yc.shape[0], padlen, yc.shape[0])
     return jnp.where(nmask, out, 0.0)

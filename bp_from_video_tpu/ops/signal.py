@@ -166,27 +166,47 @@ class Compacted(NamedTuple):
     count: Array  # scalar int32
 
 
+def _front_perm(mask: Array) -> Array:
+    """Permutation moving valid entries to the front, stably: perm[i] = the
+    original index of front slot i."""
+    keys = (~mask).astype(jnp.int32)
+    idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
+    _, perm = jax.lax.sort([keys, idx], dimension=0, is_stable=True,
+                           num_keys=1)
+    return perm
+
+
 def compact(mask: Array, values: Array, fill: float = 0.0) -> Compacted:
     """Stable-move masked entries of ``values`` (time axis 0) to the front.
 
-    Implemented as a cumsum scatter: O(N), branchless, grad-safe.
+    Implemented as a stable vectorized sort on the validity key (TPU sorts
+    are compare-exchange networks; scatters are element-serial).
     """
     n = mask.shape[0]
-    idx = jnp.cumsum(mask) - 1                      # target slot per entry
-    tgt = jnp.where(mask, idx, n)                   # invalid -> dropped
-    shape = (n,) + values.shape[1:]
-    out = jnp.full(shape, fill, values.dtype).at[tgt].set(values, mode="drop")
-    return Compacted(out, jnp.sum(mask).astype(jnp.int32))
+    keys = (~mask).astype(jnp.int32)
+    keys_b = jnp.broadcast_to(
+        keys.reshape((n,) + (1,) * (values.ndim - 1)), values.shape)
+    _, out = jax.lax.sort([keys_b, values], dimension=0, is_stable=True,
+                          num_keys=1)
+    count = jnp.sum(mask).astype(jnp.int32)
+    slot = jnp.arange(n).reshape((n,) + (1,) * (values.ndim - 1))
+    out = jnp.where(slot < count, out, jnp.asarray(fill, values.dtype))
+    return Compacted(out, count)
 
 
 def scatter_back(mask: Array, compacted: Array, original: Array) -> Array:
     """Inverse of :func:`compact`: write compacted values back into the
-    masked slots of ``original`` (the reference's ``y[valid] = result``)."""
+    masked slots of ``original`` (the reference's ``y[valid] = result``).
+    Sorting the compacted values by the forward permutation realigns them to
+    their original slots — two sorts instead of a serial scatter."""
     n = mask.shape[0]
-    idx = jnp.cumsum(mask) - 1
-    src = jnp.take(compacted, jnp.clip(idx, 0, n - 1), axis=0)
+    perm = _front_perm(mask)
+    perm_b = jnp.broadcast_to(
+        perm.reshape((n,) + (1,) * (compacted.ndim - 1)), compacted.shape)
+    _, aligned = jax.lax.sort([perm_b, compacted], dimension=0,
+                              is_stable=True, num_keys=1)
     m = mask.reshape(mask.shape + (1,) * (original.ndim - 1))
-    return jnp.where(m, src, original)
+    return jnp.where(m, aligned, original)
 
 
 def arange_mask(n: int, count: Array) -> Array:

@@ -118,8 +118,12 @@ def lombscargle(x: Array, y: Array, min_freq: float, max_freq: float
     cs = cs - c1 * s1
 
     tau = 0.5 * jnp.arctan2(2.0 * cs, cc - ss)  # Eq. 19
-    cos_t = jnp.cos(ang - tau[:, None])
-    sin_t = jnp.sin(ang - tau[:, None])
+    # Angle subtraction instead of re-evaluating trig over the full (F, N)
+    # grid: halves the transcendental count (cos/sin of tau are length-F).
+    cos_tau = jnp.cos(tau)[:, None]
+    sin_tau = jnp.sin(tau)[:, None]
+    cos_t = cos * cos_tau + sin * sin_tau
+    sin_t = sin * cos_tau - cos * sin_tau
 
     wy = wt * ys
     yc_ = cos_t @ wy                           # Eq. 11

@@ -83,7 +83,9 @@ def test_chain_parity(methods, n_valid, nan_prob):
     scale = np.nanmax(np.abs(ref_y)) + 1e-9
     has_filter = M.FILTER_BUTTER in methods or M.FILTER_FIR in methods
     # f32 vs the oracle's f64: filters and long chains accumulate more error.
-    atol = (1e-3 + 2e-3 * has_filter + 2e-3 * (len(methods) > 2)) * scale
+    # The filter slack also covers run-to-run variance from nondeterministic
+    # reduction order in XLA:CPU multithreaded matmuls/FFTs.
+    atol = (1e-3 + 4e-3 * has_filter + 2e-3 * (len(methods) > 2)) * scale
     _assert_masked_close(my, ref_y, atol, f"y {methods}")
     _assert_masked_close(mx, ref_x, 1e-4, f"x {methods}")
 
