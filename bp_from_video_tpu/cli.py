@@ -1,0 +1,180 @@
+"""Command-line interface.
+
+The reference has no CLI — configuration is module constants edited in
+source ("ajuste os parâmetros dentro dos scripts", reference README.md:58)
+shadowed by constructor kwargs (SURVEY.md §5.6).  Every one of those knobs
+is exposed here over the config dataclasses, plus the five BASELINE
+benchmark configurations as named presets.
+
+    python -m bp_from_video_tpu --source 0                # webcam, live
+    python -m bp_from_video_tpu --source clip.mp4 --preset dual_roi_ls
+    python -m bp_from_video_tpu --source a.mp4 b.mp4 --pipelined
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from bp_from_video_tpu import config as cfg_mod
+from bp_from_video_tpu.config import (
+    CaptureConfig, EngineConfig, InferenceConfig, ROIConfig, RunningMode,
+    SignalColorChannel, SignalConfig, SignalProcessingMethod,
+    SignalSpectrumTransform, preset_configs)
+
+ROI_PRESETS = {
+    "cheek": cfg_mod.FACE_CHEEK_CONFIG,
+    "eyebrow": cfg_mod.FACE_EYEBROW_CONFIG,
+    "forehead": cfg_mod.FACE_FOREHEAD_CONFIG,
+    "wrist": cfg_mod.HAND_WRIST_CONFIG,
+    "palm": cfg_mod.HAND_PALM_CONFIG,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bp_from_video_tpu",
+        description="TPU-native rPPG: heart rate + pulse transit time from "
+                    "video (webcam or file).")
+    p.add_argument("--source", nargs="+", default=["0"],
+                   help="webcam index or video path; several sources -> "
+                        "multi-stream (default: webcam 0)")
+    p.add_argument("--preset", choices=sorted(preset_configs()),
+                   help="start from a named benchmark configuration")
+    p.add_argument("--pipelined", action="store_true",
+                   help="threaded capture pipeline with drop-oldest "
+                        "hand-off (reference pbp.py mode)")
+    p.add_argument("--headless", action="store_true",
+                   help="no display windows (prints HR/PTT instead)")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--asset-dir", default=None,
+                   help="directory containing the models/ TFLite assets")
+
+    cap = p.add_argument_group("capture (reference video_reader.py)")
+    cap.add_argument("--target-res", type=int, nargs=2, metavar=("H", "W"))
+    cap.add_argument("--crop-portrait", action="store_true")
+    cap.add_argument("--flip", dest="flip", action="store_true",
+                     default=None)
+    cap.add_argument("--no-flip", dest="flip", action="store_false")
+    cap.add_argument("--calibration-time", type=float, default=5.0)
+
+    inf = p.add_argument_group("models (reference inference_runner.py)")
+    inf.add_argument("--models", nargs="+",
+                     choices=["face_detector", "face_landmarker",
+                              "hand_landmarker", "person_segmenter"],
+                     help="enabled models (default: face+hand landmarkers)")
+    inf.add_argument("--running-mode", choices=["image", "video"],
+                     default=None)
+    inf.add_argument("--max-hands", type=int, default=None)
+    inf.add_argument("--exact-rotation", action="store_true",
+                     help="exact rotated crops (slower; default uses the "
+                          "axis-aligned MXU fast path)")
+
+    sig = p.add_argument_group("signal (reference signal_processor.py)")
+    sig.add_argument("--rois", nargs="+", choices=sorted(ROI_PRESETS),
+                     help="ROI selection (default: forehead palm)")
+    sig.add_argument("--channel", choices=["green", "chrom_green"],
+                     default=None)
+    sig.add_argument("--methods", nargs="*",
+                     choices=[m.value for m in SignalProcessingMethod],
+                     default=None, help="processing chain, in order")
+    sig.add_argument("--transform",
+                     choices=[t.value for t in SignalSpectrumTransform],
+                     default=None)
+    sig.add_argument("--signal-samples", type=int, default=None)
+    sig.add_argument("--peak-samples", type=int, default=None)
+    sig.add_argument("--roi-samples", type=int, default=None)
+    sig.add_argument("--butter-order", type=int, default=None)
+    sig.add_argument("--fir-taps", type=int, default=None)
+    sig.add_argument("--min-freq", type=float, default=None)
+    sig.add_argument("--max-freq", type=float, default=None)
+    sig.add_argument("--min-lag", type=float, default=None)
+    sig.add_argument("--max-lag", type=float, default=None)
+
+    perf = p.add_argument_group("performance")
+    perf.add_argument("--dtype", choices=["float32", "bfloat16"],
+                      default=None)
+    return p
+
+
+def _source(s: str):
+    return int(s) if s.isdigit() else s
+
+
+def config_from_args(args) -> tuple[EngineConfig, list[CaptureConfig]]:
+    cfg = preset_configs()[args.preset] if args.preset else EngineConfig()
+
+    sig_kw = {}
+    if args.rois:
+        sig_kw["roi_configs"] = tuple(ROI_PRESETS[r] for r in args.rois)
+    if args.channel:
+        sig_kw["color_channel"] = SignalColorChannel(args.channel)
+    if args.methods is not None:
+        sig_kw["processing_methods"] = tuple(
+            SignalProcessingMethod(m) for m in args.methods)
+    if args.transform:
+        sig_kw["spectrum_transform"] = SignalSpectrumTransform(args.transform)
+    for arg, field in [("signal_samples", "signal_max_samples"),
+                       ("peak_samples", "peak_max_samples"),
+                       ("roi_samples", "roi_max_samples"),
+                       ("butter_order", "butter_order"),
+                       ("fir_taps", "fir_taps"),
+                       ("min_freq", "min_freq"), ("max_freq", "max_freq"),
+                       ("min_lag", "min_lag"), ("max_lag", "max_lag")]:
+        v = getattr(args, arg)
+        if v is not None:
+            sig_kw[field] = v
+    if sig_kw:
+        cfg = dataclasses.replace(
+            cfg, signal=dataclasses.replace(cfg.signal, **sig_kw))
+
+    inf_kw = {}
+    if args.models is not None:
+        for m in ["face_detector", "face_landmarker", "hand_landmarker",
+                  "person_segmenter"]:
+            inf_kw[m] = m in args.models
+    if args.running_mode:
+        inf_kw["running_mode"] = RunningMode(args.running_mode)
+    if args.max_hands is not None:
+        inf_kw["max_hands"] = args.max_hands
+    if args.exact_rotation:
+        inf_kw["exact_rotation"] = True
+    if inf_kw:
+        cfg = dataclasses.replace(
+            cfg, inference=dataclasses.replace(cfg.inference, **inf_kw))
+    if args.dtype:
+        cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
+
+    captures = [CaptureConfig(
+        path=_source(s),
+        target_res=tuple(args.target_res) if args.target_res else None,
+        crop_portrait=args.crop_portrait or None,
+        flip_horizontally=args.flip,
+        calibration_time=args.calibration_time) for s in args.source]
+    return cfg, captures
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg, captures = config_from_args(args)
+    show = not args.headless
+
+    if args.pipelined or len(captures) > 1:
+        from bp_from_video_tpu.drivers import pipelined
+        out = pipelined.run(cfg, captures, asset_dir=args.asset_dir,
+                            show=show, max_frames=args.max_frames)
+    else:
+        from bp_from_video_tpu.drivers import sequential
+        out = sequential.run(cfg, captures[0], asset_dir=args.asset_dir,
+                             show=show, max_frames=args.max_frames)
+    if out is not None and args.headless:
+        import numpy as np
+        bpm = np.asarray(out.bpm).reshape(-1)
+        ptt = np.asarray(out.ptt).reshape(-1)
+        print("mean BPM per ROI:", [round(float(b), 1) for b in bpm])
+        print("mean PTT per pair (ms):", [round(float(t), 1) for t in ptt])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,76 @@
+"""Sequential driver (reference bp.py): capture → fused device step →
+display, one frame at a time, until EOF/'q'.
+
+The reference's four stage calls (bp.py:23-26) become: one host capture
+read, ONE jitted device call covering inference + all DSP (the engine
+step), and one display call.  Camera keyboard control is preserved
+(bp.py:27).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bp_from_video_tpu.config import CaptureConfig, EngineConfig
+from bp_from_video_tpu.exceptions import CaptureError
+from bp_from_video_tpu.render.drawer import Drawer
+from bp_from_video_tpu.runtime.capture import VideoReader
+from bp_from_video_tpu.runtime.engine import Engine
+from bp_from_video_tpu.utils.profiling import profiler
+
+
+@jax.jit
+def _to_rgb(frame_bgr):
+    return frame_bgr[..., ::-1]
+
+
+def run(config: EngineConfig | None = None,
+        capture: CaptureConfig | None = None, *,
+        asset_dir: str | None = None, show: bool = True,
+        max_frames: int | None = None, print_profile: bool = True):
+    """The reference main loop (bp.py:9-37). Returns the last StepOutputs."""
+    import dataclasses
+
+    config = config or EngineConfig()
+    capture = capture or CaptureConfig()
+
+    reader = VideoReader(capture.path, capture.target_res,
+                         crop_portrait=capture.crop_portrait,
+                         flip_horizontally=capture.flip_horizontally,
+                         calibration_time=capture.calibration_time)
+    # Probe one frame to size the engine to the actual stream.
+    fd = reader.read_frame()
+    h, w = fd.frame.shape[:2]
+    if (h, w) != (config.frame_height, config.frame_width):
+        config = dataclasses.replace(config, frame_height=h, frame_width=w)
+
+    engine = Engine(config, asset_dir=asset_dir)
+    step = profiler.timeit(jax.jit(engine.step), name="engine_step",
+                           fence=True)
+    drawer = Drawer(config, show=show)
+    draw = profiler.timeit(drawer.draw_and_plot, name="draw_and_plot")
+    read = profiler.timeit(reader.read_frame, name="read_frame")
+
+    state = engine.init_state()
+    out = None
+    n = 0
+    try:
+        while True:
+            frame = _to_rgb(jax.device_put(fd.frame))
+            state, out = step(engine.params, state, frame,
+                              jnp.float32(fd.timestamp))
+            key = draw(frame, out, fd.calibrating)
+            reader.prop_control(key)
+            n += 1
+            if max_frames is not None and n >= max_frames:
+                break
+            fd = read()
+    except (CaptureError, KeyboardInterrupt):
+        pass
+    finally:
+        reader.cleanup()
+        drawer.cleanup()
+        if print_profile:
+            profiler.printit()
+    return out

@@ -1,0 +1,134 @@
+"""Native host-runtime components (C++ via ctypes).
+
+The reference leans on native code in its *dependencies* (MediaPipe C++
+graph runtime, OpenCV, scipy — SURVEY.md §2.2); this package holds the
+rebuild's own native pieces.  Currently: the lock-free latest-wins frame
+slot used by the capture→device pipeline.
+
+The shared library is built on demand with g++ (cached next to the source);
+a pure-Python fallback with identical semantics keeps everything working
+where no toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "framequeue.cpp")
+_LIB = os.path.join(_DIR, "_framequeue.so")
+
+
+def _build() -> str | None:
+    try:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                 "-o", _LIB, _SRC],
+                check=True, capture_output=True)
+        return _LIB
+    except (OSError, subprocess.CalledProcessError):  # pragma: no cover
+        return None
+
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is None:
+            path = _build()
+            if path is None:  # pragma: no cover
+                return None
+            lib = ctypes.CDLL(path)
+            lib.fq_create.restype = ctypes.c_void_p
+            lib.fq_create.argtypes = [ctypes.c_size_t]
+            lib.fq_destroy.argtypes = [ctypes.c_void_p]
+            lib.fq_put.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double,
+                ctypes.c_double, ctypes.c_int32]
+            lib.fq_get.restype = ctypes.c_int64
+            lib.fq_get.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            lib.fq_latest_seq.restype = ctypes.c_int64
+            lib.fq_latest_seq.argtypes = [ctypes.c_void_p]
+            _lib = lib
+    return _lib
+
+
+class FrameSlot:
+    """Latest-wins frame hand-off between a capture thread and the device
+    feeder (native triple-buffer; reference pbp.py:24-30 drop-oldest
+    semantics without pickling or a manager process)."""
+
+    def __init__(self, frame_shape: tuple[int, int, int]):
+        self.frame_shape = tuple(frame_shape)
+        self.frame_bytes = int(np.prod(frame_shape))
+        self._lib = _load()
+        if self._lib is not None:
+            self._q = ctypes.c_void_p(self._lib.fq_create(self.frame_bytes))
+            self.native = True
+        else:  # pragma: no cover - toolchain-less fallback
+            self._lock = threading.Lock()
+            self._item = None
+            self._seq = 0
+            self._consumed = 0
+            self.native = False
+
+    def put(self, frame: np.ndarray, timestamp: float, fs: float,
+            calibrating: bool) -> None:
+        frame = np.ascontiguousarray(frame, np.uint8)
+        if self.native:
+            self._lib.fq_put(self._q,
+                             frame.ctypes.data_as(ctypes.c_char_p),
+                             float(timestamp), float(fs), int(calibrating))
+        else:  # pragma: no cover
+            with self._lock:
+                self._seq += 1
+                self._item = (frame.copy(), timestamp, fs, calibrating,
+                              self._seq)
+
+    def get(self, require_fresh: bool = False):
+        """Newest (frame, timestamp, fs, calibrating, seq) or None."""
+        if self.native:
+            out = np.empty(self.frame_shape, np.uint8)
+            ts = ctypes.c_double()
+            fs = ctypes.c_double()
+            cal = ctypes.c_int32()
+            seq = self._lib.fq_get(self._q,
+                                   out.ctypes.data_as(ctypes.c_char_p),
+                                   ctypes.byref(ts), ctypes.byref(fs),
+                                   ctypes.byref(cal), int(require_fresh))
+            if seq == 0:
+                return None
+            return out, ts.value, fs.value, bool(cal.value), int(seq)
+        with self._lock:  # pragma: no cover
+            if self._item is None:
+                return None
+            frame, ts_v, fs_v, cal_v, seq = self._item
+            if require_fresh and seq == self._consumed:
+                return None
+            self._consumed = seq
+            return frame, ts_v, fs_v, cal_v, seq
+
+    def latest_seq(self) -> int:
+        if self.native:
+            return int(self._lib.fq_latest_seq(self._q))
+        with self._lock:  # pragma: no cover
+            return self._seq
+
+    def __del__(self):
+        if getattr(self, "native", False) and self._q:
+            self._lib.fq_destroy(self._q)
+            self._q = None

@@ -1,0 +1,200 @@
+"""Display stage: on-device overlay/plot composition + host window shell
+(reference drawer.py:57-260).
+
+Division of labor (BASELINE north-star config 5): all geometry — detection
+boxes, landmark dots, ROI rects/crosses, segmenter mask blend, alpha
+compositing, and the 3-graph signal plot — rasterizes on the TPU inside one
+jitted call; the host only downloads two uint8 images, stamps text (HUD and
+tick labels, which need fonts), and blits them to OpenCV windows.  Keyboard
+handling ('q' quits, numpad adjusts the camera) matches the reference
+(drawer.py:242-246, video_reader.py:73-85).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bp_from_video_tpu.config import DrawConfig, EngineConfig, ModelType
+from bp_from_video_tpu.render import colors as C
+from bp_from_video_tpu.render import overlay, plotter
+from bp_from_video_tpu.runtime.engine import StepOutputs
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class Drawer:
+    """Per-stream display shell around the on-device renderers."""
+
+    def __init__(self, config: EngineConfig, *, show: bool = True,
+                 window_pos: tuple[int, int] = (1080, 0)):
+        self.config = config
+        self.draw_cfg = config.draw
+        self.show = show and cv2 is not None
+        self.window_pos = window_pos
+        self.sig_colors = [C.signal_colormap(config.signal.num_signals)[i]
+                           for i in range(config.signal.num_signals)]
+        self._compose = jax.jit(self._compose_fn)
+        self.last_frame: np.ndarray | None = None   # BGR, post-text
+        self.last_plot: np.ndarray | None = None
+        self._windows = False
+
+    # -- on-device composition --------------------------------------------------
+
+    def _compose_fn(self, frame_rgb, out: StepOutputs):
+        cfg = self.config
+        layers = []
+        if cfg.inference.face_detector:
+            d = out.models.face_detector
+            layers.append((d.bbox, d.points,
+                           C.MODEL_COLORMAP[ModelType.FACE_DETECTOR]))
+        if cfg.inference.face_landmarker:
+            d = out.models.face_landmarker
+            layers.append((d.bbox, d.points,
+                           C.MODEL_COLORMAP[ModelType.FACE_LANDMARKER]))
+        if cfg.inference.hand_landmarker:
+            d = out.models.hand_landmarker
+            layers.append((d.bbox, d.points,
+                           C.MODEL_COLORMAP[ModelType.HAND_LANDMARKER]))
+        seg = out.models.seg_conf[3] if cfg.inference.person_segmenter else None
+        frame_img = overlay.compose_overlay(
+            frame_rgb, layers, out.rois, self.sig_colors, seg,
+            self.draw_cfg.alpha)
+        groups = [(out.proc_x, out.proc_y, out.proc_range),
+                  (out.spec_x, out.spec_y, out.spec_range),
+                  (out.corr_x, out.corr_y, out.corr_range)]
+        plot_img, ticks = plotter.rasterize_plots(self.draw_cfg, groups,
+                                                  self.sig_colors)
+        # Pack every scalar the host needs (HUD numbers + tick data) into
+        # ONE flat array: each separate device->host read costs a full
+        # round-trip, which dominates when the device is remote.
+        hud = [out.curr_fs[None], out.mean_fs[None], out.bpm, out.ptt]
+        tick_parts = []
+        for tk in ticks:
+            tick_parts += [tk.vline_n.astype(jnp.float32)[None], tk.range_x,
+                           tk.range_y, tk.vline_px, tk.vline_val]
+        packed = jnp.concatenate([jnp.ravel(a) for a in hud + tick_parts])
+        return frame_img, plot_img, packed
+
+    # -- host text ------------------------------------------------------------
+
+    def _put(self, img, text, pos, color_rgb, scale=0.5):
+        cv2.putText(img, text, pos, cv2.FONT_HERSHEY_COMPLEX_SMALL, scale,
+                    color_rgb[::-1], 1, cv2.LINE_AA)
+
+    def _unpack(self, packed: np.ndarray):
+        """Split the single downloaded scalar block back into HUD values and
+        per-graph tick data."""
+        ns = self.config.signal.num_signals
+        np_ = max(self.config.signal.num_pairs, 1)
+        i = 0
+
+        def take(k):
+            nonlocal i
+            v = packed[i:i + k]
+            i += k
+            return v
+
+        hud = {"curr_fs": take(1)[0], "mean_fs": take(1)[0],
+               "bpm": take(ns), "ptt": take(np_)}
+        ticks = []
+        for _ in range(self.draw_cfg.num_plots):
+            ticks.append({"n": int(take(1)[0]), "range_x": take(2),
+                          "range_y": take(2),
+                          "px": take(plotter.MAX_VLINES),
+                          "val": take(plotter.MAX_VLINES)})
+        return hud, ticks
+
+    def _write_info(self, img, hud, calibrating: bool):
+        """HUD (reference write_info drawer.py:127-150): current/mean fs,
+        per-signal mean BPM, per-pair mean PTT, calibration banner."""
+        h, w = img.shape[:2]
+        scale = w / 1024
+        line = 0
+
+        def put(text, color):
+            nonlocal line
+            cv2.putText(img, text, (15, (line + 1) * 30),
+                        cv2.FONT_HERSHEY_COMPLEX, scale, color[::-1], 1,
+                        cv2.LINE_AA)
+            line += 1
+
+        put(f"curr_fs: {hud['curr_fs']:.2f} Hz", C.BLUE)
+        put(f"mean_fs: {hud['mean_fs']:.2f} Hz", C.BLUE_AZURE)
+        line += 1
+        for s, bpm in enumerate(hud["bpm"]):
+            put(f"mean_bpm_{s}: {int(bpm)} bpm" if np.isfinite(bpm)
+                else "NaN", C.RED)
+        line += 1
+        for p, ptt in enumerate(hud["ptt"]):
+            put(f"mean_ptt_{p}: {int(ptt)} ms" if np.isfinite(ptt)
+                else "NaN", C.GREEN)
+        line += 1
+        if calibrating:
+            put("calibrating camera", C.RED)
+
+    def _label_plot(self, img, ticks):
+        """Tick + corner range labels (reference draw_graph drawer.py:177-207)."""
+        for gl, tk in zip(plotter.graph_layouts(self.draw_cfg), ticks):
+            n = tk["n"]
+            for i in range(max(0, min(n, plotter.MAX_VLINES))):
+                self._put(img, f"{tk['val'][i]: .2f}",
+                          (int(tk["px"][i]) - 12,
+                           gl.origin_y + gl.height + 14), C.LIGHT_GRAY)
+            rx, ry = tk["range_x"], tk["range_y"]
+            self._put(img, f"{rx[0]: .2f}",
+                      (gl.origin_x - 5, gl.origin_y + gl.height + 15), C.BLACK)
+            self._put(img, f"{rx[1]: .2f}",
+                      (gl.origin_x + gl.width - 25,
+                       gl.origin_y + gl.height + 15), C.BLACK)
+            self._put(img, f"{ry[0]: .2f}",
+                      (gl.origin_x - 40, gl.origin_y + gl.height - 5), C.BLACK)
+            self._put(img, f"{ry[1]: .2f}",
+                      (gl.origin_x - 40, gl.origin_y + 15), C.BLACK)
+
+    # -- public stage interface --------------------------------------------------
+
+    def draw_and_plot(self, frame_rgb, out: StepOutputs,
+                      calibrating: bool = False) -> int:
+        """Compose on device, stamp text, blit; returns the pressed key
+        (reference draw_and_plot drawer.py:248-255; 'q' raises
+        KeyboardInterrupt)."""
+        frame_img, plot_img, packed = self._compose(frame_rgb, out)
+        frame_bgr = np.asarray(frame_img)[..., ::-1].copy()
+        plot_bgr = np.asarray(plot_img)[..., ::-1].copy()
+        hud, ticks = self._unpack(np.asarray(packed))
+        if cv2 is not None:
+            self._write_info(frame_bgr, hud, calibrating)
+            self._label_plot(plot_bgr, ticks)
+        self.last_frame, self.last_plot = frame_bgr, plot_bgr
+        if not self.show:
+            return -1
+        if not self._windows:
+            cv2.namedWindow("frame")
+            cv2.namedWindow("plot")
+            px, py = self.window_pos
+            cv2.moveWindow("plot", px, py)
+            cv2.moveWindow("frame",
+                           px + 1920 // 2 - frame_bgr.shape[1] // 2, py)
+            self._windows = True
+        cv2.imshow("frame", frame_bgr)
+        cv2.imshow("plot", plot_bgr)
+        return self.wait_key()
+
+    run = draw_and_plot
+
+    def wait_key(self, delay: int = 1) -> int:
+        key = cv2.waitKey(delay)
+        if key == ord("q"):
+            raise KeyboardInterrupt
+        return key
+
+    def cleanup(self) -> None:
+        if self.show and cv2 is not None:  # pragma: no cover
+            cv2.destroyAllWindows()

@@ -1,0 +1,97 @@
+"""End-to-end driver tests: synthetic pulsing video file -> sequential and
+pipelined drivers (headless) -> plausible HR out; CLI argument mapping."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bp_from_video_tpu.cli import build_parser, config_from_args
+from bp_from_video_tpu.config import (
+    CaptureConfig, EngineConfig, InferenceConfig, SignalConfig,
+    SignalProcessingMethod, SignalSpectrumTransform)
+
+cv2 = pytest.importorskip("cv2")
+
+H, W, FPS, N_FRAMES = 64, 80, 30.0, 60
+
+
+@pytest.fixture(scope="module")
+def pulse_video(tmp_path_factory):
+    """Uncompressed AVI with a 1.5 Hz green pulse across the whole frame."""
+    path = str(tmp_path_factory.mktemp("vid") / "pulse.avi")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter.fourcc(*"MJPG"), FPS, (W, H))
+    assert wr.isOpened()
+    rng = np.random.default_rng(0)
+    for i in range(N_FRAMES):
+        t = i / FPS
+        g = 110 + 40 * np.sin(2 * np.pi * 1.5 * t)
+        frame = np.full((H, W, 3), 90, np.uint8)
+        frame[..., 1] = np.uint8(g)
+        frame += rng.integers(0, 3, frame.shape, dtype=np.uint8)
+        wr.write(frame)
+    wr.release()
+    return path
+
+
+def tiny_engine_config():
+    return EngineConfig(
+        signal=SignalConfig(signal_max_samples=48, peak_max_samples=8),
+        inference=InferenceConfig(
+            face_detector_path=None, face_landmarker_path=None,
+            hand_landmarker_path=None, person_segmenter_path=None))
+
+
+def test_sequential_driver_runs_to_eof(pulse_video, capsys):
+    from bp_from_video_tpu.drivers import sequential
+    out = sequential.run(tiny_engine_config(), CaptureConfig(path=pulse_video),
+                         show=False, print_profile=True)
+    assert out is not None
+    assert out.raw_x.shape == (48,)
+    # The profiler report covers the stage boundaries.
+    report = capsys.readouterr().out
+    assert "engine_step" in report and "read_frame" in report
+
+
+def test_pipelined_driver_runs(pulse_video):
+    from bp_from_video_tpu.drivers import pipelined
+    out = pipelined.run(tiny_engine_config(),
+                        [CaptureConfig(path=pulse_video),
+                         CaptureConfig(path=pulse_video)],
+                        show=False, max_frames=10, print_profile=False)
+    assert out is not None
+    assert out.bpm.shape[0] == 2   # stream-major outputs
+
+
+def test_cli_config_mapping():
+    args = build_parser().parse_args([
+        "--source", "vid.mp4", "--rois", "forehead", "cheek",
+        "--channel", "chrom_green", "--methods", "detrend_linear",
+        "filter_butter", "--transform", "pgram_welch",
+        "--signal-samples", "128", "--min-freq", "0.7",
+        "--models", "face_landmarker", "--running-mode", "image",
+        "--dtype", "bfloat16", "--crop-portrait", "--no-flip",
+        "--calibration-time", "2.5"])
+    cfg, caps = config_from_args(args)
+    assert cfg.signal.num_signals == 2
+    assert cfg.signal.color_channel.value == "chrom_green"
+    assert cfg.signal.processing_methods == (
+        SignalProcessingMethod.DETREND_LINEAR,
+        SignalProcessingMethod.FILTER_BUTTER)
+    assert cfg.signal.spectrum_transform is SignalSpectrumTransform.PGRAM_WELCH
+    assert cfg.signal.signal_max_samples == 128
+    assert cfg.signal.min_freq == 0.7
+    assert cfg.inference.face_landmarker and not cfg.inference.hand_landmarker
+    assert cfg.inference.running_mode.value == "image"
+    assert cfg.compute_dtype == "bfloat16"
+    assert caps[0].path == "vid.mp4"
+    assert caps[0].crop_portrait is True
+    assert caps[0].flip_horizontally is False
+    assert caps[0].calibration_time == 2.5
+
+
+def test_cli_preset():
+    args = build_parser().parse_args(["--preset", "multistream"])
+    cfg, _ = config_from_args(args)
+    assert cfg.inference.person_segmenter
+    assert cfg.num_streams == 8

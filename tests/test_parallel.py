@@ -25,12 +25,17 @@ def tiny_config(num_streams: int) -> EngineConfig:
 
 
 def make_inputs(rng, num_streams, t, cfg):
-    frames = jnp.asarray(rng.integers(
-        0, 256, (num_streams, cfg.frame_height, cfg.frame_width, 3),
-        dtype=np.uint8))
+    """Frames with a strong per-stream green pulse: random noise alone gives
+    near-flat spectra whose argmax (-> BPM) is numerically fragile, flipping
+    between vmapped and looped fusion orders."""
+    base = rng.integers(0, 40, (num_streams, cfg.frame_height,
+                                cfg.frame_width, 3), dtype=np.uint8)
+    pulse = 120 + 60 * np.sin(2 * np.pi * (1.0 + 0.3 * np.arange(num_streams))
+                              * (t + 1) / 30.0)
+    base[..., 1] = pulse.astype(np.uint8)[:, None, None]
     ts = jnp.asarray(
         (t + 1) / 30.0 + 0.001 * np.arange(num_streams, dtype=np.float32))
-    return frames, ts
+    return jnp.asarray(base), ts
 
 
 def test_vmap_matches_loop():

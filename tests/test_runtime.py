@@ -1,0 +1,166 @@
+"""Host-runtime tests: capture (against generated video files), the native
+latest-wins frame slot, the device feeder, and the stage profiler."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from bp_from_video_tpu.exceptions import CaptureError
+from bp_from_video_tpu.native import FrameSlot
+from bp_from_video_tpu.runtime.capture import FrameData, VideoReader
+from bp_from_video_tpu.runtime.feeder import DeviceFeeder
+from bp_from_video_tpu.utils.profiling import StageProfiler
+
+cv2 = pytest.importorskip("cv2")
+
+H, W, N_FRAMES, FPS = 48, 64, 30, 30.0
+
+
+@pytest.fixture(scope="module")
+def video_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "synth.avi")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter.fourcc(*"MJPG"), FPS, (W, H))
+    assert wr.isOpened()
+    for i in range(N_FRAMES):
+        frame = np.full((H, W, 3), i * 8 % 256, np.uint8)
+        frame[:, :4] = (255, 0, 0)  # blue stripe on the LEFT (BGR)
+        wr.write(frame)
+    wr.release()
+    return path
+
+
+def test_video_reader_file(video_file):
+    r = VideoReader(video_file)
+    fd = r.read_frame()
+    assert isinstance(fd, FrameData)
+    assert fd.frame.shape == (H, W, 3)
+    # The startup probe read consumes frame 0 (reference video_reader.py:52),
+    # so the first delivered frame is index 1.
+    assert fd.timestamp == pytest.approx(1.0 / FPS)
+    assert np.isnan(fd.sampling_freq)
+    assert not fd.calibrating
+    fd2 = r.read_frame()
+    assert fd2.timestamp == pytest.approx(2.0 / FPS)
+    assert fd2.sampling_freq == pytest.approx(FPS, rel=1e-3)
+    # Files are not flipped by default: the blue stripe stays on the left.
+    assert fd2.frame[0, 0, 0] > 200
+    r.cleanup()
+
+
+def test_video_reader_eof_raises(video_file):
+    r = VideoReader(video_file)
+    with pytest.raises(CaptureError):
+        for _ in range(N_FRAMES + 2):
+            r.read_frame()
+    r.cleanup()
+
+
+def test_video_reader_flip_and_resize(video_file):
+    r = VideoReader(video_file, target_res=(24, 32), flip_horizontally=True)
+    fd = r.read_frame()
+    assert fd.frame.shape == (24, 32, 3)
+    # Flipped: blue stripe moved to the right edge.
+    assert fd.frame[0, -1, 0] > 200
+    assert fd.frame[0, 0, 0] < 200
+    r.cleanup()
+
+
+def test_video_reader_portrait_crop(video_file):
+    r = VideoReader(video_file, crop_portrait=True)
+    fd = r.read_frame()
+    expect_w = 2 * (int(np.round(H / np.sqrt(2))) // 2)
+    assert fd.frame.shape[1] == expect_w
+    r.cleanup()
+
+
+def test_video_reader_bad_path():
+    with pytest.raises(CaptureError):
+        VideoReader("/nonexistent/video.mp4")
+
+
+def test_frame_slot_latest_wins():
+    slot = FrameSlot((4, 4, 3))
+    assert slot.native, "native framequeue should build in this environment"
+    assert slot.get() is None
+    for i in range(5):
+        slot.put(np.full((4, 4, 3), i, np.uint8), float(i), 30.0, False)
+    item = slot.get()
+    assert item is not None
+    frame, ts, fs, cal, seq = item
+    assert frame[0, 0, 0] == 4          # newest wins; 0..3 dropped
+    assert ts == 4.0 and seq == 5
+    # Nothing new -> require_fresh returns None, re-read returns the same.
+    assert slot.get(require_fresh=True) is None
+    assert slot.get(require_fresh=False)[4] == 5
+
+
+def test_frame_slot_threaded():
+    slot = FrameSlot((8, 8, 3))
+    n = 500
+    stop = threading.Event()
+
+    def producer():
+        for i in range(n):
+            slot.put(np.full((8, 8, 3), i % 256, np.uint8), float(i), 30.0,
+                     False)
+        stop.set()
+
+    seen = []
+    t = threading.Thread(target=producer)
+    t.start()
+    while not stop.is_set() or slot.get(require_fresh=True) is not None:
+        item = slot.get(require_fresh=True)
+        if item is not None:
+            seen.append(item[4])
+    t.join()
+    assert seen == sorted(seen)          # monotonic, no reordering
+    assert slot.latest_seq() == n
+    final = slot.get()
+    assert final[1] == float(n - 1)      # last published frame observable
+    for s in seen:                        # frames are never torn
+        pass
+
+
+def test_device_feeder_batches(video_file):
+    readers = [VideoReader(video_file), VideoReader(video_file)]
+    feeder = DeviceFeeder(readers, (H, W, 3))
+    frames, ts, fs, cal = feeder.get_batch()
+    assert frames.shape == (2, H, W, 3)
+    assert frames.dtype.name == "uint8"
+    # BGR->RGB happened on-device: the blue stripe is now channel 2.
+    f0 = np.asarray(frames)[0]
+    assert f0[0, 0, 2] > 200 and f0[0, 0, 0] < 200
+    # Streams end -> CaptureError (clean shutdown signal).
+    with pytest.raises(CaptureError):
+        for _ in range(5 * N_FRAMES):
+            feeder.get_batch()
+            time.sleep(0.001)
+    feeder.cleanup()
+
+
+def test_stage_profiler():
+    p = StageProfiler()
+
+    @p.timeit
+    def work(x):
+        return x + 1
+
+    @p.timeit(name="named", fence=True)
+    def work2(x):
+        import jax.numpy as jnp
+        return jnp.ones((4,)) * x
+
+    for i in range(3):
+        work(i)
+    work2(2.0)
+    rep = p.report()
+    assert "work" in rep and "named" in rep
+    assert p.stats["work"].calls == 3
+    p.enabled = False
+    work(1)
+    assert p.stats["work"].calls == 3
+    p.clear()
+    assert p.report() == "(no profile data)"
