@@ -419,3 +419,177 @@ class InferenceRunner:
         new_state = TrackState(new_face_rect, new_face_tracking,
                                new_hand_rects, new_hand_tracking)
         return new_state, res
+
+    # -- batch-gated predict ----------------------------------------------------
+
+    def predict_batch(self, params: dict, state: TrackState,
+                      frames_rgb: Array) -> tuple[TrackState, ModelResults]:
+        """``predict`` over a stream batch with DETECTORS GATED AT BATCH
+        LEVEL.
+
+        Under ``vmap`` a per-stream ``lax.cond`` lowers to ``select`` — both
+        branches execute, so the reference's detect-once-then-track saving
+        (MediaPipe VIDEO mode) is lost.  Here the tracking state is a
+        stacked ``TrackState`` with leading stream axis and the detector
+        branch is one SCALAR ``lax.cond`` over ``all(tracking)``: in steady
+        state (every stream tracking) neither detector runs at all.  Result
+        equivalence with per-stream ``vmap(predict)``: tracked streams take
+        their rect from state either way; detecting streams get the same
+        detection — the merge is elementwise.
+
+        frames_rgb: uint8/float [S, H, W, 3]; every TrackState leaf carries
+        a leading [S].
+        """
+        frames = frames_rgb.astype(jnp.float32)
+        s = frames.shape[0]
+        video = self.cfg.running_mode is RunningMode.VIDEO
+        res = jax.vmap(lambda _: self.empty_results())(jnp.arange(s))
+
+        if self.cfg.face_detector:
+            def fd_one(frame):
+                nms, _ = self._run_detector(
+                    "face_det", detection.FACE_DECODE, self.face_anchors,
+                    params["face_det"], frame, "pm1", MAX_FACE_DETS)
+                nms = detection.sort_by_area_desc(nms)
+                kps = _clip_floor(nms.kps, self.w, self.h)
+                return Detections(bbox=jnp.round(nms.boxes), points=kps,
+                                  count=nms.count)
+            res = res._replace(face_detector=jax.vmap(fd_one)(frames))
+
+        new_face_rect, new_face_tracking = state.face_rect, state.face_tracking
+        if self.cfg.face_landmarker:
+            def detect_faces(_):
+                def one(frame):
+                    nms, _ = self._run_detector(
+                        "flm_det", detection.FACE_DECODE, self.face_anchors,
+                        params["flm_det"], frame, "pm1", 1)
+                    r = warp.detection_to_rect(nms.boxes[0], nms.kps[0],
+                                               0, 1, 0.0)
+                    r = warp.rect_transform(r, scale=1.5)
+                    return _rect_arr(r), nms.count > 0
+                return jax.vmap(one)(frames)
+
+            def reuse_faces(_):
+                return state.face_rect, jnp.ones((s,), bool)
+
+            if video:
+                det_rects, det_ok_d = jax.lax.cond(
+                    jnp.all(state.face_tracking), reuse_faces, detect_faces,
+                    None)
+                rect_a = jnp.where(state.face_tracking[:, None],
+                                   state.face_rect, det_rects)
+                det_ok = state.face_tracking | det_ok_d
+            else:
+                rect_a, det_ok = detect_faces(None)
+
+            def lm_one(frame, ra):
+                rect = _safe_rect(ra, self.w, self.h)
+                pts_px, presence, _ = self._run_landmarker(
+                    "flm_lm", params["flm_lm"], frame, rect)
+                next_r = warp.rect_transform(
+                    warp.landmarks_to_rect(pts_px, *FACE_ROT_LANDMARKS, 0.0),
+                    scale=1.5)
+                return pts_px, presence, _rect_arr(next_r)
+
+            pts_all, presences, next_rects = jax.vmap(lm_one)(frames, rect_a)
+            present = det_ok & (presences > PRESENCE_THRESHOLD)
+            new_face_rect = jnp.where(present[:, None], next_rects,
+                                      state.face_rect)
+            new_face_tracking = present
+
+            def pack_face(pts_px, pres):
+                pts_i = _clip_floor(pts_px, self.w, self.h)
+                bbox = jnp.concatenate([jnp.min(pts_i, axis=0),
+                                        jnp.max(pts_i, axis=0)])
+                nanf = jnp.float32(jnp.nan)
+                return Detections(
+                    bbox=jnp.where(pres, bbox, nanf)[None],
+                    points=jnp.where(pres, pts_i, nanf)[None],
+                    count=pres.astype(jnp.int32))
+            res = res._replace(
+                face_landmarker=jax.vmap(pack_face)(pts_all, present))
+
+        new_hand_rects, new_hand_tracking = state.hand_rects, state.hand_tracking
+        if self.cfg.hand_landmarker:
+            n_hands = self.cfg.max_hands
+
+            def detect_palms(_):
+                def one(frame):
+                    nms, _ = self._run_detector(
+                        "palm_det", detection.PALM_DECODE, self.palm_anchors,
+                        params["palm_det"], frame, "zero1", n_hands)
+                    def mk(i):
+                        r = warp.detection_to_rect(nms.boxes[i], nms.kps[i],
+                                                   0, 2, jnp.pi / 2)
+                        r = warp.rect_transform(r, scale=2.6, shift_y=-0.5)
+                        return _rect_arr(r)
+                    rects = jnp.stack([mk(i) for i in range(n_hands)])
+                    valid = jnp.arange(n_hands) < nms.count
+                    return rects, valid
+                return jax.vmap(one)(frames)
+
+            def reuse_palms(_):
+                return state.hand_rects, state.hand_tracking
+
+            if video:
+                det_rects, det_valid = jax.lax.cond(
+                    jnp.all(state.hand_tracking), reuse_palms, detect_palms,
+                    None)
+                rects_a = jnp.where(state.hand_tracking[..., None],
+                                    state.hand_rects, det_rects)
+                slot_ok = state.hand_tracking | det_valid
+            else:
+                rects_a, slot_ok = detect_palms(None)
+
+            def per_hand(frame, rect_a1):
+                rect = _safe_rect(rect_a1, self.w, self.h)
+                pts_px, presence, handed = self._run_landmarker(
+                    "hand_lm", params["hand_lm"], frame, rect)
+                next_r = warp.rect_transform(
+                    warp.landmarks_to_rect(pts_px, *HAND_ROT_LANDMARKS,
+                                           jnp.pi / 2), scale=2.0,
+                    shift_y=-0.1)
+                return pts_px, presence, _rect_arr(next_r)
+
+            pts_all, presences, next_rects = jax.vmap(
+                lambda f, rs: jax.vmap(lambda r1: per_hand(f, r1))(rs)
+            )(frames, rects_a)
+            present = slot_ok & (presences > PRESENCE_THRESHOLD)
+            new_hand_rects = jnp.where(present[..., None], next_rects,
+                                       state.hand_rects)
+            new_hand_tracking = present
+
+            def pack_hands(pts_h, pres_h):
+                pts_i = _clip_floor(pts_h, self.w, self.h)
+                bbox = jnp.concatenate([jnp.min(pts_i, axis=1),
+                                        jnp.max(pts_i, axis=1)], axis=-1)
+                nanf = jnp.float32(jnp.nan)
+                area = (bbox[:, 2] - bbox[:, 0]) * (bbox[:, 3] - bbox[:, 1])
+                order = jnp.argsort(jnp.where(pres_h, -area, jnp.inf))
+                pres_s = pres_h[order]
+                return Detections(
+                    bbox=jnp.where(pres_s[:, None], bbox[order], nanf),
+                    points=jnp.where(pres_s[:, None, None], pts_i[order],
+                                     nanf),
+                    count=jnp.sum(pres_h).astype(jnp.int32))
+            res = res._replace(
+                hand_landmarker=jax.vmap(pack_hands)(pts_all, present))
+
+        if self.cfg.person_segmenter:
+            size = self._fns["seg_size"]
+
+            def seg_one(frame):
+                small = warp.resize_bilinear(frame, size, size) / 255.0
+                conf = self._fns["seg"](params["seg"],
+                                        small[None].astype(self.dtype))
+                conf = conf[0].astype(jnp.float32)
+                conf_full = warp.resize_bilinear(conf, self.h, self.w)
+                return (jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
+                        jnp.transpose(conf_full, (2, 0, 1)))
+            seg_class, seg_conf = jax.vmap(seg_one)(frames)
+            res = res._replace(seg_class=seg_class, seg_conf=seg_conf,
+                               seg_valid=jnp.ones((s,), bool))
+
+        new_state = TrackState(new_face_rect, new_face_tracking,
+                               new_hand_rects, new_hand_tracking)
+        return new_state, res

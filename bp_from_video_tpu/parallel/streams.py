@@ -54,10 +54,11 @@ class MultiStreamEngine:
         self.mesh = mesh
         self.params = self.engine.params
         self.num_streams = config.num_streams
-        # vmap over (state, frame, timestamp); params broadcast.
-        # _vstep_local is the per-shard (or single-device) vmapped step;
-        # _vstep is the mesh-spanning callable (what e2e training composes).
-        self._vstep_local = jax.vmap(self.engine.step, in_axes=(None, 0, 0, 0))
+        # _vstep_local is the per-shard (or single-device) stream-batched
+        # step; _vstep is the mesh-spanning callable (what e2e training
+        # composes).  batch_step == vmap(step) except detectors are gated
+        # behind one scalar cond and skipped when every stream is tracking.
+        self._vstep_local = self.engine.batch_step
         self._vstep = self._vstep_local
         if mesh is None:
             self.step = jax.jit(self._vstep)

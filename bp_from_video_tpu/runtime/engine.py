@@ -221,5 +221,21 @@ class Engine:
                           proc_range, spec_range, corr_range)
         return new_signals, out
 
+    def batch_step(self, params, state: EngineState, frames_rgb: Array,
+                   timestamps: Array) -> tuple[EngineState, StepOutputs]:
+        """Stream-batched step with detectors gated at BATCH level.
+
+        Equivalent to ``vmap(step)`` over a leading stream axis, except the
+        face/palm detectors sit behind one scalar ``lax.cond`` over
+        ``all(tracking)`` (runner.predict_batch): a per-stream cond under
+        vmap lowers to select and runs both branches every frame, losing
+        MediaPipe VIDEO mode's detect-once-then-track saving — the batch
+        gate restores it (detectors are fully skipped in steady state)."""
+        track, models = self.runner.predict_batch(params, state.track,
+                                                  frames_rgb)
+        signals, out = jax.vmap(self.signal_step)(state.signals, models,
+                                                  frames_rgb, timestamps)
+        return EngineState(signals, track), out
+
     def jit_step(self):
         return jax.jit(self.step)
