@@ -80,29 +80,44 @@ def _ar2_impulse(q: Array, length: int) -> Array:
 
 
 def sosfilt_conv(p_d: Array, gain: Array, x: Array, x0: Array) -> Array:
-    """Causal Butterworth-cascade filter of ``x`` via exact FFT convolutions.
+    """Causal Butterworth-cascade filter of ``x`` as ONE spectral multiply.
 
-    ``x0`` scales the steady-state initial condition of the first section
-    (scipy sosfilt_zi: later sections receive zero because each section's
-    DC gain H(1)=0 for b=g·[1,0,-1]).
+    Instead of convolving section by section (2·order FFT rounds for a
+    forward+backward order-16 filter), the cascade's frequency response is
+    evaluated analytically from the digital poles on the rfft grid and the
+    whole chain — numerators, denominators, and the steady-state initial
+    condition of the first section — collapses to rfft → multiply → irfft.
+
+    Per-section structure: b_i = g·[1, 0, -1], a_i from conjugate pole pair
+    (q_i, q̄_i); section 0's zi (scipy sosfilt_zi) = (-g·x0, -g·x0) enters
+    the chain after section 0's numerator, i.e. its spectrum rides through
+    1/A_0 and the remaining (n-1) full sections.
+
+    Exactness note: the per-section truncated-impulse convolution was exact
+    linear convolution of a truncated IR; this form is circular convolution
+    with the INFINITE IR.  With nfft >= 2·length the wraparound term decays
+    like r^nfft (pole radius r<1) and sits far below f32 noise for the HR
+    band designs used here (validated against scipy in tests/test_dsp.py).
     """
     length = x.shape[0]
     n_sec = p_d.shape[0]
     g = jnp.exp(jnp.log(gain) / n_sec)  # distribute gain for f32 stability
     nfft = 1 << (2 * length - 1).bit_length()
-    y = x
-    for i in range(n_sec):
-        # b = g*[1, 0, -1]:  u[n] = g*(y[n] - y[n-2])
-        u = g * (y - jnp.concatenate([jnp.zeros(2, y.dtype), y[:-2]]))
-        if i == 0:
-            # Steady-state zi for section 0: (z0, z1) = (-g, -g)·x0. Injecting
-            # zi is equivalent to adding [z0, z1] to the AR input (transposed
-            # DF-II recurrence unrolled).
-            u = u.at[0].add(-g * x0).at[1].add(-g * x0)
-        h = _ar2_impulse(p_d[i], length)
-        y = jnp.fft.irfft(jnp.fft.rfft(u, nfft) * jnp.fft.rfft(h, nfft),
-                          nfft)[:length].astype(x.dtype)
-    return y
+
+    w = 2.0 * jnp.pi * jnp.arange(nfft // 2 + 1, dtype=jnp.float32) / nfft
+    z1 = jnp.exp(-1j * w)          # e^{-jω}
+    z2 = z1 * z1
+    b = g * (1.0 - z2)                                       # [F]
+    a = (1.0 - 2.0 * jnp.real(p_d)[:, None] * z1[None, :]
+         + (jnp.abs(p_d) ** 2)[:, None] * z2[None, :])        # [n_sec, F]
+    inv_a = jnp.prod(1.0 / a, axis=0)                         # Π 1/A_i
+    h_all = (b ** n_sec) * inv_a
+    # zi spectrum: [-g·x0, -g·x0, 0, ...] -> -g·x0·(1 + z1), through 1/A_0
+    # and sections 1..n-1 (their B and A are already inside h_zi's factors).
+    h_zi = (b ** (n_sec - 1)) * inv_a
+    xf = jnp.fft.rfft(x, nfft)
+    yf = h_all * xf + h_zi * (-g * x0 * (1.0 + z1))
+    return jnp.fft.irfft(yf, nfft)[:length].astype(x.dtype)
 
 
 def _shifted(a: Array, left_pad: int, right_pad: int, start: Array,
