@@ -70,8 +70,12 @@ def main():
     h, w = (128, 160) if quick else (480, 640)
     dt = 1.0 / 30.0
 
+    import dataclasses
+    from bp_from_video_tpu.config import InferenceConfig
+    on_tpu = jax.default_backend() == "tpu"
     cfg = EngineConfig(frame_height=h, frame_width=w, num_streams=streams,
-                       compute_dtype="bfloat16")
+                       compute_dtype="bfloat16",
+                       inference=InferenceConfig(use_pallas=on_tpu))
     ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
 
     def body(carry, i):

@@ -187,6 +187,11 @@ class InferenceConfig:
     # nets just see an unrotated view (equivalent for near-upright subjects).
     exact_rotation: bool = False
 
+    # Fused Pallas multi-crop kernel for the batch landmark path: one
+    # VMEM-resident pass over each frame produces every landmark crop.
+    # TPU-only (Mosaic); leave False on CPU/interpret platforms.
+    use_pallas: bool = False
+
     def enabled(self, model_type: ModelType) -> bool:
         return {
             ModelType.FACE_DETECTOR: self.face_detector,

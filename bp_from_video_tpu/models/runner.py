@@ -284,8 +284,16 @@ class InferenceRunner:
         if not self.cfg.exact_rotation:
             rect = warp.axis_aligned_cover(rect)
         crop = warp.crop_rect(frame, rect, size,
-                              exact_rotation=self.cfg.exact_rotation) / 255.0
-        lm, presence, aux = self._fns[key](params, crop[None].astype(self.dtype))
+                              exact_rotation=self.cfg.exact_rotation)
+        return self._landmark_from_crop(key, params, crop, rect)
+
+    def _landmark_from_crop(self, key: str, params, crop: Array,
+                            rect: warp.Rect) -> tuple[Array, Array, Array]:
+        """Net + projection on an already-extracted crop (the fused Pallas
+        multi-crop path feeds this directly)."""
+        size = self._fns[key + "_size"]
+        x = crop / 255.0
+        lm, presence, aux = self._fns[key](params, x[None].astype(self.dtype))
         pts = lm[0].astype(jnp.float32).reshape(-1, 3)[:, :2] / size
         pts_px = warp.project_landmarks(pts, rect)
         return pts_px, presence[0, 0].astype(jnp.float32), aux[0, 0]
@@ -481,33 +489,8 @@ class InferenceRunner:
                 det_ok = state.face_tracking | det_ok_d
             else:
                 rect_a, det_ok = detect_faces(None)
-
-            def lm_one(frame, ra):
-                rect = _safe_rect(ra, self.w, self.h)
-                pts_px, presence, _ = self._run_landmarker(
-                    "flm_lm", params["flm_lm"], frame, rect)
-                next_r = warp.rect_transform(
-                    warp.landmarks_to_rect(pts_px, *FACE_ROT_LANDMARKS, 0.0),
-                    scale=1.5)
-                return pts_px, presence, _rect_arr(next_r)
-
-            pts_all, presences, next_rects = jax.vmap(lm_one)(frames, rect_a)
-            present = det_ok & (presences > PRESENCE_THRESHOLD)
-            new_face_rect = jnp.where(present[:, None], next_rects,
-                                      state.face_rect)
-            new_face_tracking = present
-
-            def pack_face(pts_px, pres):
-                pts_i = _clip_floor(pts_px, self.w, self.h)
-                bbox = jnp.concatenate([jnp.min(pts_i, axis=0),
-                                        jnp.max(pts_i, axis=0)])
-                nanf = jnp.float32(jnp.nan)
-                return Detections(
-                    bbox=jnp.where(pres, bbox, nanf)[None],
-                    points=jnp.where(pres, pts_i, nanf)[None],
-                    count=pres.astype(jnp.int32))
-            res = res._replace(
-                face_landmarker=jax.vmap(pack_face)(pts_all, present))
+        else:
+            rect_a = det_ok = None
 
         new_hand_rects, new_hand_tracking = state.hand_rects, state.hand_tracking
         if self.cfg.hand_landmarker:
@@ -540,20 +523,103 @@ class InferenceRunner:
                 slot_ok = state.hand_tracking | det_valid
             else:
                 rects_a, slot_ok = detect_palms(None)
+        else:
+            rects_a = slot_ok = None
 
-            def per_hand(frame, rect_a1):
-                rect = _safe_rect(rect_a1, self.w, self.h)
-                pts_px, presence, handed = self._run_landmarker(
-                    "hand_lm", params["hand_lm"], frame, rect)
-                next_r = warp.rect_transform(
+        # --- crop stage: optionally ONE fused Pallas pass over each frame
+        # for every landmark crop (face + all hands) ---------------------------
+        use_pallas = (self.cfg.use_pallas and not self.cfg.exact_rotation
+                      and frames_rgb.dtype == jnp.uint8)
+        face_crops = hand_crops = None
+        face_cover = hand_cover = None
+        if self.cfg.face_landmarker:
+            face_cover = jax.vmap(lambda ra: _rect_arr(warp.axis_aligned_cover(
+                _safe_rect(ra, self.w, self.h))))(rect_a)         # [S, 5]
+        if self.cfg.hand_landmarker:
+            hand_cover = jax.vmap(jax.vmap(
+                lambda ra: _rect_arr(warp.axis_aligned_cover(
+                    _safe_rect(ra, self.w, self.h)))))(rects_a)   # [S, nh, 5]
+        if use_pallas and (face_cover is not None or hand_cover is not None):
+            from bp_from_video_tpu.pallas import warp_kernel
+            rect_parts, sizes = [], []
+            if face_cover is not None:
+                rect_parts.append(face_cover[:, None, :4])
+                sizes.append(self._fns["flm_lm_size"])
+            if hand_cover is not None:
+                rect_parts.append(hand_cover[..., :4])
+                sizes += [self._fns["hand_lm_size"]] * hand_cover.shape[1]
+            planar = jnp.transpose(frames_rgb, (0, 3, 1, 2))
+            outs = warp_kernel.multi_crop(planar, jnp.concatenate(
+                rect_parts, axis=1), tuple(sizes))
+            outs = [jnp.transpose(o, (0, 2, 3, 1)) for o in outs]
+            i = 0
+            if face_cover is not None:
+                face_crops = outs[0]                              # [S, sz, sz, 3]
+                i = 1
+            if hand_cover is not None:
+                hand_crops = jnp.stack(outs[i:], axis=1)          # [S, nh, sz, sz, 3]
+
+        if self.cfg.face_landmarker:
+            def face_next_rect(pts_px):
+                return _rect_arr(warp.rect_transform(
+                    warp.landmarks_to_rect(pts_px, *FACE_ROT_LANDMARKS, 0.0),
+                    scale=1.5))
+
+            if face_crops is not None:
+                def lm_crop(crop, cov):
+                    pts_px, presence, _ = self._landmark_from_crop(
+                        "flm_lm", params["flm_lm"], crop, _arr_rect(cov))
+                    return pts_px, presence, face_next_rect(pts_px)
+                pts_all, presences, next_rects = jax.vmap(lm_crop)(
+                    face_crops, face_cover)
+            else:
+                def lm_full(frame, ra):
+                    rect = _safe_rect(ra, self.w, self.h)
+                    pts_px, presence, _ = self._run_landmarker(
+                        "flm_lm", params["flm_lm"], frame, rect)
+                    return pts_px, presence, face_next_rect(pts_px)
+                pts_all, presences, next_rects = jax.vmap(lm_full)(
+                    frames, rect_a)
+            present = det_ok & (presences > PRESENCE_THRESHOLD)
+            new_face_rect = jnp.where(present[:, None], next_rects,
+                                      state.face_rect)
+            new_face_tracking = present
+
+            def pack_face(pts_px, pres):
+                pts_i = _clip_floor(pts_px, self.w, self.h)
+                bbox = jnp.concatenate([jnp.min(pts_i, axis=0),
+                                        jnp.max(pts_i, axis=0)])
+                nanf = jnp.float32(jnp.nan)
+                return Detections(
+                    bbox=jnp.where(pres, bbox, nanf)[None],
+                    points=jnp.where(pres, pts_i, nanf)[None],
+                    count=pres.astype(jnp.int32))
+            res = res._replace(
+                face_landmarker=jax.vmap(pack_face)(pts_all, present))
+
+        if self.cfg.hand_landmarker:
+            def hand_next_rect(pts_px):
+                return _rect_arr(warp.rect_transform(
                     warp.landmarks_to_rect(pts_px, *HAND_ROT_LANDMARKS,
                                            jnp.pi / 2), scale=2.0,
-                    shift_y=-0.1)
-                return pts_px, presence, _rect_arr(next_r)
+                    shift_y=-0.1))
 
-            pts_all, presences, next_rects = jax.vmap(
-                lambda f, rs: jax.vmap(lambda r1: per_hand(f, r1))(rs)
-            )(frames, rects_a)
+            if hand_crops is not None:
+                def hand_crop_one(crop, cov):
+                    pts_px, presence, _ = self._landmark_from_crop(
+                        "hand_lm", params["hand_lm"], crop, _arr_rect(cov))
+                    return pts_px, presence, hand_next_rect(pts_px)
+                pts_all, presences, next_rects = jax.vmap(jax.vmap(
+                    hand_crop_one))(hand_crops, hand_cover)
+            else:
+                def hand_full(frame, ra):
+                    rect = _safe_rect(ra, self.w, self.h)
+                    pts_px, presence, _ = self._run_landmarker(
+                        "hand_lm", params["hand_lm"], frame, rect)
+                    return pts_px, presence, hand_next_rect(pts_px)
+                pts_all, presences, next_rects = jax.vmap(
+                    lambda f, rs: jax.vmap(
+                        lambda r1: hand_full(f, r1))(rs))(frames, rects_a)
             present = slot_ok & (presences > PRESENCE_THRESHOLD)
             new_hand_rects = jnp.where(present[..., None], next_rects,
                                        state.hand_rects)

@@ -1,0 +1,107 @@
+"""Pallas TPU kernel: fused multi-crop bilinear resampling.
+
+The landmark stage needs several crops of the same frame every step (face
+256², two hands 224² in the flagship config).  As separate XLA ops each
+crop re-reads the frame from HBM and materializes its interpolation
+matrices; this kernel keeps the uint8 frame resident in VMEM ONCE per
+stream, builds the triangular bilinear weights on the fly with iotas, and
+runs the two resampling matmuls per channel on the MXU — one HBM pass for
+all crops.
+
+Layout: frames are planar [S, 3, H, W] (channel as its own sublane block —
+interleaved HWC would put channels in the lane dimension with stride 3,
+which vectorizes badly).  Rects are axis-aligned (cx, cy, w, h) in SMEM —
+the fast-path crop semantics (config.exact_rotation=False); weights use the
+zero-pad triangular kernel, exactly warp.resample_separable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _kernel(rects_ref, frame_ref, *out_refs, sizes):
+    for c, (size, out_ref) in enumerate(zip(sizes, out_refs)):
+        cx = rects_ref[0, c, 0]
+        cy = rects_ref[0, c, 1]
+        w_ = rects_ref[0, c, 2]
+        h_ = rects_ref[0, c, 3]
+        h = frame_ref.shape[2]
+        w = frame_ref.shape[3]
+        # TPU iota is integer-only; cast to f32 after generation.
+        u = (jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
+             .astype(jnp.float32)[:, 0] + 0.5) / size - 0.5
+        ys = cy + u * h_ - 0.5
+        xs = cx + u * w_ - 0.5
+        gy = jax.lax.broadcasted_iota(jnp.int32, (size, h), 1
+                                      ).astype(jnp.float32)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (size, w), 1
+                                      ).astype(jnp.float32)
+        nan_ys = jnp.isnan(ys)[:, None]
+        nan_xs = jnp.isnan(xs)[:, None]
+        wy = jnp.where(nan_ys, 0.0,
+                       jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - gy)))
+        wx = jnp.where(nan_xs, 0.0,
+                       jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - gx)))
+        for ch in range(frame_ref.shape[1]):
+            # Mosaic has no direct u8->f32 cast; widen to i32 first.
+            f = frame_ref[0, ch].astype(jnp.int32).astype(jnp.float32)
+            tmp = jnp.dot(wy, f, preferred_element_type=jnp.float32)
+            out_ref[0, ch] = jnp.dot(tmp, wx.T,
+                                     preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "interpret"))
+def multi_crop(frames_planar: Array, rects: Array, sizes: tuple[int, ...],
+               interpret: bool = False) -> tuple[Array, ...]:
+    """Crop ``len(sizes)`` axis-aligned rects out of each stream's frame.
+
+    frames_planar: uint8 [S, 3, H, W]; rects: float32 [S, C, 4] as
+    (cx, cy, w, h) pixel rects (NaN -> zero crop).  Returns one
+    [S, 3, size, size] float32 array per crop.
+    """
+    s, ch, h, w = frames_planar.shape
+    c = rects.shape[1]
+    assert c == len(sizes)
+    grid = (s,)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((s, ch, sz, sz), jnp.float32) for sz in sizes)
+    out_specs = tuple(
+        pl.BlockSpec((1, ch, sz, sz), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM) for sz in sizes)
+    return pl.pallas_call(
+        functools.partial(_kernel, sizes=sizes),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, c, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ch, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(rects, frames_planar)
+
+
+def multi_crop_reference(frames_planar: Array, rects: Array,
+                         sizes: tuple[int, ...]) -> tuple[Array, ...]:
+    """Pure-XLA equivalent (used off-TPU and as the test oracle)."""
+    from bp_from_video_tpu.models import warp
+
+    outs = []
+    frames_hwc = jnp.transpose(frames_planar, (0, 2, 3, 1))
+    for ci, sz in enumerate(sizes):
+        def one(frame, r):
+            rect = warp.Rect(r[0], r[1], r[2], r[3], jnp.float32(0.0))
+            crop = warp.crop_rect(frame, rect, sz, exact_rotation=False)
+            return jnp.transpose(crop, (2, 0, 1))
+        outs.append(jax.vmap(one)(frames_hwc, rects[:, ci]))
+    return tuple(outs)

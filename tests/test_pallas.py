@@ -1,0 +1,43 @@
+"""Pallas kernel tests (interpret mode on the CPU test platform; the real
+TPU path is exercised by bench.py / the drivers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bp_from_video_tpu.pallas import warp_kernel
+
+
+@pytest.mark.parametrize("sizes", [(32,), (32, 24, 24)])
+def test_multi_crop_matches_reference(sizes):
+    rng = np.random.default_rng(0)
+    s, h, w = 2, 48, 64
+    frames = jnp.asarray(rng.integers(0, 256, (s, 3, h, w), dtype=np.uint8))
+    rects = jnp.asarray(rng.uniform(10, 40, (s, len(sizes), 4))
+                        .astype(np.float32))
+    got = warp_kernel.multi_crop(frames, rects, sizes, interpret=True)
+    want = warp_kernel.multi_crop_reference(frames, rects, sizes)
+    for g, t in zip(got, want):
+        assert g.shape == t.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(t),
+                                   atol=1e-3, rtol=1e-4)
+
+
+def test_multi_crop_nan_rect_gives_zeros():
+    s, h, w = 1, 32, 32
+    frames = jnp.full((s, 3, h, w), 200, jnp.uint8)
+    rects = jnp.full((s, 1, 4), jnp.nan, jnp.float32)
+    (out,) = warp_kernel.multi_crop(frames, rects, (16,), interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_multi_crop_zero_pad_outside():
+    s, h, w = 1, 32, 32
+    frames = jnp.full((s, 3, h, w), 100, jnp.uint8)
+    # Rect half outside the frame: outside samples are zero.
+    rects = jnp.asarray([[[0.0, 16.0, 32.0, 16.0]]], jnp.float32)
+    (out,) = warp_kernel.multi_crop(frames, rects, (16,), interpret=True)
+    out = np.asarray(out)[0, 0]
+    assert out[:, -1].max() > 90      # inside the frame
+    assert out[:, 0].max() == 0.0     # fully outside -> zero pad
