@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--asset-dir", default=None,
                    help="directory containing the models/ TFLite assets")
+    p.add_argument("--record", default=None, metavar="OUT.npz",
+                   help="record per-frame BPM/PTT/fs to an npz file")
 
     cap = p.add_argument_group("capture (reference video_reader.py)")
     cap.add_argument("--target-res", type=int, nargs=2, metavar=("H", "W"))
@@ -159,14 +161,23 @@ def main(argv=None) -> int:
     cfg, captures = config_from_args(args)
     show = not args.headless
 
+    recorder = None
+    if args.record:
+        from bp_from_video_tpu.runtime.recorder import SignalRecorder
+        recorder = SignalRecorder(args.record)
+
     if args.pipelined or len(captures) > 1:
         from bp_from_video_tpu.drivers import pipelined
         out = pipelined.run(cfg, captures, asset_dir=args.asset_dir,
-                            show=show, max_frames=args.max_frames)
+                            show=show, max_frames=args.max_frames,
+                            recorder=recorder)
     else:
         from bp_from_video_tpu.drivers import sequential
         out = sequential.run(cfg, captures[0], asset_dir=args.asset_dir,
-                             show=show, max_frames=args.max_frames)
+                             show=show, max_frames=args.max_frames,
+                             recorder=recorder)
+    if recorder is not None and len(recorder):
+        print(f"recorded {len(recorder)} frames -> {recorder.save()}")
     if out is not None and args.headless:
         import numpy as np
         bpm = np.asarray(out.bpm).reshape(-1)

@@ -33,7 +33,7 @@ def run(config: EngineConfig | None = None,
         captures: Sequence[CaptureConfig] | None = None, *,
         asset_dir: str | None = None, mesh=None, show: bool = True,
         display_stream: int = 0, max_frames: int | None = None,
-        print_profile: bool = True):
+        print_profile: bool = True, recorder=None):
     """Pipelined capture → batched fused step → display. Returns the last
     per-stream outputs."""
     config = config or EngineConfig()
@@ -68,6 +68,8 @@ def run(config: EngineConfig | None = None,
             key = draw(frames[s], jax.tree.map(lambda a: a[s], out),
                        bool(cal[s]))
             readers[s].prop_control(key)
+            if recorder is not None:
+                recorder.add(ts, out)
             n += 1
             if max_frames is not None and n >= max_frames:
                 break

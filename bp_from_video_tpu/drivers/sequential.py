@@ -28,7 +28,8 @@ def _to_rgb(frame_bgr):
 def run(config: EngineConfig | None = None,
         capture: CaptureConfig | None = None, *,
         asset_dir: str | None = None, show: bool = True,
-        max_frames: int | None = None, print_profile: bool = True):
+        max_frames: int | None = None, print_profile: bool = True,
+        recorder=None):
     """The reference main loop (bp.py:9-37). Returns the last StepOutputs."""
     import dataclasses
 
@@ -62,6 +63,8 @@ def run(config: EngineConfig | None = None,
                               jnp.float32(fd.timestamp))
             key = draw(frame, out, fd.calibrating)
             reader.prop_control(key)
+            if recorder is not None:
+                recorder.add(fd.timestamp, out)
             n += 1
             if max_frames is not None and n >= max_frames:
                 break

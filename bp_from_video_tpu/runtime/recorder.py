@@ -1,0 +1,105 @@
+"""Recording + checkpoint/resume.
+
+The reference keeps everything in in-memory rings and loses it on exit
+(SURVEY.md §5.4: no checkpointing, no recording).  This framework adds both
+because it has offline/batch processing (parallel.run_clip) and a training
+loop:
+
+  * :class:`SignalRecorder` — appends per-frame physiological outputs
+    (timestamps, per-ROI BPM, per-pair PTT, sampling rate) and writes one
+    ``.npz``; the offline analog of watching the live HUD.
+  * :func:`save_state` / :func:`load_state` — whole-pytree checkpoints
+    (engine state, training state) via orbax when available, with an ``npz``
+    fallback; lets a streaming session or a BP-regressor fit resume where it
+    stopped.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+Array = jax.Array
+
+
+class SignalRecorder:
+    """Accumulate per-frame outputs; ``save()`` writes one npz file."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._rows: dict[str, list[np.ndarray]] = {
+            "timestamp": [], "bpm": [], "ptt": [], "curr_fs": []}
+
+    def add(self, timestamp, out) -> None:
+        """Record one step's compact outputs (StepOutputs or any object with
+        .bpm/.ptt/.curr_fs)."""
+        self._rows["timestamp"].append(np.asarray(timestamp, np.float32))
+        self._rows["bpm"].append(np.asarray(out.bpm, np.float32))
+        self._rows["ptt"].append(np.asarray(out.ptt, np.float32))
+        self._rows["curr_fs"].append(np.asarray(out.curr_fs, np.float32))
+
+    def add_clip(self, timestamps, clip_out) -> None:
+        """Record a whole offline clip result (parallel.ClipOutputs,
+        time-major)."""
+        self._rows["timestamp"].append(np.asarray(timestamps, np.float32))
+        self._rows["bpm"].append(np.asarray(clip_out.bpm, np.float32))
+        self._rows["ptt"].append(np.asarray(clip_out.ptt, np.float32))
+        self._rows["curr_fs"].append(np.asarray(clip_out.curr_fs, np.float32))
+
+    def __len__(self) -> int:
+        return len(self._rows["timestamp"])
+
+    def save(self) -> str:
+        os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+        arrays = {k: np.stack(v) if v and v[0].ndim == v[-1].ndim
+                  else np.asarray(v, object)
+                  for k, v in self._rows.items() if v}
+        np.savez_compressed(self.path, **arrays)
+        return self.path
+
+
+def _flatten(tree: Any):
+    leaves, treedef = jax.tree.flatten(tree)
+    return leaves, treedef
+
+
+def _flat_dict(tree: Any) -> dict[str, np.ndarray]:
+    """Structure-independent representation: leaves keyed by zero-padded
+    flatten index (immune to checkpoint libraries converting NamedTuples to
+    dicts and re-sorting keys)."""
+    leaves, _ = _flatten(tree)
+    return {f"leaf_{i:06d}": np.asarray(l) for i, l in enumerate(leaves)}
+
+
+def save_state(path: str, tree: Any) -> str:
+    """Checkpoint any pytree of arrays.  Uses orbax if importable (the
+    production path: async, durable directory format), else a plain npz.
+    Either way the payload is the flat leaf dict — the caller's template
+    supplies the structure on load."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    flat = _flat_dict(tree)
+    try:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), flat, force=True)
+        return path
+    except Exception:  # orbax missing or version drift -> npz fallback
+        np.savez(path + ".npz", **flat)
+        return path + ".npz"
+
+
+def load_state(path: str, template: Any) -> Any:
+    """Restore a pytree saved by :func:`save_state`; ``template`` supplies
+    the structure and dtypes."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        data = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    else:
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+    leaves, treedef = _flatten(template)
+    out = [jax.numpy.asarray(data[f"leaf_{i:06d}"]).astype(l.dtype)
+           for i, l in enumerate(leaves)]
+    return jax.tree.unflatten(treedef, out)
