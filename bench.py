@@ -78,11 +78,18 @@ def main():
                        inference=InferenceConfig(use_pallas=on_tpu))
     ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
 
+    # Pre-generated rotating frame buffer: frame CONTENT does not change
+    # inference cost, and generating 59 MB of random pixels per step inside
+    # the timed loop would charge ~10% of the step to synthesis work a real
+    # pipeline never does (frames arrive by DMA).
+    n_buf = 4
+    frame_buf = jax.jit(lambda k: jax.random.randint(
+        k, (n_buf, streams, h, w, 3), 0, 256, jnp.uint8))(jax.random.key(7))
+
     def body(carry, i):
         st, key = carry
-        key, sub = jax.random.split(key)
-        frames = jax.random.randint(sub, (streams, h, w, 3), 0, 256,
-                                    jnp.uint8)
+        frames = jax.lax.dynamic_index_in_dim(
+            frame_buf, jnp.mod(i.astype(jnp.int32), n_buf), keepdims=False)
         ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
         # Hold steady tracking: the operating point with a subject in frame
         # (random frames cannot engage real-weight tracking by themselves).

@@ -309,7 +309,9 @@ class InferenceRunner:
         state; IMAGE mode re-detects every frame (reference
         inference_runner.py:97-102 branch).
         """
-        frame = frame_rgb.astype(jnp.float32)
+        # No eager f32 cast: cond operands are computed before branch
+        # selection, so consumers cast lazily (see predict_batch).
+        frame = frame_rgb
         res = self.empty_results()
         video = self.cfg.running_mode is RunningMode.VIDEO
 
@@ -448,7 +450,12 @@ class InferenceRunner:
         frames_rgb: uint8/float [S, H, W, 3]; every TrackState leaf carries
         a leading [S].
         """
-        frames = frames_rgb.astype(jnp.float32)
+        # NOTE: no eager f32 cast here. lax.cond operands are computed
+        # regardless of the taken branch, so an up-front cast would move
+        # S×H×W×3 f32 (hundreds of MB of HBM traffic) every steady-state
+        # step just to feed the skipped detector branch.  Each consumer
+        # casts lazily inside its own closure.
+        frames = frames_rgb
         s = frames.shape[0]
         video = self.cfg.running_mode is RunningMode.VIDEO
         res = jax.vmap(lambda _: self.empty_results())(jnp.arange(s))
