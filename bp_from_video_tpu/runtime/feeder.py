@@ -93,6 +93,13 @@ class DeviceFeeder:
             fresh = False
             alive = False
             for i, feed in enumerate(self.feeds):
+                # Unexpected capture-thread failures propagate to the driver
+                # (the reference's any-stage-dies-stops-all contract,
+                # pbp.py:49-53); CaptureError is the normal EOF path and is
+                # handled by the all-streams-ended checks below.
+                if feed.error is not None and not isinstance(
+                        feed.error, CaptureError):
+                    raise feed.error
                 if not feed.done.is_set():
                     alive = True
                 item = feed.slot.get(require_fresh=True)

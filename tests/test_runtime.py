@@ -164,3 +164,33 @@ def test_stage_profiler():
     assert p.stats["work"].calls == 3
     p.clear()
     assert p.report() == "(no profile data)"
+
+
+def test_feeder_propagates_thread_errors(video_file):
+    """Unexpected capture-thread exceptions reach the driver (the
+    reference's any-stage-dies-stops-all contract, pbp.py:49-53)."""
+    class BoomReader:
+        def read_frame(self):
+            raise ValueError("boom")
+
+        def cleanup(self):
+            pass
+
+    from bp_from_video_tpu.runtime.feeder import DeviceFeeder
+    feeder = DeviceFeeder([BoomReader()], (H, W, 3))
+    with pytest.raises(ValueError, match="boom"):
+        for _ in range(200):
+            feeder.get_batch(block=False)
+            time.sleep(0.005)
+    feeder.cleanup()
+
+
+def test_distributed_helpers_single_host(monkeypatch):
+    from bp_from_video_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert distributed.initialize() is False          # unconfigured -> no-op
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size >= 1
+    lo, hi = distributed.local_stream_slice(8)
+    assert (lo, hi) == (0, 8)                         # single process
