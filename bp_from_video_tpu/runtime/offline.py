@@ -1,0 +1,74 @@
+"""Offline / batch video processing: decode whole clips on the host, run
+the fused step over them as one device scan.
+
+The reference only has a live loop (recorded videos replay through the same
+real-time path, reference bp.py:11-15).  The batch API is the throughput-
+oriented counterpart: decode → one [T, S, H, W, 3] uint8 block → run_clip
+(lax.scan of the fused step) → per-frame BPM/PTT series, with no per-frame
+host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bp_from_video_tpu.config import EngineConfig
+from bp_from_video_tpu.exceptions import CaptureError
+from bp_from_video_tpu.parallel import ClipOutputs, MultiStreamEngine
+from bp_from_video_tpu.runtime.capture import VideoReader
+
+
+def decode_clip(path: str, max_frames: int | None = None,
+                target_res: tuple[int, int] | None = None
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a video file into (frames_rgb uint8 [T, H, W, 3],
+    timestamps [T])."""
+    reader = VideoReader(path, target_res=target_res)
+    frames, ts = [], []
+    try:
+        while max_frames is None or len(frames) < max_frames:
+            fd = reader.read_frame()
+            frames.append(fd.frame[..., ::-1])  # BGR -> RGB on host
+            ts.append(fd.timestamp)
+    except CaptureError:
+        pass
+    finally:
+        reader.cleanup()
+    if not frames:
+        raise CaptureError(f"no frames decoded from {path!r}")
+    return np.stack(frames), np.asarray(ts, np.float32)
+
+
+def process_videos(paths: Sequence[str], config: EngineConfig | None = None,
+                   *, asset_dir: str | None = None,
+                   max_frames: int | None = None, chunk: int = 256
+                   ) -> ClipOutputs:
+    """Run the full pipeline over recorded videos in batch.
+
+    All videos are decoded (truncated to the shortest), stacked as streams,
+    and scanned through the fused step in ``chunk``-frame device blocks.
+    Returns time-major ClipOutputs ([T, S, ...])."""
+    config = config or EngineConfig()
+    decoded = [decode_clip(p, max_frames=max_frames) for p in paths]
+    t_len = min(f.shape[0] for f, _ in decoded)
+    frames = np.stack([f[:t_len] for f, _ in decoded], axis=1)  # [T, S, ...]
+    ts = np.stack([t[:t_len] for _, t in decoded], axis=1)      # [T, S]
+
+    h, w = frames.shape[2], frames.shape[3]
+    config = dataclasses.replace(config, frame_height=h, frame_width=w,
+                                 num_streams=len(paths))
+    ms = MultiStreamEngine(config, asset_dir=asset_dir)
+    state = ms.init_states()
+    outs = []
+    for i in range(0, t_len, chunk):
+        fb = jnp.asarray(frames[i:i + chunk])
+        tb = jnp.asarray(ts[i:i + chunk])
+        state, out = ms.run_clip(ms.params, state, fb, tb)
+        outs.append(jax.tree.map(np.asarray, out))
+    return ClipOutputs(*[np.concatenate([getattr(o, f) for o in outs])
+                         for f in ClipOutputs._fields])

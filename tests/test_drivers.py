@@ -95,3 +95,34 @@ def test_cli_preset():
     cfg, _ = config_from_args(args)
     assert cfg.inference.person_segmenter
     assert cfg.num_streams == 8
+
+
+def test_offline_batch_processing(pulse_video):
+    from bp_from_video_tpu.runtime import offline
+
+    out = offline.process_videos(
+        [pulse_video, pulse_video], tiny_engine_config(), max_frames=30,
+        chunk=16)
+    assert out.bpm.shape[0] == 30            # capped by max_frames
+    assert out.bpm.shape[1] == 2             # two streams
+    assert np.isfinite(out.curr_fs[5:]).all()
+
+
+def test_image_running_mode(pulse_video):
+    """IMAGE mode re-detects every frame (reference inference_runner.py:97-102)
+    — tracking state must stay disengaged."""
+    import dataclasses
+    import jax
+    from bp_from_video_tpu.runtime.engine import Engine
+    from bp_from_video_tpu.config import RunningMode
+
+    cfg = tiny_engine_config()
+    cfg = dataclasses.replace(cfg, inference=dataclasses.replace(
+        cfg.inference, running_mode=RunningMode.IMAGE))
+    eng = Engine(cfg)
+    step = jax.jit(eng.step)
+    state = eng.init_state()
+    frame = jnp.zeros((cfg.frame_height, cfg.frame_width, 3), jnp.uint8)
+    for t in range(3):
+        state, out = step(eng.params, state, frame, jnp.float32((t + 1) / 30))
+    assert out.raw_y.shape == (2, 48)
