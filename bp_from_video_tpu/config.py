@@ -12,7 +12,6 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from typing import Sequence
 
 
 class ModelType(enum.Enum):

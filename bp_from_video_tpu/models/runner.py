@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bp_from_video_tpu.config import InferenceConfig, ModelType, RunningMode
+from bp_from_video_tpu.config import InferenceConfig, RunningMode
 from bp_from_video_tpu.models import anchors as anchors_lib
 from bp_from_video_tpu.models import blaze, detection, warp
 from bp_from_video_tpu.models import tflite_compiler as tc

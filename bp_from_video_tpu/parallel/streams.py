@@ -24,7 +24,7 @@ from jax.sharding import PartitionSpec as P
 
 from bp_from_video_tpu.config import EngineConfig
 from bp_from_video_tpu.parallel import mesh as mesh_lib
-from bp_from_video_tpu.runtime.engine import Engine, EngineState, StepOutputs
+from bp_from_video_tpu.runtime.engine import Engine, EngineState
 
 Array = jax.Array
 

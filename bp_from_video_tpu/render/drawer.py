@@ -12,13 +12,11 @@ handling ('q' quits, numpad adjusts the camera) matches the reference
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bp_from_video_tpu.config import DrawConfig, EngineConfig, ModelType
+from bp_from_video_tpu.config import EngineConfig, ModelType
 from bp_from_video_tpu.render import colors as C
 from bp_from_video_tpu.render import overlay, plotter
 from bp_from_video_tpu.runtime.engine import StepOutputs
