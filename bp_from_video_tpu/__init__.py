@@ -17,21 +17,43 @@ Execution model (TPU-first, not a port):
     ``step(params, state, frame, timestamp) -> (state, outputs)`` with all
     signal state held in fixed-shape, NaN-masked device arrays
     (see runtime/engine.py).
-  * Multi-stream scaling is ``vmap`` + ``jax.sharding`` over a device mesh
-    (parallel/), replacing the reference's 4-process pipeline (pbp.py) whose
-    drop-oldest real-time semantics survive in the host feeder (runtime/).
-  * Hot kernels (Lomb-Scargle projection, ROI reduction) have Pallas TPU
-    implementations (ops/pallas/).
+  * Multi-stream scaling is a stream-batched step ``shard_map``-partitioned
+    over a device mesh (parallel/), replacing the reference's 4-process
+    pipeline (pbp.py) whose drop-oldest real-time semantics survive in the
+    host feeder (runtime/feeder.py + native/ C++ frame slots).
+  * The hottest image op (all landmark crops per frame) is a fused Pallas
+    TPU kernel (pallas/warp_kernel.py); every other resample is
+    interpolation-matrix matmuls.
 """
 
 __version__ = "0.1.0"
 
 from bp_from_video_tpu.config import (  # noqa: F401
+    CaptureConfig,
+    DrawConfig,
+    EngineConfig,
+    InferenceConfig,
     ModelType,
+    ROIConfig,
+    RunningMode,
     SignalColorChannel,
+    SignalConfig,
     SignalProcessingMethod,
     SignalSpectrumTransform,
-    ROIConfig,
-    SignalConfig,
-    EngineConfig,
+    preset_configs,
 )
+from bp_from_video_tpu.exceptions import CaptureError  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy heavyweight entry points (importing them pulls in jax tracing)."""
+    if name == "Engine":
+        from bp_from_video_tpu.runtime.engine import Engine
+        return Engine
+    if name == "MultiStreamEngine":
+        from bp_from_video_tpu.parallel import MultiStreamEngine
+        return MultiStreamEngine
+    if name == "Drawer":
+        from bp_from_video_tpu.render import Drawer
+        return Drawer
+    raise AttributeError(name)

@@ -194,3 +194,30 @@ def test_distributed_helpers_single_host(monkeypatch):
     assert mesh.devices.size >= 1
     lo, hi = distributed.local_stream_slice(8)
     assert (lo, hi) == (0, 8)                         # single process
+
+
+def test_frame_slot_never_tears():
+    """Concurrent producer/consumer: a consumed frame must be internally
+    consistent (all pixels from ONE put) — the triple-buffer exchange
+    guarantees tear-free hand-off."""
+    slot = FrameSlot((32, 32, 3))
+    n = 300
+    stop = threading.Event()
+
+    def producer():
+        for i in range(n):
+            slot.put(np.full((32, 32, 3), i % 251, np.uint8),
+                     float(i), 30.0, False)
+        stop.set()
+
+    torn = []
+    t = threading.Thread(target=producer)
+    t.start()
+    while not stop.is_set():
+        item = slot.get(require_fresh=True)
+        if item is not None:
+            frame = item[0]
+            if frame.min() != frame.max():
+                torn.append(item[4])
+    t.join()
+    assert not torn, f"torn frames at seqs {torn[:5]}"
