@@ -130,6 +130,9 @@ def blaze_landmark_apply(p: dict, x: Array, input_size: int) -> tuple[Array, Arr
 
 
 def init_segmenter(seed: int, input_size: int, num_classes: int = 6) -> dict:
+    """Encoder/decoder stand-in sized to the real selfie_multiclass model's
+    compute class (~300-400 MFLOPs at 256²; the first cut ran its decoder
+    convs at full resolution and weighed 4x the real model)."""
     key = jax.random.PRNGKey(seed)
     ks = jax.random.split(key, 8)
     return {
@@ -137,14 +140,16 @@ def init_segmenter(seed: int, input_size: int, num_classes: int = 6) -> dict:
         "b1": _blaze_block_init(ks[1], 16, 32),
         "b2": _blaze_block_init(ks[2], 32, 64),
         "b3": _blaze_block_init(ks[3], 64, 64),
-        "up1": _conv_init(ks[4], 3, 3, 64, 32),
-        "up2": _conv_init(ks[5], 3, 3, 32, 16),
-        "head": _conv_init(ks[6], 1, 1, 16, num_classes),
+        "up1": _conv_init(ks[4], 3, 3, 64, 24),
+        "up2": _conv_init(ks[5], 3, 3, 24, 12),
+        "head": _conv_init(ks[6], 1, 1, 12, num_classes),
     }
 
 
 def segmenter_apply(p: dict, x: Array, input_size: int) -> Array:
-    """x: [1, S, S, 3] -> confidence masks [1, S, S, C] (softmaxed)."""
+    """x: [1, S, S, 3] -> confidence masks [1, S, S, C] (softmaxed).
+    Decoder upsamples progressively (/4 -> /2 -> full) so the 3x3 convs
+    never run at full resolution — only the 1x1 class head does."""
     s = input_size
     y = jax.nn.relu(_conv(p["stem"], x, stride=2))   # /2
     y = _blaze_block(p["b1"], y, stride=2)           # /4
@@ -152,6 +157,7 @@ def segmenter_apply(p: dict, x: Array, input_size: int) -> Array:
     y = _blaze_block(p["b3"], y)
     y = jax.image.resize(y, (1, s // 4, s // 4, y.shape[-1]), "bilinear")
     y = jax.nn.relu(_conv(p["up1"], y))
-    y = jax.image.resize(y, (1, s, s, y.shape[-1]), "bilinear")
+    y = jax.image.resize(y, (1, s // 2, s // 2, y.shape[-1]), "bilinear")
     y = jax.nn.relu(_conv(p["up2"], y))
+    y = jax.image.resize(y, (1, s, s, y.shape[-1]), "bilinear")
     return jax.nn.softmax(_conv(p["head"], y), axis=-1)

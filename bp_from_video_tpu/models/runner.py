@@ -264,7 +264,7 @@ class InferenceRunner:
                       anchors: Array, params, frame: Array, in_range: str,
                       max_out: int) -> tuple[NMSOut, warp.Letterbox]:
         size = self._fns[key + "_size"]
-        lb = warp.letterbox(frame, size)
+        lb = warp.letterbox(frame, size, dtype=self.dtype)
         x = lb.image / 255.0
         if in_range == "pm1":
             x = x * 2.0 - 1.0
@@ -420,7 +420,8 @@ class InferenceRunner:
             small = warp.resize_bilinear(frame, size, size) / 255.0
             conf = self._fns["seg"](params["seg"], small[None].astype(self.dtype))
             conf = conf[0].astype(jnp.float32)
-            conf_full = warp.resize_bilinear(conf, self.h, self.w)
+            conf_full = warp.resize_bilinear(
+                conf, self.h, self.w, dtype=jnp.bfloat16).astype(jnp.float32)
             res = res._replace(
                 seg_class=jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
                 seg_conf=jnp.transpose(conf_full, (2, 0, 1)),
@@ -557,7 +558,7 @@ class InferenceRunner:
                 sizes += [self._fns["hand_lm_size"]] * hand_cover.shape[1]
             planar = jnp.transpose(frames_rgb, (0, 3, 1, 2))
             outs = warp_kernel.multi_crop(planar, jnp.concatenate(
-                rect_parts, axis=1), tuple(sizes))
+                rect_parts, axis=1), tuple(sizes), dtype=self.dtype)
             outs = [jnp.transpose(o, (0, 2, 3, 1)) for o in outs]
             i = 0
             if face_cover is not None:
@@ -655,8 +656,11 @@ class InferenceRunner:
                 small = warp.resize_bilinear(frame, size, size) / 255.0
                 conf = self._fns["seg"](params["seg"],
                                         small[None].astype(self.dtype))
-                conf = conf[0].astype(jnp.float32)
-                conf_full = warp.resize_bilinear(conf, self.h, self.w)
+                # Mask-grade data: upsample the 6 confidence channels in
+                # bf16 (halves the full-res traffic), emit f32.
+                conf_full = warp.resize_bilinear(
+                    conf[0], self.h, self.w,
+                    dtype=jnp.bfloat16).astype(jnp.float32)
                 return (jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
                         jnp.transpose(conf_full, (2, 0, 1)))
             seg_class, seg_conf = jax.vmap(seg_one)(frames)

@@ -196,9 +196,10 @@ class Letterbox(NamedTuple):
     pad_y: Array
 
 
-def letterbox(frame: Array, out_size: int) -> Letterbox:
+def letterbox(frame: Array, out_size: int, dtype=jnp.float32) -> Letterbox:
     """Keep-aspect resize into a centered (out_size, out_size) canvas
-    (ImageToTensor keep_aspect_ratio), zero padding."""
+    (ImageToTensor keep_aspect_ratio), zero padding.  ``dtype`` sets the
+    resample matmul precision (bf16 when feeding bf16 detector nets)."""
     h, w = frame.shape[0], frame.shape[1]
     s = out_size
     scale = jnp.float32(max(h, w)) / s  # frame pixels per output pixel
@@ -209,17 +210,20 @@ def letterbox(frame: Array, out_size: int) -> Letterbox:
     ys = (j - pad_y) * scale
     # Axis-aligned by construction -> two-matmul separable resample (the
     # interp matrices are compile-time constants here: h/w/s are static).
-    img = resample_separable(frame, ys - 0.5, xs - 0.5)
+    img = resample_separable(frame, ys - 0.5, xs - 0.5, dtype=dtype)
     return Letterbox(img, scale, pad_x, pad_y)
 
 
-def resize_bilinear(image: Array, out_h: int, out_w: int) -> Array:
+def resize_bilinear(image: Array, out_h: int, out_w: int,
+                    dtype=jnp.float32) -> Array:
     """Half-pixel bilinear resize with edge clamp (jax.image.resize
-    'bilinear' semantics in the interior) as two MXU matmuls."""
+    'bilinear' semantics in the interior) as two MXU matmuls.  ``dtype``
+    sets the matmul operand precision (bf16 halves the traffic for
+    mask-grade data)."""
     h, w = image.shape[0], image.shape[1]
     ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
     xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
-    return resample_separable(image, ys, xs, mode="edge")
+    return resample_separable(image, ys, xs, dtype=dtype, mode="edge")
 
 
 def unletterbox_points(pts_norm: Array, lb: Letterbox, out_size: int) -> Array:
