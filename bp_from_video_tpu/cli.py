@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     inf.add_argument("--exact-rotation", action="store_true",
                      help="exact rotated crops (slower; default uses the "
                           "axis-aligned MXU fast path)")
+    inf.add_argument("--pallas", dest="pallas", action="store_true",
+                     default=None, help="force the fused Pallas crop kernel")
+    inf.add_argument("--no-pallas", dest="pallas", action="store_false",
+                     help="disable it (default: auto — on for TPU backends)")
 
     sig = p.add_argument_group("signal (reference signal_processor.py)")
     sig.add_argument("--rois", nargs="+", choices=sorted(ROI_PRESETS),
@@ -141,6 +145,16 @@ def config_from_args(args) -> tuple[EngineConfig, list[CaptureConfig]]:
         inf_kw["max_hands"] = args.max_hands
     if args.exact_rotation:
         inf_kw["exact_rotation"] = True
+    if args.pallas is not None:
+        inf_kw["use_pallas"] = args.pallas
+    else:
+        # Auto: Mosaic kernels need a real TPU backend (JAX_PLATFORMS=cpu
+        # pins the virtual test platform even when a TPU plugin registered).
+        import os
+        import jax
+        inf_kw["use_pallas"] = (jax.default_backend() == "tpu"
+                                and os.environ.get("JAX_PLATFORMS", "")
+                                != "cpu")
     if inf_kw:
         cfg = dataclasses.replace(
             cfg, inference=dataclasses.replace(cfg.inference, **inf_kw))
