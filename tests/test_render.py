@@ -145,3 +145,38 @@ def test_drawer_headless_end_to_end():
     # HUD text was stamped (some non-background pixels in the text rows).
     assert (drawer.last_plot != 255).any()
     drawer.cleanup()
+
+
+def test_drawer_hud_unpack_values():
+    """The packed scalar block must round-trip exact HUD values (a layout
+    regression would silently misprint BPM/PTT)."""
+    import dataclasses
+    from bp_from_video_tpu.runtime.engine import Engine
+
+    cfg = EngineConfig(
+        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
+        inference=InferenceConfig(
+            face_detector_path=None, face_landmarker_path=None,
+            hand_landmarker_path=None, person_segmenter_path=None),
+        frame_height=32, frame_width=32)
+    eng = Engine(cfg)
+    state = eng.init_state()
+    frame = jnp.zeros((32, 32, 3), jnp.uint8)
+    out = None
+    step = jax.jit(eng.step)
+    for t in range(3):
+        state, out = step(eng.params, state, frame, jnp.float32((t + 1) / 30))
+    # Overwrite the HUD fields with known values.
+    out = out._replace(bpm=jnp.asarray([72.0, np.nan]),
+                       ptt=jnp.asarray([33.0]),
+                       curr_fs=jnp.float32(29.5), mean_fs=jnp.float32(30.25))
+    drawer = Drawer(cfg, show=False)
+    _, _, packed = drawer._compose(frame, out)
+    hud, ticks = drawer._unpack(np.asarray(packed))
+    assert hud["curr_fs"] == pytest.approx(29.5)
+    assert hud["mean_fs"] == pytest.approx(30.25)
+    assert hud["bpm"][0] == pytest.approx(72.0) and np.isnan(hud["bpm"][1])
+    assert hud["ptt"][0] == pytest.approx(33.0)
+    assert len(ticks) == 3
+    for tk in ticks:
+        assert np.isfinite(tk["range_x"]).all()
