@@ -302,134 +302,24 @@ class InferenceRunner:
 
     def predict(self, params: dict, state: TrackState, frame_rgb: Array
                 ) -> tuple[TrackState, ModelResults]:
-        """One fused inference pass over all enabled models.
+        """One fused inference pass over all enabled models for ONE frame.
 
         frame_rgb: uint8/float [H, W, 3]. Pure function of its inputs —
-        jit/vmap/shard it freely. VIDEO mode consumes/produces tracking
-        state; IMAGE mode re-detects every frame (reference
-        inference_runner.py:97-102 branch).
+        jit it freely. VIDEO mode consumes/produces tracking state; IMAGE
+        mode re-detects every frame (reference inference_runner.py:97-102
+        branch).
+
+        Thin S=1 wrapper over :meth:`predict_batch` — one implementation,
+        one set of semantics; at S=1 the batch-level detector gate IS the
+        per-frame detect-then-track cond.
         """
-        # No eager f32 cast: cond operands are computed before branch
-        # selection, so consumers cast lazily (see predict_batch).
-        frame = frame_rgb
-        res = self.empty_results()
-        video = self.cfg.running_mode is RunningMode.VIDEO
+        state_b = jax.tree.map(lambda x: x[None], state)
+        new_state_b, res_b = self.predict_batch(params, state_b,
+                                                frame_rgb[None])
+        squeeze = lambda x: x[0]
+        return (jax.tree.map(squeeze, new_state_b),
+                jax.tree.map(squeeze, res_b))
 
-        if self.cfg.face_detector:
-            nms, _ = self._run_detector(
-                "face_det", detection.FACE_DECODE, self.face_anchors,
-                params["face_det"], frame, "pm1", MAX_FACE_DETS)
-            nms = detection.sort_by_area_desc(nms)
-            kps = _clip_floor(nms.kps, self.w, self.h)
-            res = res._replace(face_detector=Detections(
-                bbox=jnp.round(nms.boxes), points=kps, count=nms.count))
-
-        new_face_rect, new_face_tracking = state.face_rect, state.face_tracking
-        if self.cfg.face_landmarker:
-            def detect_face(_):
-                nms, _ = self._run_detector(
-                    "flm_det", detection.FACE_DECODE, self.face_anchors,
-                    params["flm_det"], frame, "pm1", 1)
-                r = warp.detection_to_rect(nms.boxes[0], nms.kps[0], 0, 1, 0.0)
-                r = warp.rect_transform(r, scale=1.5)
-                return _rect_arr(r), nms.count > 0
-
-            def reuse_rect(_):
-                return state.face_rect, jnp.asarray(True)
-
-            if video:
-                rect_a, det_ok = jax.lax.cond(state.face_tracking,
-                                              reuse_rect, detect_face, None)
-            else:
-                rect_a, det_ok = detect_face(None)
-            rect = _safe_rect(rect_a, self.w, self.h)
-            pts_px, presence, _ = self._run_landmarker(
-                "flm_lm", params["flm_lm"], frame, rect)
-            present = det_ok & (presence > PRESENCE_THRESHOLD)
-            next_r = warp.rect_transform(
-                warp.landmarks_to_rect(pts_px, *FACE_ROT_LANDMARKS, 0.0),
-                scale=1.5)
-            new_face_rect = jnp.where(present, _rect_arr(next_r), state.face_rect)
-            new_face_tracking = present
-            pts_i = _clip_floor(pts_px, self.w, self.h)
-            bbox = jnp.concatenate([jnp.min(pts_i, axis=0), jnp.max(pts_i, axis=0)])
-            nanf = jnp.float32(jnp.nan)
-            res = res._replace(face_landmarker=Detections(
-                bbox=jnp.where(present, bbox, nanf)[None],
-                points=jnp.where(present, pts_i, nanf)[None],
-                count=present.astype(jnp.int32)))
-
-        new_hand_rects, new_hand_tracking = state.hand_rects, state.hand_tracking
-        if self.cfg.hand_landmarker:
-            n_hands = self.cfg.max_hands
-
-            def detect_palms(_):
-                nms, _ = self._run_detector(
-                    "palm_det", detection.PALM_DECODE, self.palm_anchors,
-                    params["palm_det"], frame, "zero1", n_hands)
-                def mk(i):
-                    r = warp.detection_to_rect(nms.boxes[i], nms.kps[i], 0, 2,
-                                               jnp.pi / 2)
-                    r = warp.rect_transform(r, scale=2.6, shift_y=-0.5)
-                    return _rect_arr(r)
-                rects = jnp.stack([mk(i) for i in range(n_hands)])
-                valid = jnp.arange(n_hands) < nms.count
-                return rects, valid
-
-            def reuse_palms(_):
-                return state.hand_rects, state.hand_tracking
-
-            if video:
-                det_rects, det_valid = jax.lax.cond(
-                    jnp.all(state.hand_tracking), reuse_palms, detect_palms, None)
-                rects_a = jnp.where(state.hand_tracking[:, None],
-                                    state.hand_rects, det_rects)
-                slot_ok = state.hand_tracking | det_valid
-            else:
-                rects_a, slot_ok = detect_palms(None)
-
-            def per_hand(rect_a):
-                rect = _safe_rect(rect_a, self.w, self.h)
-                pts_px, presence, handed = self._run_landmarker(
-                    "hand_lm", params["hand_lm"], frame, rect)
-                next_r = warp.rect_transform(
-                    warp.landmarks_to_rect(pts_px, *HAND_ROT_LANDMARKS,
-                                           jnp.pi / 2), scale=2.0, shift_y=-0.1)
-                return pts_px, presence, _rect_arr(next_r)
-
-            pts_all, presences, next_rects = jax.vmap(per_hand)(rects_a)
-            present = slot_ok & (presences > PRESENCE_THRESHOLD)
-            new_hand_rects = jnp.where(present[:, None], next_rects,
-                                       state.hand_rects)
-            new_hand_tracking = present
-            pts_i = _clip_floor(pts_all, self.w, self.h)
-            bbox = jnp.concatenate([jnp.min(pts_i, axis=1), jnp.max(pts_i, axis=1)],
-                                   axis=-1)
-            nanf = jnp.float32(jnp.nan)
-            # Sort present hands by bbox area desc (reference :150).
-            area = (bbox[:, 2] - bbox[:, 0]) * (bbox[:, 3] - bbox[:, 1])
-            order = jnp.argsort(jnp.where(present, -area, jnp.inf))
-            present_s = present[order]
-            res = res._replace(hand_landmarker=Detections(
-                bbox=jnp.where(present_s[:, None], bbox[order], nanf),
-                points=jnp.where(present_s[:, None, None], pts_i[order], nanf),
-                count=jnp.sum(present).astype(jnp.int32)))
-
-        if self.cfg.person_segmenter:
-            size = self._fns["seg_size"]
-            small = warp.resize_bilinear(frame, size, size) / 255.0
-            conf = self._fns["seg"](params["seg"], small[None].astype(self.dtype))
-            conf = conf[0].astype(jnp.float32)
-            conf_full = warp.resize_bilinear(
-                conf, self.h, self.w, dtype=jnp.bfloat16).astype(jnp.float32)
-            res = res._replace(
-                seg_class=jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
-                seg_conf=jnp.transpose(conf_full, (2, 0, 1)),
-                seg_valid=jnp.asarray(True))
-
-        new_state = TrackState(new_face_rect, new_face_tracking,
-                               new_hand_rects, new_hand_tracking)
-        return new_state, res
 
     # -- batch-gated predict ----------------------------------------------------
 
