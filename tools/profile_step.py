@@ -67,20 +67,6 @@ def main():
     print(f"  inference: {t_inf*1e3:8.2f} ms")
     print(f"  signal:    {t_sig*1e3:8.2f} ms")
 
-    # Inference internals.
-    runner = eng.runner
-    track = state.track
-
-    def face_det_only(params, frame):
-        lb = jax.tree.map(lambda x: x, frame)
-        return runner._run_detector("face_lm_det",
-                                    runner._decode_cfgs["face_lm_det"],
-                                    params, frame) \
-            if hasattr(runner, "_decode_cfgs") else None
-
-    # Landmark crop+net timing via public predict pieces isn't separable
-    # without refactor; use XLA profile dump instead when needed.
-
 
 if __name__ == "__main__":
     main()
