@@ -147,3 +147,48 @@ def sample_rois(frame_rgb: Array, rois: Array,
     (reference sample_signals, signal_processor.py:191-193)."""
     fn = lambda r: sample_roi(frame_rgb, r, channel, weights)
     return jax.vmap(fn)(rois)
+
+
+def _mix_channel(means: Array, channel: SignalColorChannel) -> Array:
+    """Channel statistic from per-channel RGB means (reference
+    signal_processor.py:180-186)."""
+    if channel is SignalColorChannel.GREEN:
+        return means[..., 1]
+    if channel is SignalColorChannel.CHROM_GREEN:
+        return (means[..., 1] / 2.0 - means[..., 2] / 4.0
+                - means[..., 0] / 4.0 + 0.5)
+    raise NotImplementedError(channel)  # pragma: no cover
+
+
+def sample_rois_batch(frames_rgb: Array, rois: Array,
+                      channel: SignalColorChannel,
+                      weights: Array | None = None,
+                      use_pallas: bool = False,
+                      interpret: bool = False) -> Array:
+    """Stream-batched ROI sampling: frames [S, H, W, 3] + rois [S, R, 6]
+    -> samples f32 [S, R].
+
+    ``use_pallas`` routes through the fused TPU reduce kernel
+    (pallas/roi_kernel.py — one VMEM-resident frame pass for all ROIs);
+    otherwise the vmapped separable-einsum path.  Identical NaN/validity
+    semantics either way."""
+    if not (use_pallas and frames_rgb.dtype == jnp.uint8):
+        if weights is None:
+            return jax.vmap(
+                lambda f, r: sample_rois(f, r, channel, None)
+            )(frames_rgb, rois)
+        return jax.vmap(
+            lambda f, r, w: sample_rois(f, r, channel, w)
+        )(frames_rgb, rois, weights)
+
+    from bp_from_video_tpu.pallas import roi_kernel
+
+    finite = jnp.all(jnp.isfinite(rois), axis=-1)            # [S, R]
+    safe = jnp.where(finite[..., None], jnp.nan_to_num(rois), 0.0)
+    planar = jnp.transpose(frames_rgb, (0, 3, 1, 2))
+    sums, den = roi_kernel.roi_sums(planar, safe, weights,
+                                    interpret=interpret)
+    means = sums / jnp.where(den > 0, den, 1.0)[..., None]
+    valid = finite & (den > 0)
+    value = _mix_channel(means, channel)
+    return jnp.where(valid, value, jnp.float32(jnp.nan))

@@ -122,6 +122,20 @@ class Engine:
                                         timestamp)
         return EngineState(signals, track), out
 
+    def roi_stage(self, st: SignalState, models: ModelResults,
+                  timestamp: Array) -> tuple[Array, Array, Array]:
+        """Steps 2-3: ROI geometry + temporal-filter ring (reference
+        signal_processor.py:303-305).  Returns (roi_x, roi_y, rois)."""
+        cfg = self.config.signal
+        by_model = {ModelType.FACE_LANDMARKER: models.face_landmarker,
+                    ModelType.HAND_LANDMARKER: models.hand_landmarker}
+        rois_now = roi_ops.calc_rois(cfg.roi_configs, by_model)
+        roi_x, roi_y = sig.push(st.roi_x, jnp.swapaxes(st.roi_y, 0, 1),
+                                timestamp, rois_now)
+        roi_y = jnp.swapaxes(roi_y, 0, 1)
+        rois = jax.vmap(lambda y: sig.masked_mean(y, as_int=True))(roi_y)
+        return roi_x, roi_y, rois
+
     def signal_step(self, st: SignalState, models: ModelResults,
                     frame_rgb: Array, timestamp: Array
                     ) -> tuple[SignalState, StepOutputs]:
@@ -131,16 +145,8 @@ class Engine:
         and the pipelined driver."""
         cfg = self.config.signal
 
-        # 2. ROI geometry (reference signal_processor.py:303).
-        by_model = {ModelType.FACE_LANDMARKER: models.face_landmarker,
-                    ModelType.HAND_LANDMARKER: models.hand_landmarker}
-        rois_now = roi_ops.calc_rois(cfg.roi_configs, by_model)
-
-        # 3. ROI temporal filter ring (reference :304-305).
-        roi_x, roi_y = sig.push(st.roi_x, jnp.swapaxes(st.roi_y, 0, 1),
-                                timestamp, rois_now)
-        roi_y = jnp.swapaxes(roi_y, 0, 1)
-        rois = jax.vmap(lambda y: sig.masked_mean(y, as_int=True))(roi_y)
+        # 2-3. ROI geometry + ring (reference signal_processor.py:303-305).
+        roi_x, roi_y, rois = self.roi_stage(st, models, timestamp)
 
         # 4. Pixel sampling (reference :306): segmenter-weighted when the
         # segmenter runs (skin-confidence mask, drawer.py:99's channel 3).
@@ -149,6 +155,16 @@ class Engine:
             weights = models.seg_conf[3]
         samples = roi_ops.sample_rois(frame_rgb, rois, cfg.color_channel,
                                       weights)
+        return self.signal_post(st, roi_x, roi_y, rois, models, samples,
+                                frame_rgb, timestamp)
+
+    def signal_post(self, st: SignalState, roi_x: Array, roi_y: Array,
+                    rois: Array, models: ModelResults, samples: Array,
+                    frame_rgb: Array, timestamp: Array
+                    ) -> tuple[SignalState, StepOutputs]:
+        """Steps 5-11: rings, DSP chain, spectra, correlation, peaks, plot
+        ranges — everything after pixel sampling."""
+        cfg = self.config.signal
 
         # 5. Raw ring push (reference :307).
         raw_x, raw_y = sig.push(st.raw_x, jnp.swapaxes(st.raw_y, 0, 1),
@@ -233,8 +249,19 @@ class Engine:
         gate restores it (detectors are fully skipped in steady state)."""
         track, models = self.runner.predict_batch(params, state.track,
                                                   frames_rgb)
-        signals, out = jax.vmap(self.signal_step)(state.signals, models,
-                                                  frames_rgb, timestamps)
+        # ROI geometry per stream, then sampling at BATCH level (the Pallas
+        # reduce kernel when enabled: one VMEM frame pass for all ROIs).
+        roi_x, roi_y, rois = jax.vmap(self.roi_stage)(state.signals, models,
+                                                      timestamps)
+        weights = None
+        if self.config.inference.person_segmenter:
+            weights = models.seg_conf[:, 3]
+        samples = roi_ops.sample_rois_batch(
+            frames_rgb, rois, self.config.signal.color_channel, weights,
+            use_pallas=self.config.inference.use_pallas)
+        signals, out = jax.vmap(self.signal_post)(
+            state.signals, roi_x, roi_y, rois, models, samples, frames_rgb,
+            timestamps)
         return EngineState(signals, track), out
 
     def jit_step(self):

@@ -41,3 +41,46 @@ def test_multi_crop_zero_pad_outside():
     out = np.asarray(out)[0, 0]
     assert out[:, -1].max() > 90      # inside the frame
     assert out[:, 0].max() == 0.0     # fully outside -> zero pad
+
+
+def test_roi_sums_matches_xla(tmp_path=None):
+    from bp_from_video_tpu.config import SignalColorChannel
+    from bp_from_video_tpu.ops import roi as roi_ops
+
+    rng = np.random.default_rng(2)
+    s, h, w, r = 2, 48, 64, 3
+    frames = jnp.asarray(rng.integers(0, 256, (s, h, w, 3), dtype=np.uint8))
+    rois = rng.uniform(2, 40, (s, r, 6)).astype(np.float32)
+    rois[:, :, 4] = rois[:, :, 2] + rng.uniform(4, 20, (s, r))  # x1 > x0
+    rois[:, :, 5] = rois[:, :, 3] + rng.uniform(4, 20, (s, r))  # y1 > y0
+    rois = np.round(rois)
+    rois[0, 1] = np.nan                      # missing detection
+    rois[1, 2, 2:] = (10, 10, 10, 10)        # empty crop
+    rois = jnp.asarray(rois)
+
+    for channel in (SignalColorChannel.GREEN, SignalColorChannel.CHROM_GREEN):
+        want = roi_ops.sample_rois_batch(frames, rois, channel,
+                                         use_pallas=False)
+        got = roi_ops.sample_rois_batch(frames, rois, channel,
+                                        use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, equal_nan=True)
+
+
+def test_roi_sums_weighted_matches_xla():
+    from bp_from_video_tpu.config import SignalColorChannel
+    from bp_from_video_tpu.ops import roi as roi_ops
+
+    rng = np.random.default_rng(3)
+    s, h, w = 2, 32, 40
+    frames = jnp.asarray(rng.integers(0, 256, (s, h, w, 3), dtype=np.uint8))
+    rois = jnp.asarray([[[5, 5, 2, 3, 20, 18]], [[8, 8, 4, 4, 30, 28]]],
+                       jnp.float32)
+    weights = jnp.asarray(rng.uniform(0, 1, (s, h, w)).astype(np.float32))
+    want = roi_ops.sample_rois_batch(frames, rois,
+                                     SignalColorChannel.GREEN, weights,
+                                     use_pallas=False)
+    got = roi_ops.sample_rois_batch(frames, rois, SignalColorChannel.GREEN,
+                                    weights, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4, equal_nan=True)
