@@ -126,3 +126,19 @@ def test_image_running_mode(pulse_video):
     for t in range(3):
         state, out = step(eng.params, state, frame, jnp.float32((t + 1) / 30))
     assert out.raw_y.shape == (2, 48)
+
+
+def test_pipelined_driver_with_mesh(pulse_video):
+    """Pipelined driver over a dp mesh (shard_map path end-to-end with real
+    capture threads)."""
+    from bp_from_video_tpu.drivers import pipelined
+    from bp_from_video_tpu.parallel import make_mesh
+    from conftest import cpu_devices
+
+    mesh = make_mesh({"dp": 2}, cpu_devices(2))
+    out = pipelined.run(tiny_engine_config(),
+                        [CaptureConfig(path=pulse_video),
+                         CaptureConfig(path=pulse_video)],
+                        mesh=mesh, show=False, max_frames=6,
+                        print_profile=False)
+    assert out is not None and out.bpm.shape[0] == 2
