@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipelined", action="store_true",
                    help="threaded capture pipeline with drop-oldest "
                         "hand-off (reference pbp.py mode)")
+    p.add_argument("--offline", action="store_true",
+                   help="batch mode: decode whole files, scan the fused "
+                        "step over them on-device (no display, max "
+                        "throughput); prints the settled HR per stream")
     p.add_argument("--headless", action="store_true",
                    help="no display windows (prints HR/PTT instead)")
     p.add_argument("--max-frames", type=int, default=None)
@@ -179,6 +183,31 @@ def main(argv=None) -> int:
     if args.record:
         from bp_from_video_tpu.runtime.recorder import SignalRecorder
         recorder = SignalRecorder(args.record)
+
+    if args.offline:
+        import numpy as np
+        from bp_from_video_tpu.runtime import offline
+        paths = [c.path for c in captures]
+        if any(isinstance(p, int) for p in paths):
+            raise SystemExit("--offline requires video files, not cameras")
+        out = offline.process_videos(paths, cfg, asset_dir=args.asset_dir,
+                                     max_frames=args.max_frames)
+        if recorder is not None:
+            ts = np.nanmean(np.asarray(out.curr_fs), axis=1)  # placeholder ts
+            recorder.add_clip(np.arange(out.bpm.shape[0]), out)
+            print(f"recorded clip -> {recorder.save()}")
+        settled = np.asarray(out.bpm)[out.bpm.shape[0] // 2:]
+        for s in range(settled.shape[1]):
+            vals = settled[:, s, :]
+            with np.errstate(all="ignore"):
+                import warnings
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    means = np.nanmean(vals, axis=0)
+            print(f"stream {s}: settled mean BPM per ROI:",
+                  [round(float(v), 1) if np.isfinite(v) else None
+                   for v in means])
+        return 0
 
     if args.pipelined or len(captures) > 1:
         from bp_from_video_tpu.drivers import pipelined

@@ -142,3 +142,15 @@ def test_pipelined_driver_with_mesh(pulse_video):
                         mesh=mesh, show=False, max_frames=6,
                         print_profile=False)
     assert out is not None and out.bpm.shape[0] == 2
+
+
+def test_cli_offline_mode(pulse_video, capsys):
+    from bp_from_video_tpu.cli import main
+
+    rc = main(["--source", pulse_video, "--offline", "--headless",
+               "--signal-samples", "48", "--peak-samples", "8",
+               "--models", "face_landmarker", "--rois", "forehead",
+               "--no-pallas", "--max-frames", "30"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "settled mean BPM" in out
