@@ -55,12 +55,19 @@ def test_vmap_matches_loop():
         for i in range(s):
             solo_states[i], solo_out = solo_step(
                 ms.params, solo_states[i], frames[i], ts[i])
-            np.testing.assert_allclose(out.bpm[i], solo_out.bpm,
-                                       rtol=1e-5, equal_nan=True)
-            np.testing.assert_allclose(out.ptt[i], solo_out.ptt,
-                                       rtol=1e-5, equal_nan=True)
             np.testing.assert_allclose(out.rois[i], solo_out.rois,
                                        rtol=1e-5, equal_nan=True)
+            np.testing.assert_allclose(out.raw_y[i], solo_out.raw_y,
+                                       rtol=1e-4, equal_nan=True)
+            # Equivalence is asserted on the CONTINUOUS outputs (spectra,
+            # correlations), not on bpm/ptt: those are argmaxes, and on
+            # short warmup windows the spectrum is near-flat, so f32
+            # fusion-order noise between the batched and solo programs can
+            # legitimately flip the peak between equal-quality bins.
+            np.testing.assert_allclose(out.spec_y[i], solo_out.spec_y,
+                                       rtol=2e-3, atol=1e-5, equal_nan=True)
+            np.testing.assert_allclose(out.corr_y[i], solo_out.corr_y,
+                                       rtol=2e-3, atol=1e-5, equal_nan=True)
 
 
 def test_run_clip_matches_stepping():
