@@ -86,9 +86,33 @@ class DeviceFeeder:
         self._fs = np.full((s,), np.nan, np.float32)
         self._cal = np.zeros((s,), bool)
         self._have = np.zeros((s,), bool)
+        self._warm = False
 
     def get_batch(self, block: bool = True):
         import time as _time
+        # Warm-up barrier: the first batch must not ship a stream's initial
+        # zero frame just because another stream produced first.  Wait until
+        # every stream has published at least one frame (or ended) — the
+        # analog of the reference pipeline's blocking first q_in.get()
+        # (pbp.py:21: downstream stages idle until a real frame arrives).
+        while block and not self._warm:
+            for i, feed in enumerate(self.feeds):
+                item = feed.slot.get(require_fresh=True)
+                if item is not None:
+                    frame, ts, fs, cal, _ = item
+                    self._frames[i] = frame
+                    self._ts[i] = ts
+                    self._fs[i] = fs
+                    self._cal[i] = cal
+                    self._have[i] = True
+            if all(h or f.done.is_set()
+                   for h, f in zip(self._have, self.feeds)):
+                self._warm = True
+                if self._have.any():
+                    frames = jax.device_put(self._frames, self.device)
+                    return (_to_rgb(frames), jnp.asarray(self._ts),
+                            jnp.asarray(self._fs), jnp.asarray(self._cal))
+            _time.sleep(0.0005)
         while True:
             fresh = False
             alive = False
