@@ -65,7 +65,11 @@ def main():
     from bp_from_video_tpu.runtime.engine import EngineState
 
     streams = int(os.environ.get("BENCH_STREAMS", "8" if quick else "64"))
-    clip_len = int(os.environ.get("BENCH_CLIP", "8" if quick else "32"))
+    # Long scan: each executable dispatch through the remote-TPU tunnel costs
+    # ~40-50 ms regardless of work, so short clips under-report steady-state
+    # throughput by ~25% (measured: clip 16 -> 11.3 ms/step, clip 32 ->
+    # 10.0, implying ~8.7 ms true step + L/clip overhead).
+    clip_len = int(os.environ.get("BENCH_CLIP", "8" if quick else "96"))
     reps = int(os.environ.get("BENCH_REPS", "2" if quick else "3"))
     h, w = (128, 160) if quick else (480, 640)
     dt = 1.0 / 30.0

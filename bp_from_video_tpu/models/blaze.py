@@ -7,6 +7,12 @@ architectures with the correct I/O contracts (anchor counts, landmark
 counts, mask classes) and representative compute cost, so the full 4-model
 pipeline runs end-to-end; drop the standard MediaPipe bundles into the asset
 dir and the TFLite->JAX compiler path replaces them with real weights.
+
+Activations are stored planar ([N, C, H, W]) between ops — the TPU-native
+layout for tiny-channel vision nets (NHWC buffers put C=8..192 in sublanes
+and batch in lanes, padding both tile dimensions; planar tiles (H, W)
+exactly at any batch/channel count).  ``*_apply`` take planar inputs
+([N, 3, S, S]); detector/landmark outputs keep their NHWC-era contracts.
 """
 
 from __future__ import annotations
@@ -26,14 +32,15 @@ def _conv_init(key, kh, kw, cin, cout):
 
 
 def _conv(p, x, stride=1, padding="SAME", groups=1):
+    """Planar conv: x [N, C, H, W] -> [N, C', H', W'], output in the weight
+    dtype (one rounding after the MXU's f32 accumulation)."""
     w = p["w"]
     y = jax.lax.conv_general_dilated(
         x.astype(w.dtype), w, (stride, stride), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32)
-    # Accumulate f32 on the MXU, carry activations in the weight dtype.
-    return (y + p["b"].astype(jnp.float32)).astype(w.dtype)
+        preferred_element_type=w.dtype)
+    return y + p["b"].astype(w.dtype).reshape(-1, 1, 1)
 
 
 def _blaze_block_init(key, cin, cout):
@@ -42,15 +49,15 @@ def _blaze_block_init(key, cin, cout):
 
 
 def _blaze_block(p, x, stride=1):
-    cin = x.shape[-1]
+    cin = x.shape[1]
     y = _conv(p["dw"], x, stride=stride, groups=cin)
     y = _conv(p["pw"], y)
     if stride == 2:
         x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
-                                  (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
-    cout = y.shape[-1]
+                                  (1, 1, 2, 2), (1, 1, 2, 2), "SAME")
+    cout = y.shape[1]
     if cout != cin:
-        x = jnp.pad(x, ((0, 0),) * 3 + ((0, cout - cin),))
+        x = jnp.pad(x, ((0, 0), (0, cout - cin), (0, 0), (0, 0)))
     return jax.nn.relu(y + x)
 
 
@@ -77,8 +84,15 @@ def init_blaze_detector(seed: int, input_size: int, num_anchors: int,
     }
 
 
+def _head(p, y, last_dim):
+    """1x1 head conv + anchor-major flatten (the SSD head contract orders
+    cells row-major with per-cell anchors contiguous — i.e. NHWC order)."""
+    h = _conv(p, y)                          # [1, A*D, Hc, Wc]
+    return jnp.transpose(h, (0, 2, 3, 1)).reshape(1, -1, last_dim)
+
+
 def blaze_detector_apply(p: dict, x: Array, num_kps: int) -> tuple[Array, Array]:
-    """x: [1, S, S, 3] -> (regressors [1, A, 4+2K], logits [1, A, 1])."""
+    """x: planar [1, 3, S, S] -> (regressors [1, A, 4+2K], logits [1, A, 1])."""
     box_dim = 4 + 2 * num_kps
     y = jax.nn.relu(_conv(p["stem"], x, stride=2))   # /2
     y = _blaze_block(p["b1"], y)
@@ -87,10 +101,10 @@ def blaze_detector_apply(p: dict, x: Array, num_kps: int) -> tuple[Array, Array]
     y8 = _blaze_block(p["b4"], y, stride=2)          # /8
     y8 = _blaze_block(p["b5"], y8)
     y16 = _blaze_block(p["b6"], y8, stride=2)        # /16
-    r8 = _conv(p["head8_box"], y8).reshape(1, -1, box_dim)
-    r16 = _conv(p["head16_box"], y16).reshape(1, -1, box_dim)
-    c8 = _conv(p["head8_cls"], y8).reshape(1, -1, 1)
-    c16 = _conv(p["head16_cls"], y16).reshape(1, -1, 1)
+    r8 = _head(p["head8_box"], y8, box_dim)
+    r16 = _head(p["head16_box"], y16, box_dim)
+    c8 = _head(p["head8_cls"], y8, 1)
+    c16 = _head(p["head16_cls"], y16, 1)
     return (jnp.concatenate([r8, r16], axis=1),
             jnp.concatenate([c8, c16], axis=1))
 
@@ -111,15 +125,15 @@ def init_blaze_landmark(seed: int, input_size: int, num_landmarks: int) -> dict:
 
 
 def blaze_landmark_apply(p: dict, x: Array, input_size: int) -> tuple[Array, Array, Array]:
-    """x: [1, S, S, 3] -> (landmarks [1, 3L] in crop pixels, presence [1, 1]
-    (sigmoided), aux/handedness [1, 1])."""
+    """x: planar [1, 3, S, S] -> (landmarks [1, 3L] in crop pixels, presence
+    [1, 1] (sigmoided), aux/handedness [1, 1])."""
     s = input_size
     y = jax.nn.relu(_conv(p["stem"], x, stride=2))
     y = _blaze_block(p["b1"], y, stride=2)
     y = _blaze_block(p["b2"], y, stride=2)
     y = _blaze_block(p["b3"], y, stride=2)
     y = _blaze_block(p["b4"], y, stride=2)
-    y = jnp.mean(y, axis=(1, 2), keepdims=True)
+    y = jnp.mean(y, axis=(2, 3), keepdims=True)
     lm = _conv(p["head_lm"], y).reshape(1, -1)
     # Scale random-init outputs into the crop-pixel range so downstream
     # geometry stays well-conditioned.
@@ -147,7 +161,7 @@ def init_segmenter(seed: int, input_size: int, num_classes: int = 6) -> dict:
 
 
 def segmenter_apply(p: dict, x: Array, input_size: int) -> Array:
-    """x: [1, S, S, 3] -> confidence masks [1, S, S, C] (softmaxed).
+    """x: planar [1, 3, S, S] -> confidence masks [1, S, S, C] (softmaxed).
     Decoder upsamples progressively (/4 -> /2 -> full) so the 3x3 convs
     never run at full resolution — only the 1x1 class head does."""
     s = input_size
@@ -155,9 +169,10 @@ def segmenter_apply(p: dict, x: Array, input_size: int) -> Array:
     y = _blaze_block(p["b1"], y, stride=2)           # /4
     y = _blaze_block(p["b2"], y, stride=2)           # /8
     y = _blaze_block(p["b3"], y)
-    y = jax.image.resize(y, (1, s // 4, s // 4, y.shape[-1]), "bilinear")
+    y = jax.image.resize(y, (1, y.shape[1], s // 4, s // 4), "bilinear")
     y = jax.nn.relu(_conv(p["up1"], y))
-    y = jax.image.resize(y, (1, s // 2, s // 2, y.shape[-1]), "bilinear")
+    y = jax.image.resize(y, (1, y.shape[1], s // 2, s // 2), "bilinear")
     y = jax.nn.relu(_conv(p["up2"], y))
-    y = jax.image.resize(y, (1, s, s, y.shape[-1]), "bilinear")
-    return jax.nn.softmax(_conv(p["head"], y), axis=-1)
+    y = jax.image.resize(y, (1, y.shape[1], s, s), "bilinear")
+    return jax.nn.softmax(jnp.transpose(_conv(p["head"], y), (0, 2, 3, 1)),
+                          axis=-1)

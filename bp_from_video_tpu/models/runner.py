@@ -173,7 +173,8 @@ class InferenceRunner:
         if blob is None and path is not None:
             blob = tc.load_tflite_file(path)
         if blob is not None:
-            fn, params = tc.compile_tflite(blob, self.dtype)
+            fn, params = tc.compile_tflite(blob, self.dtype, layout="NCHW",
+                                           planar_inputs=True)
             size = fn.input_shapes[0][1]
 
             def apply(p, x, fn=fn):
@@ -195,7 +196,8 @@ class InferenceRunner:
 
     def _load_landmark(self, key, blob, fallback_size, num_landmarks):
         if blob is not None:
-            fn, params = tc.compile_tflite(blob, self.dtype)
+            fn, params = tc.compile_tflite(blob, self.dtype, layout="NCHW",
+                                           planar_inputs=True)
             size = fn.input_shapes[0][1]
 
             def apply(p, x, fn=fn, nl=num_landmarks):
@@ -219,7 +221,8 @@ class InferenceRunner:
 
     def _load_segmenter(self, key, blob, fallback_size):
         if blob is not None:
-            fn, params = tc.compile_tflite(blob, self.dtype)
+            fn, params = tc.compile_tflite(blob, self.dtype, layout="NCHW",
+                                           planar_inputs=True)
             size = fn.input_shapes[0][1]
 
             def apply(p, x, fn=fn):
@@ -268,7 +271,9 @@ class InferenceRunner:
         x = lb.image / 255.0
         if in_range == "pm1":
             x = x * 2.0 - 1.0
-        reg, log = self._fns[key](params, x[None].astype(self.dtype))
+        # Nets consume planar [1, C, S, S] (NCHW activation layout).
+        x = jnp.transpose(x, (2, 0, 1))[None]
+        reg, log = self._fns[key](params, x.astype(self.dtype))
         raw = detection.decode(decode_cfg, reg[0].astype(jnp.float32),
                                log[0].astype(jnp.float32), anchors)
         nms = detection.weighted_nms(decode_cfg, raw, max_out)
@@ -285,14 +290,18 @@ class InferenceRunner:
             rect = warp.axis_aligned_cover(rect)
         crop = warp.crop_rect(frame, rect, size,
                               exact_rotation=self.cfg.exact_rotation)
-        return self._landmark_from_crop(key, params, crop, rect)
+        return self._landmark_from_crop(key, params,
+                                        jnp.transpose(crop, (2, 0, 1)), rect)
 
     def _landmark_from_crop(self, key: str, params, crop: Array,
-                            rect: warp.Rect) -> tuple[Array, Array, Array]:
-        """Net + projection on an already-extracted crop (the fused Pallas
-        multi-crop path feeds this directly)."""
+                            rect: warp.Rect, prescaled: bool = False
+                            ) -> tuple[Array, Array, Array]:
+        """Net + projection on an already-extracted PLANAR crop [C, S, S]
+        (the fused Pallas multi-crop path feeds this directly; with
+        ``prescaled`` the /255 normalization already happened in the crop
+        kernel's epilogue)."""
         size = self._fns[key + "_size"]
-        x = crop / 255.0
+        x = crop if prescaled else crop / 255.0
         lm, presence, aux = self._fns[key](params, x[None].astype(self.dtype))
         pts = lm[0].astype(jnp.float32).reshape(-1, 3)[:, :2] / size
         pts_px = warp.project_landmarks(pts, rect)
@@ -447,15 +456,18 @@ class InferenceRunner:
                 rect_parts.append(hand_cover[..., :4])
                 sizes += [self._fns["hand_lm_size"]] * hand_cover.shape[1]
             planar = jnp.transpose(frames_rgb, (0, 3, 1, 2))
+            # Crops come out planar ([S, 3, sz, sz]) — exactly the nets'
+            # NCHW activation layout — pre-normalized and already in the
+            # compute dtype (half-sized in HBM, no convert/normalize pass).
             outs = warp_kernel.multi_crop(planar, jnp.concatenate(
-                rect_parts, axis=1), tuple(sizes), dtype=self.dtype)
-            outs = [jnp.transpose(o, (0, 2, 3, 1)) for o in outs]
+                rect_parts, axis=1), tuple(sizes), dtype=self.dtype,
+                out_dtype=self.dtype, scale=1.0 / 255.0)
             i = 0
             if face_cover is not None:
-                face_crops = outs[0]                              # [S, sz, sz, 3]
+                face_crops = outs[0]                              # [S, 3, sz, sz]
                 i = 1
             if hand_cover is not None:
-                hand_crops = jnp.stack(outs[i:], axis=1)          # [S, nh, sz, sz, 3]
+                hand_crops = jnp.stack(outs[i:], axis=1)          # [S, nh, 3, sz, sz]
 
         if self.cfg.face_landmarker:
             def face_next_rect(pts_px):
@@ -466,7 +478,8 @@ class InferenceRunner:
             if face_crops is not None:
                 def lm_crop(crop, cov):
                     pts_px, presence, _ = self._landmark_from_crop(
-                        "flm_lm", params["flm_lm"], crop, _arr_rect(cov))
+                        "flm_lm", params["flm_lm"], crop, _arr_rect(cov),
+                        prescaled=True)
                     return pts_px, presence, face_next_rect(pts_px)
                 pts_all, presences, next_rects = jax.vmap(lm_crop)(
                     face_crops, face_cover)
@@ -505,7 +518,8 @@ class InferenceRunner:
             if hand_crops is not None:
                 def hand_crop_one(crop, cov):
                     pts_px, presence, _ = self._landmark_from_crop(
-                        "hand_lm", params["hand_lm"], crop, _arr_rect(cov))
+                        "hand_lm", params["hand_lm"], crop, _arr_rect(cov),
+                        prescaled=True)
                     return pts_px, presence, hand_next_rect(pts_px)
                 pts_all, presences, next_rects = jax.vmap(jax.vmap(
                     hand_crop_one))(hand_crops, hand_cover)
@@ -544,8 +558,9 @@ class InferenceRunner:
 
             def seg_one(frame):
                 small = warp.resize_bilinear(frame, size, size) / 255.0
+                small = jnp.transpose(small, (2, 0, 1))[None]  # planar
                 conf = self._fns["seg"](params["seg"],
-                                        small[None].astype(self.dtype))
+                                        small.astype(self.dtype))
                 # Mask-grade data: upsample the 6 confidence channels in
                 # bf16 (halves the full-res traffic), emit f32.
                 conf_full = warp.resize_bilinear(

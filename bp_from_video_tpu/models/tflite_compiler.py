@@ -224,13 +224,26 @@ def _dequant(info: TensorInfo, arr: np.ndarray) -> np.ndarray:
     return arr
 
 
-def compile_tflite(data: bytes, dtype=jnp.float32
+def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
+                   planar_inputs: bool = False
                    ) -> tuple[Callable[..., list[Array]], dict[str, Array]]:
     """Compile a .tflite model into ``fn(params, *inputs) -> [outputs]`` and
     its weights pytree.
 
     Constant DEQUANTIZE chains are folded into the weights at load time.
     ``dtype`` casts float weights/compute (e.g. jnp.bfloat16 for the MXU).
+
+    ``layout="NCHW"`` stores activations planar ([N, C, H, W]) between ops
+    while keeping the external NHWC I/O contract; ``planar_inputs=True``
+    additionally makes the compiled fn take its 4-D image inputs already
+    planar (so an upstream planar producer — e.g. the Pallas multi-crop
+    kernel — feeds the net without a transpose round-trip).  This is the TPU-native
+    layout for these tiny-channel vision nets: NHWC buffers put channels
+    (8-32) in sublanes and batch in lanes, padding both tile dimensions
+    (measured 2.7x HBM traffic inflation on the face-mesh graph at batch
+    64); planar buffers tile (H, W) exactly at any batch/channel count.
+    Convolution outputs are emitted in the compute dtype (one rounding after
+    the MXU's f32 accumulation), halving conv traffic again under bf16.
     """
     graph = parse_tflite(data)
     tensors = graph.ops and graph.tensors or graph.tensors
@@ -267,17 +280,55 @@ def compile_tflite(data: bytes, dtype=jnp.float32
 
     input_shapes = [graph.tensors[i].shape for i in graph.inputs]
 
+    nchw = layout == "NCHW"
+    if layout not in ("NHWC", "NCHW"):
+        raise ValueError(f"unknown layout {layout}")
+    # NHWC axis -> NCHW axis, for remapping concat axes / reduction axes.
+    _AX = {0: 0, 1: 2, 2: 3, 3: 1}
+
     def fn(p: dict[str, Array], *inputs: Array) -> list[Array]:
         if len(inputs) != len(graph.inputs):
             raise ValueError(f"expected {len(graph.inputs)} inputs")
         env: dict[int, Array] = {}
+        lay: dict[int, bool] = {}  # idx -> stored planar (NCHW)
         for idx, key in const_keys.items():
             env[idx] = p[key]
         for idx, x in zip(graph.inputs, inputs):
-            env[idx] = jnp.asarray(x, dtype)
+            x = jnp.asarray(x, dtype)
+            env[idx] = x
+            if planar_inputs and nchw and x.ndim == 4:
+                lay[idx] = True
 
         def get(i: int) -> Array:
-            return env[i]
+            """Tensor in its NHWC-contract form (transposing back if the
+            stored copy is planar)."""
+            x = env[i]
+            if lay.get(i):
+                x = jnp.transpose(x, (0, 2, 3, 1))
+            return x
+
+        def get_planar(i: int) -> Array:
+            """Tensor as [N, C, H, W] (right-aligning sub-4D shapes by NHWC
+            broadcast semantics first)."""
+            x = env[i]
+            if lay.get(i):
+                return x
+            if x.ndim < 4:
+                x = x.reshape((1,) * (4 - x.ndim) + x.shape)
+            return jnp.transpose(x, (0, 3, 1, 2))
+
+        def put(i: int, x: Array, planar: bool = False) -> None:
+            env[i] = x
+            if planar:
+                lay[i] = True
+
+        def ew_operands(ins_: list[int]) -> tuple[list[Array], bool]:
+            """Elementwise operands in a common layout: planar if any operand
+            is stored planar (constants get right-aligned + transposed, which
+            folds at compile time), NHWC otherwise."""
+            if nchw and any(lay.get(i) for i in ins_):
+                return [get_planar(i) for i in ins_], True
+            return [get(i) for i in ins_], False
 
         def np_const(i: int) -> np.ndarray:
             v = const_value(i)
@@ -290,51 +341,64 @@ def compile_tflite(data: bytes, dtype=jnp.float32
             if name == "DEQUANTIZE":
                 if outs[0] in dequant_of:
                     continue  # folded constant
-                env[outs[0]] = get(ins[0]).astype(dtype)
+                put(outs[0], env[ins[0]].astype(dtype), lay.get(ins[0], False))
             elif name == "CONV_2D":
-                x, w = get(ins[0]), get(ins[1])
+                x = get_planar(ins[0]) if nchw else get(ins[0])
+                w = get(ins[1])
                 # TFLite weights: [out, kh, kw, in] -> HWIO
                 wt = jnp.transpose(w, (1, 2, 3, 0))
+                dn = ("NCHW", "HWIO", "NCHW") if nchw else ("NHWC", "HWIO", "NHWC")
                 y = jax.lax.conv_general_dilated(
                     x, wt, window_strides=o["stride"], padding=o["padding"],
                     rhs_dilation=o["dilation"],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.float32).astype(dtype)
+                    dimension_numbers=dn,
+                    preferred_element_type=dtype).astype(dtype)
                 if len(ins) > 2 and ins[2] >= 0:
-                    y = y + get(ins[2])
-                env[outs[0]] = _act(y, o["activation"])
+                    b = get(ins[2])
+                    y = y + (b.reshape(-1, 1, 1) if nchw else b)
+                put(outs[0], _act(y, o["activation"]), nchw)
             elif name == "DEPTHWISE_CONV_2D":
-                x, w = get(ins[0]), get(ins[1])
-                cin = x.shape[-1]
+                x = get_planar(ins[0]) if nchw else get(ins[0])
+                w = get(ins[1])
+                cin = x.shape[1] if nchw else x.shape[-1]
                 mult = o["depth_multiplier"]
                 # TFLite weights: [1, kh, kw, in*mult] -> HWIO with groups=in
                 wt = jnp.transpose(w, (1, 2, 0, 3))
                 wt = wt.reshape(w.shape[1], w.shape[2], 1, cin * mult)
+                dn = ("NCHW", "HWIO", "NCHW") if nchw else ("NHWC", "HWIO", "NHWC")
                 y = jax.lax.conv_general_dilated(
                     x, wt, window_strides=o["stride"], padding=o["padding"],
                     rhs_dilation=o["dilation"], feature_group_count=cin,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.float32).astype(dtype)
+                    dimension_numbers=dn,
+                    preferred_element_type=dtype).astype(dtype)
                 if len(ins) > 2 and ins[2] >= 0:
-                    y = y + get(ins[2])
-                env[outs[0]] = _act(y, o["activation"])
+                    b = get(ins[2])
+                    y = y + (b.reshape(-1, 1, 1) if nchw else b)
+                put(outs[0], _act(y, o["activation"]), nchw)
             elif name == "TRANSPOSE_CONV":
                 out_shape = np_const(ins[0])
-                w, x = get(ins[1]), get(ins[2])
+                w = get(ins[1])
+                x = get_planar(ins[2]) if nchw else get(ins[2])
                 # TFLite weights: [out, kh, kw, in]; lax transpose conv via
                 # conv_transpose with HWIO of the forward conv.
                 wt = jnp.transpose(w, (1, 2, 3, 0))  # H W I O
+                dn = ("NCHW", "HWIO", "NCHW") if nchw else ("NHWC", "HWIO", "NHWC")
                 y = jax.lax.conv_transpose(
                     x, wt, strides=o["stride"], padding=o["padding"],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    dimension_numbers=dn,
                     transpose_kernel=True).astype(dtype)
                 if len(ins) > 3 and ins[3] >= 0:
-                    y = y + get(ins[3])
-                env[outs[0]] = y
+                    b = get(ins[3])
+                    y = y + (b.reshape(-1, 1, 1) if nchw else b)
+                put(outs[0], y, nchw)
             elif name in ("MAX_POOL_2D", "AVERAGE_POOL_2D"):
-                x = get(ins[0])
-                window = (1,) + o["filter"] + (1,)
-                strides = (1,) + o["stride"] + (1,)
+                x = get_planar(ins[0]) if nchw else get(ins[0])
+                if nchw:
+                    window = (1, 1) + o["filter"]
+                    strides = (1, 1) + o["stride"]
+                else:
+                    window = (1,) + o["filter"] + (1,)
+                    strides = (1,) + o["stride"] + (1,)
                 if name == "MAX_POOL_2D":
                     y = jax.lax.reduce_window(
                         x, -jnp.inf, jax.lax.max, window, strides, o["padding"])
@@ -345,68 +409,81 @@ def compile_tflite(data: bytes, dtype=jnp.float32
                         jnp.ones_like(x), 0.0, jax.lax.add, window, strides,
                         o["padding"])
                     y = s / c
-                env[outs[0]] = _act(y.astype(dtype), o["activation"])
-            elif name == "PAD":
-                x = get(ins[0])
-                pads = np_const(ins[1])
-                env[outs[0]] = jnp.pad(x, [(int(a), int(b)) for a, b in pads])
-            elif name == "MIRROR_PAD":
-                x = get(ins[0])
-                pads = np_const(ins[1])
-                env[outs[0]] = jnp.pad(
-                    x, [(int(a), int(b)) for a, b in pads], mode="reflect")
-            elif name in ("ADD", "SUB", "MUL", "DIV"):
-                a, b = get(ins[0]), get(ins[1])
-                y = {"ADD": jnp.add, "SUB": jnp.subtract,
-                     "MUL": jnp.multiply, "DIV": jnp.divide}[name](a, b)
-                env[outs[0]] = _act(y, o.get("activation", "NONE"))
-            elif name == "SQUARED_DIFFERENCE":
-                d = get(ins[0]) - get(ins[1])
-                env[outs[0]] = d * d
-            elif name == "NEG":
-                env[outs[0]] = -get(ins[0])
-            elif name == "SQRT":
-                env[outs[0]] = jnp.sqrt(get(ins[0]))
-            elif name == "RSQRT":
-                env[outs[0]] = jax.lax.rsqrt(get(ins[0]))
-            elif name == "RELU":
-                env[outs[0]] = jnp.maximum(get(ins[0]), 0.0)
-            elif name == "RELU6":
-                env[outs[0]] = jnp.clip(get(ins[0]), 0.0, 6.0)
-            elif name == "PRELU":
-                x, alpha = get(ins[0]), get(ins[1])
-                env[outs[0]] = jnp.where(x >= 0, x, x * alpha)
-            elif name == "LEAKY_RELU":
-                x = get(ins[0])
-                env[outs[0]] = jnp.where(x >= 0, x, 0.01 * x)
-            elif name == "LOGISTIC":
-                env[outs[0]] = jax.nn.sigmoid(get(ins[0]))
-            elif name == "TANH":
-                env[outs[0]] = jnp.tanh(get(ins[0]))
-            elif name == "HARD_SWISH":
-                x = get(ins[0])
-                env[outs[0]] = x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+                put(outs[0], _act(y.astype(dtype), o["activation"]), nchw)
+            elif name in ("PAD", "MIRROR_PAD"):
+                pads = [(int(a), int(b)) for a, b in np_const(ins[1])]
+                mode = "reflect" if name == "MIRROR_PAD" else "constant"
+                if nchw and len(pads) == 4:
+                    x = get_planar(ins[0])
+                    pads = [pads[0], pads[3], pads[1], pads[2]]
+                    put(outs[0], jnp.pad(x, pads, mode=mode), True)
+                else:
+                    put(outs[0], jnp.pad(get(ins[0]), pads, mode=mode))
+            elif name in ("ADD", "SUB", "MUL", "DIV", "MAXIMUM", "MINIMUM",
+                          "SQUARED_DIFFERENCE", "PRELU"):
+                (a, b), planar = ew_operands([ins[0], ins[1]])
+                if name == "SQUARED_DIFFERENCE":
+                    y = (a - b) * (a - b)
+                elif name == "PRELU":
+                    y = jnp.where(a >= 0, a, a * b)
+                else:
+                    y = {"ADD": jnp.add, "SUB": jnp.subtract,
+                         "MUL": jnp.multiply, "DIV": jnp.divide,
+                         "MAXIMUM": jnp.maximum,
+                         "MINIMUM": jnp.minimum}[name](a, b)
+                put(outs[0], _act(y, o.get("activation", "NONE")), planar)
+            elif name in ("NEG", "SQRT", "RSQRT", "RELU", "RELU6",
+                          "LEAKY_RELU", "LOGISTIC", "TANH", "HARD_SWISH",
+                          "EXP"):
+                x = env[ins[0]]
+                y = {
+                    "NEG": lambda v: -v,
+                    "SQRT": jnp.sqrt,
+                    "RSQRT": jax.lax.rsqrt,
+                    "RELU": lambda v: jnp.maximum(v, 0.0),
+                    "RELU6": lambda v: jnp.clip(v, 0.0, 6.0),
+                    "LEAKY_RELU": lambda v: jnp.where(v >= 0, v, 0.01 * v),
+                    "LOGISTIC": jax.nn.sigmoid,
+                    "TANH": jnp.tanh,
+                    "HARD_SWISH": lambda v: v * jnp.clip(v + 3.0, 0.0, 6.0) / 6.0,
+                    "EXP": jnp.exp,
+                }[name](x)
+                put(outs[0], y, lay.get(ins[0], False))
             elif name == "SOFTMAX":
-                env[outs[0]] = jax.nn.softmax(get(ins[0]) * o.get("beta", 1.0),
-                                              axis=-1)
+                put(outs[0], jax.nn.softmax(get(ins[0]) * o.get("beta", 1.0),
+                                            axis=-1))
             elif name == "RESHAPE":
                 x = get(ins[0])
                 shape = o.get("new_shape")
                 if shape is None:
                     shape = tuple(int(v) for v in np_const(ins[1]))
-                env[outs[0]] = jnp.reshape(x, shape)
+                put(outs[0], jnp.reshape(x, shape))
             elif name == "TRANSPOSE":
                 perm = tuple(int(v) for v in np_const(ins[1]))
-                env[outs[0]] = jnp.transpose(get(ins[0]), perm)
+                put(outs[0], jnp.transpose(get(ins[0]), perm))
             elif name == "CONCATENATION":
-                env[outs[0]] = jnp.concatenate([get(i) for i in ins],
-                                               axis=o["axis"])
+                if nchw and any(lay.get(i) for i in ins):
+                    axis = _AX[o["axis"] % 4]
+                    put(outs[0], jnp.concatenate(
+                        [get_planar(i) for i in ins], axis=axis), True)
+                else:
+                    put(outs[0], jnp.concatenate([get(i) for i in ins],
+                                                 axis=o["axis"]))
             elif name in ("MEAN", "SUM", "REDUCE_MAX"):
                 axes = tuple(int(v) for v in np.atleast_1d(np_const(ins[1])))
                 red = {"MEAN": jnp.mean, "SUM": jnp.sum,
                        "REDUCE_MAX": jnp.max}[name]
-                env[outs[0]] = red(get(ins[0]), axis=axes,
-                                   keepdims=o.get("keep_dims", False))
+                keep = o.get("keep_dims", False)
+                ax_set = {a % 4 for a in axes}
+                # Planar shortcut only where the squeezed result keeps the
+                # same dim order as NHWC ({H,W} -> [N,C]; {C} -> [N,H,W]),
+                # or under keepdims (result stays rank-4 planar).
+                if lay.get(ins[0]) and (keep or ax_set in ({1, 2}, {3})):
+                    axes_p = tuple(_AX[a % 4] for a in axes)
+                    put(outs[0], red(env[ins[0]], axis=axes_p, keepdims=keep),
+                        keep)
+                else:
+                    put(outs[0], red(get(ins[0]), axis=axes, keepdims=keep))
             elif name == "STRIDED_SLICE":
                 x = get(ins[0])
                 begin = np_const(ins[1]).astype(int)
@@ -431,32 +508,36 @@ def compile_tflite(data: bytes, dtype=jnp.float32
                             for b, s in zip(begin, size))
                 env[outs[0]] = x[idx]
             elif name in ("RESIZE_BILINEAR", "RESIZE_NEAREST_NEIGHBOR"):
-                x = get(ins[0])
                 hw = tuple(int(v) for v in np_const(ins[1]))
-                shape = (x.shape[0], hw[0], hw[1], x.shape[3])
+                planar = bool(nchw and lay.get(ins[0])
+                              and (name == "RESIZE_NEAREST_NEIGHBOR"
+                                   or o["half_pixel_centers"]))
+                if planar:
+                    x = env[ins[0]]
+                    shape = (x.shape[0], x.shape[1], hw[0], hw[1])
+                else:
+                    x = get(ins[0])
+                    shape = (x.shape[0], hw[0], hw[1], x.shape[3])
                 if name == "RESIZE_NEAREST_NEIGHBOR":
-                    env[outs[0]] = jax.image.resize(x, shape, "nearest")
+                    put(outs[0], jax.image.resize(x, shape, "nearest"), planar)
                 elif o["half_pixel_centers"]:
-                    env[outs[0]] = jax.image.resize(x, shape, "bilinear").astype(dtype)
+                    put(outs[0],
+                        jax.image.resize(x, shape, "bilinear").astype(dtype),
+                        planar)
                 else:
                     # align_corners / asymmetric bilinear via explicit gather.
-                    env[outs[0]] = _resize_bilinear_legacy(
-                        x, hw, o["align_corners"]).astype(dtype)
+                    put(outs[0], _resize_bilinear_legacy(
+                        x, hw, o["align_corners"]).astype(dtype))
             elif name == "FULLY_CONNECTED":
                 x, w = get(ins[0]), get(ins[1])
                 y = jnp.einsum("...i,oi->...o", x, w,
                                preferred_element_type=jnp.float32).astype(dtype)
                 if len(ins) > 2 and ins[2] >= 0:
                     y = y + get(ins[2])
-                env[outs[0]] = _act(y, o["activation"])
-            elif name in ("MAXIMUM", "MINIMUM"):
-                fn2 = jnp.maximum if name == "MAXIMUM" else jnp.minimum
-                env[outs[0]] = fn2(get(ins[0]), get(ins[1]))
-            elif name == "EXP":
-                env[outs[0]] = jnp.exp(get(ins[0]))
+                put(outs[0], _act(y, o["activation"]))
             else:
                 raise NotImplementedError(f"TFLite op {name}")
-        return [env[i] for i in graph.outputs]
+        return [get(i) for i in graph.outputs]
 
     fn.input_shapes = input_shapes  # type: ignore[attr-defined]
     fn.graph = graph                # type: ignore[attr-defined]

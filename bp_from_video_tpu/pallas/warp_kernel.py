@@ -27,7 +27,12 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _kernel(rects_ref, frame_ref, *out_refs, sizes, dtype):
+def _kernel(rects_ref, frame_ref, *out_refs, sizes, dtype, scale):
+    # Cast each channel plane once (u8 -> i32 -> f32 -> dtype; Mosaic has no
+    # direct u8->float cast) and reuse it across every crop.
+    planes = [frame_ref[0, ch].astype(jnp.int32).astype(jnp.float32
+                                                        ).astype(dtype)
+              for ch in range(frame_ref.shape[1])]
     for c, (size, out_ref) in enumerate(zip(sizes, out_refs)):
         cx = rects_ref[0, c, 0]
         cy = rects_ref[0, c, 1]
@@ -52,40 +57,44 @@ def _kernel(rects_ref, frame_ref, *out_refs, sizes, dtype):
         wx = jnp.where(nan_xs, 0.0,
                        jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - gx))
                        ).astype(dtype)
-        for ch in range(frame_ref.shape[1]):
-            # Mosaic has no direct u8->float cast; widen to i32 first.
+        for ch, f in enumerate(planes):
             # (Pixel values 0..255 are exact in bf16.)
-            f = frame_ref[0, ch].astype(jnp.int32).astype(jnp.float32
-                                                          ).astype(dtype)
             tmp = jnp.dot(wy, f, preferred_element_type=jnp.float32
                           ).astype(dtype)
-            out_ref[0, ch] = jnp.dot(tmp, wx.T,
-                                     preferred_element_type=jnp.float32)
+            res = jnp.dot(tmp, wx.T, preferred_element_type=jnp.float32)
+            if scale != 1.0:
+                res = res * scale
+            out_ref[0, ch] = res.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "interpret", "dtype"))
+@functools.partial(jax.jit, static_argnames=("sizes", "interpret", "dtype",
+                                             "out_dtype", "scale"))
 def multi_crop(frames_planar: Array, rects: Array, sizes: tuple[int, ...],
-               interpret: bool = False, dtype=jnp.float32
+               interpret: bool = False, dtype=jnp.float32,
+               out_dtype=jnp.float32, scale: float = 1.0
                ) -> tuple[Array, ...]:
     """Crop ``len(sizes)`` axis-aligned rects out of each stream's frame.
 
     frames_planar: uint8 [S, 3, H, W]; rects: float32 [S, C, 4] as
     (cx, cy, w, h) pixel rects (NaN -> zero crop).  Returns one
-    [S, 3, size, size] float32 array per crop.  ``dtype`` sets the matmul
-    operand precision (bf16 when the crops feed bf16 nets — ~0.4% weight
-    quantization, invisible to the landmark nets).
+    [S, 3, size, size] ``out_dtype`` array per crop, multiplied by ``scale``
+    (fold the nets' /255 normalization into the kernel epilogue — with
+    ``out_dtype=bfloat16`` the crops land in HBM half-sized AND
+    net-ready, no separate normalize/convert pass).  ``dtype`` sets the
+    matmul operand precision (bf16 when the crops feed bf16 nets — ~0.4%
+    weight quantization, invisible to the landmark nets).
     """
     s, ch, h, w = frames_planar.shape
     c = rects.shape[1]
     assert c == len(sizes)
     grid = (s,)
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((s, ch, sz, sz), jnp.float32) for sz in sizes)
+        jax.ShapeDtypeStruct((s, ch, sz, sz), out_dtype) for sz in sizes)
     out_specs = tuple(
         pl.BlockSpec((1, ch, sz, sz), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM) for sz in sizes)
     return pl.pallas_call(
-        functools.partial(_kernel, sizes=sizes, dtype=dtype),
+        functools.partial(_kernel, sizes=sizes, dtype=dtype, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, c, 4), lambda i: (i, 0, 0),

@@ -31,14 +31,15 @@ def _models():
     return blobs
 
 
+@pytest.mark.parametrize("layout", ["NHWC", "NCHW"])
 @pytest.mark.parametrize("name,atol", [
     ("face_detector.tflite", 5e-4),
     ("face_landmarks_detector.tflite", 5e-3),
     ("face_blendshapes.tflite", 5e-3),
 ])
-def test_compiled_matches_interpreter(name, atol):
+def test_compiled_matches_interpreter(name, atol, layout):
     data = _models()[name]
-    fn, params = tc.compile_tflite(data)
+    fn, params = tc.compile_tflite(data, layout=layout)
     rng = np.random.RandomState(0)
     inputs = []
     for shape in fn.input_shapes:
@@ -59,6 +60,20 @@ def test_compiled_matches_interpreter(name, atol):
         scale = np.abs(r).max() + 1e-6
         np.testing.assert_allclose(m, r, atol=atol * scale,
                                    err_msg=f"{name} output {m.shape}")
+
+
+def test_planar_inputs_match_nhwc():
+    """planar_inputs=True takes [N, C, H, W] images and matches exactly."""
+    data = _models()["face_landmarks_detector.tflite"]
+    fn, p = tc.compile_tflite(data)
+    fnp, pp = tc.compile_tflite(data, layout="NCHW", planar_inputs=True)
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0, 1, size=fn.input_shapes[0]).astype(np.float32)
+    a = fn(p, jnp.asarray(x))
+    b = fnp(pp, jnp.transpose(jnp.asarray(x), (0, 3, 1, 2)))
+    for m, n in zip(a, b):
+        np.testing.assert_allclose(np.asarray(m), np.asarray(n),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_vmap_over_compiled_model():

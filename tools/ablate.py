@@ -1,0 +1,218 @@
+"""Ablation timing of the fused step (dev tool): bench.py's scan-with-state
+measurement methodology, with components knocked out, to attribute the frame
+budget.  (Looping on fixed inputs is useless here — the axon runtime dedupes
+identical executions; every variant below carries state through a scan so
+inputs vary per step, exactly like bench.py.)
+
+Usage:  python tools/ablate.py [variant ...]
+Variants: full infer signal dsp spectrum corr nets crops
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from bench import _asset_dir, _enable_compile_cache
+
+
+def scan_time(label, step, carry0, clip_len, streams, reps=3):
+    """Time `jax.lax.scan(step, carry0, arange)` like bench.py does."""
+    @jax.jit
+    def run(carry, i0):
+        return jax.lax.scan(step, carry,
+                            i0 + jnp.arange(clip_len, dtype=jnp.float32))
+
+    carry, _ = run(carry0, jnp.float32(0.0))
+    jax.block_until_ready(carry)
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        carry, out = run(carry, jnp.float32((r + 1) * clip_len))
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    per_frame = best / (clip_len * streams)
+    print(f"{label:28s} {best*1e3/clip_len:8.3f} ms/step "
+          f"{1.0/per_frame:10,.0f} fps", flush=True)
+    return best
+
+
+def main():
+    _enable_compile_cache()
+    from bp_from_video_tpu.config import EngineConfig, InferenceConfig
+    from bp_from_video_tpu.models.runner import TrackState
+    from bp_from_video_tpu.parallel import MultiStreamEngine
+    from bp_from_video_tpu.runtime.engine import EngineState
+
+    variants = [a for a in sys.argv[1:] if not a.startswith("-")] or [
+        "full", "infer", "signal", "dsp", "spectrum", "corr"]
+
+    streams = int(os.environ.get("BENCH_STREAMS", "64"))
+    clip_len = int(os.environ.get("BENCH_CLIP", "16"))
+    h, w = 480, 640
+    dt = 1.0 / 30.0
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = EngineConfig(frame_height=h, frame_width=w, num_streams=streams,
+                       compute_dtype="bfloat16",
+                       inference=InferenceConfig(use_pallas=on_tpu))
+    ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
+    eng = ms.engine
+
+    n_buf = 4
+    frame_buf = jax.jit(lambda k: jax.random.randint(
+        k, (n_buf, streams, h, w, 3), 0, 256, jnp.uint8))(jax.random.key(7))
+
+    def frames_at(i):
+        return jax.lax.dynamic_index_in_dim(
+            frame_buf, jnp.mod(i.astype(jnp.int32), n_buf), keepdims=False)
+
+    def hold_tracking(tr):
+        return TrackState(tr.face_rect, jnp.ones_like(tr.face_tracking),
+                          tr.hand_rects, jnp.ones_like(tr.hand_tracking))
+
+    state0 = ms.init_states()
+
+    # Fixed model results for signal-only variants (shapes from one predict).
+    _, models0 = jax.jit(eng.runner.predict_batch)(
+        ms.params, hold_tracking(state0.track), frames_at(jnp.float32(0)))
+    jax.block_until_ready(models0)
+
+    for v in variants:
+        if v == "full":
+            def step(carry, i):
+                st = carry
+                ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+                st2, out = eng.batch_step(
+                    ms.params, EngineState(st.signals,
+                                           hold_tracking(st.track)),
+                    frames_at(i), ts)
+                return st2, out.bpm
+            scan_time("full step", step, state0, clip_len, streams)
+
+        elif v == "infer":
+            def step(carry, i):
+                track = carry
+                track2, models = eng.runner.predict_batch(
+                    ms.params, hold_tracking(track), frames_at(i))
+                # consume a small summary so nothing is DCE'd
+                summary = (jnp.nansum(models.face_landmarker.points)
+                           + jnp.nansum(models.hand_landmarker.points))
+                return track2, summary
+            scan_time("inference only", step, state0.track, clip_len, streams)
+
+        elif v == "signal":
+            def step(carry, i):
+                signals = carry
+                ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+                signals2, out = jax.vmap(eng.signal_step)(
+                    signals, models0, frames_at(i), ts)
+                return signals2, out.bpm
+            scan_time("signal path only", step, state0.signals, clip_len,
+                      streams)
+
+        elif v == "dsp":
+            from bp_from_video_tpu.ops import chain, signal as sig
+            def step(carry, i):
+                raw_x, raw_y = carry  # [N], [S, ns, N]
+                ts = (i + 1.0) * dt
+                new = jnp.mean(frames_at(i)[:, ::64, ::64, 1],
+                               axis=(1, 2))[:, None].repeat(
+                                   raw_y.shape[1], 1)
+                raw_x2 = jnp.concatenate([raw_x[1:], ts[None]])
+                raw_y2 = jnp.concatenate([raw_y[..., 1:], new[..., None]],
+                                         axis=-1)
+                proc = jax.vmap(jax.vmap(
+                    lambda y: chain.process_signal(cfg.signal, raw_x2, y)))(
+                        raw_y2)
+                return (raw_x2, raw_y2), jnp.nansum(proc[1])
+            n = cfg.signal.signal_max_samples
+            ns = cfg.signal.num_signals
+            carry0 = (jnp.full((n,), jnp.nan, jnp.float32),
+                      jnp.full((streams, ns, n), jnp.nan, jnp.float32))
+            scan_time("dsp chain only", step, carry0, clip_len, streams)
+
+        elif v == "spectrum":
+            from bp_from_video_tpu.ops import spectrum as spec
+            def step(carry, i):
+                raw_x, raw_y = carry
+                ts = (i + 1.0) * dt
+                new = jnp.mean(frames_at(i)[:, ::64, ::64, 1],
+                               axis=(1, 2))[:, None].repeat(
+                                   raw_y.shape[1], 1)
+                raw_x2 = jnp.concatenate([raw_x[1:], ts[None]])
+                raw_y2 = jnp.concatenate([raw_y[..., 1:], new[..., None]],
+                                         axis=-1)
+                sp = jax.vmap(jax.vmap(
+                    lambda y: spec.transform_signal(cfg.signal, raw_x2, y)))(
+                        raw_y2)
+                return (raw_x2, raw_y2), jnp.nansum(sp[1])
+            n = cfg.signal.signal_max_samples
+            ns = cfg.signal.num_signals
+            carry0 = (jnp.full((n,), jnp.nan, jnp.float32),
+                      jnp.full((streams, ns, n), jnp.nan, jnp.float32))
+            scan_time("spectrum only", step, carry0, clip_len, streams)
+
+        elif v == "corr":
+            from bp_from_video_tpu.ops import correlate
+            def step(carry, i):
+                raw_x, raw_y = carry
+                ts = (i + 1.0) * dt
+                new = jnp.mean(frames_at(i)[:, ::64, ::64, 1],
+                               axis=(1, 2))[:, None].repeat(
+                                   raw_y.shape[1], 1)
+                raw_x2 = jnp.concatenate([raw_x[1:], ts[None]])
+                raw_y2 = jnp.concatenate([raw_y[..., 1:], new[..., None]],
+                                         axis=-1)
+                co = jax.vmap(
+                    lambda x, ys: correlate.correlate_pair(x, ys[0], ys[1]),
+                    in_axes=(None, 0))(raw_x2, raw_y2)
+                return (raw_x2, raw_y2), jnp.nansum(co[1])
+            n = cfg.signal.signal_max_samples
+            carry0 = (jnp.full((n,), jnp.nan, jnp.float32),
+                      jnp.full((streams, 2, n), jnp.nan, jnp.float32))
+            scan_time("correlation only", step, carry0, clip_len, streams)
+
+        elif v == "nets":
+            # Landmark nets on pre-cropped inputs, varying via carry.
+            def step(carry, i):
+                x256, x224 = carry
+                lm, pres, _ = jax.vmap(
+                    lambda x: eng.runner._fns["flm_lm"](
+                        ms.params["flm_lm"], x[None]))(x256)
+                hl, hp, _ = jax.vmap(jax.vmap(
+                    lambda x: eng.runner._fns["hand_lm"](
+                        ms.params["hand_lm"], x[None])))(x224)
+                x256_2 = x256 + 0.001 * jnp.mean(lm).astype(x256.dtype)
+                x224_2 = x224 + 0.001 * jnp.mean(hl).astype(x224.dtype)
+                return (x256_2, x224_2), (jnp.mean(lm) + jnp.mean(hl))
+            carry0 = (
+                jnp.zeros((streams, 3, 256, 256), jnp.bfloat16),
+                jnp.zeros((streams, 2, 3, 224, 224), jnp.bfloat16))
+            scan_time("landmark nets only", step, carry0, clip_len, streams)
+
+        elif v == "crops":
+            from bp_from_video_tpu.pallas import warp_kernel
+            def step(carry, i):
+                shift = carry
+                rects = jnp.tile(jnp.asarray(
+                    [[[320.0, 240.0, 200.0, 200.0]] * 3], jnp.float32),
+                    (streams, 1, 1)) + shift
+                planar = jnp.transpose(frames_at(i), (0, 3, 1, 2))
+                outs = warp_kernel.multi_crop(planar, rects, (256, 224, 224),
+                                              dtype=jnp.bfloat16)
+                return shift + 0.1, sum(jnp.mean(o) for o in outs)
+            scan_time("pallas crops only", step, jnp.float32(0.0), clip_len,
+                      streams)
+
+        else:
+            print(f"unknown variant {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,10 +47,10 @@ def main():
     key = jax.random.key(0)
     frames = jax.random.randint(key, (s, h, w, 3), 0, 256, jnp.uint8
                                 ).astype(jnp.float32)
-    x256 = jax.random.uniform(key, (s, 1, 256, 256, 3), jnp.bfloat16)
-    x224 = jax.random.uniform(key, (s, 2, 224, 224, 3), jnp.bfloat16)
-    x192 = jax.random.uniform(key, (s, 1, 192, 192, 3), jnp.bfloat16)
-    x128 = jax.random.uniform(key, (s, 1, 128, 128, 3), jnp.bfloat16)
+    x256 = jax.random.uniform(key, (s, 1, 3, 256, 256), jnp.bfloat16)
+    x224 = jax.random.uniform(key, (s, 2, 3, 224, 224), jnp.bfloat16)
+    x192 = jax.random.uniform(key, (s, 1, 3, 192, 192), jnp.bfloat16)
+    x128 = jax.random.uniform(key, (s, 1, 3, 128, 128), jnp.bfloat16)
 
     timeit(f"face mesh net (tflite) [{s},1,256²]",
            jax.vmap(lambda x: runner._fns["flm_lm"](params["flm_lm"], x)), x256)
