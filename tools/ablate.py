@@ -178,6 +178,29 @@ def main():
                       jnp.full((streams, 2, n), jnp.nan, jnp.float32))
             scan_time("correlation only", step, carry0, clip_len, streams)
 
+        elif v == "flm":
+            def step(carry, i):
+                x256 = carry
+                lm, pres, _ = jax.vmap(
+                    lambda x: eng.runner._fns["flm_lm"](
+                        ms.params["flm_lm"], x[None]))(x256)
+                x256_2 = x256 + 0.001 * jnp.mean(lm).astype(x256.dtype)
+                return x256_2, jnp.mean(lm)
+            carry0 = jnp.zeros((streams, 3, 256, 256), jnp.bfloat16)
+            scan_time("face mesh net only", step, carry0, clip_len, streams)
+
+        elif v == "hand":
+            def step(carry, i):
+                x224 = carry
+                hl, hp, _ = jax.vmap(jax.vmap(
+                    lambda x: eng.runner._fns["hand_lm"](
+                        ms.params["hand_lm"], x[None])))(x224)
+                x224_2 = x224 + 0.001 * jnp.mean(hl).astype(x224.dtype)
+                return x224_2, jnp.mean(hl)
+            carry0 = jnp.zeros((streams, 2, 3, 224, 224), jnp.bfloat16)
+            scan_time("hand nets only (2/stream)", step, carry0, clip_len,
+                      streams)
+
         elif v == "nets":
             # Landmark nets on pre-cropped inputs, varying via carry.
             def step(carry, i):
