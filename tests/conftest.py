@@ -22,6 +22,14 @@ try:
 except RuntimeError:  # pragma: no cover - no cpu platform
     pass
 
+# Persistent compilation cache: the engine tests compile multi-second XLA
+# programs; caching them makes reruns of the suite several times faster.
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def cpu_devices(n: int = 8):
     return jax.devices("cpu")[:n]
