@@ -191,6 +191,14 @@ class InferenceConfig:
     # TPU-only (Mosaic); leave False on CPU/interpret platforms.
     use_pallas: bool = False
 
+    # Graph-level conv optimizations in the TFLite->JAX compiler
+    # (tflite_compiler.fuse_dw_pw_pairs / space_to_depth_pack).
+    # fuse_dw_pw composes depthwise+1x1 pairs into dense convs (exact);
+    # pack_s2d stores activations with H,W >= the given value 2x2
+    # space-to-depth packed (0 = off).  Packing requires the composition.
+    fuse_dw_pw: bool = False
+    pack_s2d: int = 0
+
     def enabled(self, model_type: ModelType) -> bool:
         return {
             ModelType.FACE_DETECTOR: self.face_detector,

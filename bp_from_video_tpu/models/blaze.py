@@ -48,10 +48,28 @@ def _blaze_block_init(key, cin, cout):
     return {"dw": _conv_init(k1, 5, 5, 1, cin), "pw": _conv_init(k2, 1, 1, cin, cout)}
 
 
+# Compose each block's depthwise+pointwise pair into ONE dense conv before
+# dispatch: the two are linear maps with no activation between them, so
+#   W[u,v,c,o] = dw[u,v,0,c] * pw[0,0,c,o]
+# is the exact same function.  Measured on TPU v5e (tools/ablate.py, batch
+# 64-128): the composition alone is ~10% SLOWER than the dw+pw pair — conv
+# time there scales with streamed rows x kernel taps, and trading one
+# 1-tap pass for extra taps on a kh*kw kernel loses.  Kept (default off)
+# because it is the enabling step for space-to-depth packing, which cuts
+# the row count 4x.
+_COMPOSE_DW_PW = False
+
+
 def _blaze_block(p, x, stride=1):
     cin = x.shape[1]
-    y = _conv(p["dw"], x, stride=stride, groups=cin)
-    y = _conv(p["pw"], y)
+    if _COMPOSE_DW_PW:
+        dw_w, pw_w = p["dw"]["w"], p["pw"]["w"]
+        comp = {"w": dw_w[:, :, 0, :, None] * pw_w[0, 0][None, None],
+                "b": p["pw"]["b"] + pw_w[0, 0].T @ p["dw"]["b"]}
+        y = _conv(comp, x, stride=stride)
+    else:
+        y = _conv(p["dw"], x, stride=stride, groups=cin)
+        y = _conv(p["pw"], y)
     if stride == 2:
         x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                   (1, 1, 2, 2), (1, 1, 2, 2), "SAME")

@@ -174,7 +174,9 @@ class InferenceRunner:
             blob = tc.load_tflite_file(path)
         if blob is not None:
             fn, params = tc.compile_tflite(blob, self.dtype, layout="NCHW",
-                                           planar_inputs=True)
+                                           planar_inputs=True,
+                                           fuse_dw_pw=self.cfg.fuse_dw_pw,
+                                           pack_s2d=self.cfg.pack_s2d)
             size = fn.input_shapes[0][1]
 
             def apply(p, x, fn=fn):
@@ -197,7 +199,9 @@ class InferenceRunner:
     def _load_landmark(self, key, blob, fallback_size, num_landmarks):
         if blob is not None:
             fn, params = tc.compile_tflite(blob, self.dtype, layout="NCHW",
-                                           planar_inputs=True)
+                                           planar_inputs=True,
+                                           fuse_dw_pw=self.cfg.fuse_dw_pw,
+                                           pack_s2d=self.cfg.pack_s2d)
             size = fn.input_shapes[0][1]
 
             def apply(p, x, fn=fn, nl=num_landmarks):
@@ -222,7 +226,9 @@ class InferenceRunner:
     def _load_segmenter(self, key, blob, fallback_size):
         if blob is not None:
             fn, params = tc.compile_tflite(blob, self.dtype, layout="NCHW",
-                                           planar_inputs=True)
+                                           planar_inputs=True,
+                                           fuse_dw_pw=self.cfg.fuse_dw_pw,
+                                           pack_s2d=self.cfg.pack_s2d)
             size = fn.input_shapes[0][1]
 
             def apply(p, x, fn=fn):

@@ -198,6 +198,360 @@ def parse_tflite(data: bytes) -> Graph:
     return Graph(tensors, ops, inputs, outputs)
 
 
+# --- graph optimization ------------------------------------------------------
+
+
+def fuse_dw_pw_pairs(graph: Graph) -> Graph:
+    """Fold DEPTHWISE_CONV_2D -> 1x1 CONV_2D pairs into single dense convs.
+
+    The MediaPipe face/hand graphs put NO activation between the depthwise
+    and the following pointwise conv (e.g. face_landmarks_detector ops
+    DW@3x3 -> CONV@1x1 throughout the bottleneck blocks), so the pair is a
+    composition of two linear maps and folds EXACTLY into one dense
+    (kh, kw) convolution:
+
+        W[o,u,v,c] = pw[o,c] * dw[u,v,c]      b[o] = pw_b[o] + sum_c pw[o,c] dw_b[c]
+
+    TPU rationale: a 1x1 conv with C_in=8..32 uses <2% of the MXU's 128x128
+    cells and still streams every activation row through the array; the
+    composed conv raises the contraction dim to kh*kw*C_in (72..288) at the
+    same row count AND removes the depthwise output's HBM round trip (the
+    dominant cost — these nets are bandwidth-bound at batch 64).  The extra
+    multiply-accumulates land on MXU cells that were idle.
+
+    Returns a new Graph sharing tensor storage; composed weights are
+    appended as new constant tensors.
+    """
+    consumers: dict[int, list[int]] = {}
+    for i, op in enumerate(graph.ops):
+        for t in op.inputs:
+            if t >= 0:
+                consumers.setdefault(t, []).append(i)
+
+    # Constant resolution incl. folded DEQUANTIZE chains (weights are stored
+    # f16 behind DEQUANTIZE ops in the MediaPipe bundles).
+    dequant_of = {op.outputs[0]: op.inputs[0] for op in graph.ops
+                  if op.opcode == "DEQUANTIZE"
+                  and graph.tensors[op.inputs[0]].data is not None}
+
+    def const(idx: int) -> np.ndarray | None:
+        if idx < 0:
+            return None
+        if idx in dequant_of:
+            src = dequant_of[idx]
+            return _dequant(graph.tensors[src], graph.tensors[src].data)
+        info = graph.tensors[idx]
+        return None if info.data is None else _dequant(info, info.data)
+
+    tensors = list(graph.tensors)
+
+    def add_const(name: str, arr: np.ndarray) -> int:
+        tensors.append(TensorInfo(name, tuple(arr.shape), arr.dtype,
+                                  np.ascontiguousarray(arr), None))
+        return len(tensors) - 1
+
+    new_ops: list[OpNode] = []
+    skip: set[int] = set()
+    for i, op in enumerate(graph.ops):
+        if i in skip:
+            continue
+        if (op.opcode == "DEPTHWISE_CONV_2D"
+                and op.options.get("activation") == "NONE"
+                and op.options.get("depth_multiplier") == 1
+                and op.options.get("dilation") == (1, 1)):
+            out = op.outputs[0]
+            cons = consumers.get(out, [])
+            if len(cons) == 1 and out not in graph.outputs:
+                nxt = graph.ops[cons[0]]
+                dw_w = const(op.inputs[1])
+                pw_w = const(nxt.inputs[1]) if nxt.opcode == "CONV_2D" else None
+                if (nxt.opcode == "CONV_2D" and nxt.inputs[0] == out
+                        and nxt.options.get("stride") == (1, 1)
+                        and nxt.options.get("dilation") == (1, 1)
+                        and dw_w is not None and pw_w is not None
+                        and pw_w.shape[1] == pw_w.shape[2] == 1):
+                    kh, kw = dw_w.shape[1], dw_w.shape[2]
+                    c = dw_w.shape[3]
+                    o_ = pw_w.shape[0]
+                    # [o, kh, kw, c] — TFLite CONV_2D weight layout.
+                    comp = (pw_w.reshape(o_, 1, 1, c).astype(np.float32)
+                            * dw_w.reshape(1, kh, kw, c).astype(np.float32))
+                    dw_b = const(op.inputs[2]) if len(op.inputs) > 2 else None
+                    pw_b = const(nxt.inputs[2]) if len(nxt.inputs) > 2 else None
+                    bias = np.zeros((o_,), np.float32)
+                    if pw_b is not None:
+                        bias += pw_b.astype(np.float32)
+                    if dw_b is not None:
+                        bias += pw_w.reshape(o_, c).astype(np.float32) @ (
+                            dw_b.astype(np.float32))
+                    w_idx = add_const(f"fused_dwpw_w_{i}", comp)
+                    b_idx = add_const(f"fused_dwpw_b_{i}", bias)
+                    new_ops.append(OpNode(
+                        "CONV_2D", [op.inputs[0], w_idx, b_idx],
+                        list(nxt.outputs),
+                        dict(stride=op.options["stride"], dilation=(1, 1),
+                             padding=op.options["padding"],
+                             activation=nxt.options.get("activation",
+                                                        "NONE"))))
+                    skip.add(cons[0])
+                    continue
+        new_ops.append(op)
+    return Graph(tensors, new_ops, list(graph.inputs), list(graph.outputs))
+
+
+def _tflite_pad(in_size: int, k: int, s: int, padding) -> tuple[int, int]:
+    """TFLite's explicit (lo, hi) padding for one spatial dim."""
+    if isinstance(padding, tuple):
+        return padding
+    if padding == "VALID":
+        return (0, 0)
+    out = -(-in_size // s)
+    total = max((out - 1) * s + k - in_size, 0)
+    lo = total // 2
+    return (lo, total - lo)
+
+
+def _pack_conv_weight(w: np.ndarray, b: np.ndarray | None, s: int,
+                      pads: tuple[tuple[int, int], tuple[int, int]],
+                      f_out: int, in_hw: tuple[int, int],
+                      out_hw: tuple[int, int]):
+    """Re-scatter a conv weight [O, kh, kw, C] into the 2x2 space-to-depth
+    packed domain.
+
+    Packed tensors store x[2i+a, 2j+b, c] at X[i, j, (a*2+b)*C + c].  An
+    original (kh, kw, stride s) conv becomes a (kh', kw', stride s*f_out/2)
+    conv on the packed rep: original tap offset t = s*dy + u - pad_lo maps
+    to packed tap r = t//2, sub-position a = t%2.  f_out=2 emits a packed
+    output (channels (dy*2+dx)*O + o); f_out=1 emits unpacked.
+
+    Returns (w' [O', kh', kw', 4C], b' [O'], stride', explicit padding).
+    """
+    o_, kh, kw, c = w.shape
+    assert s * f_out in (2, 4), "unsupported stride/packing combination"
+    sp = s * f_out // 2
+
+    def axis(k: int, pad: tuple[int, int], in_size: int, out_size: int):
+        lo, _ = pad
+        ts = [s * d + u - lo for d in range(f_out) for u in range(k)]
+        r_min = min(t // 2 for t in ts)
+        r_max = max(t // 2 for t in ts)
+        kp = r_max - r_min + 1
+        plo = -r_min
+        packed_in = in_size // 2
+        phi = max(0, sp * (out_size - 1) + kp - plo - packed_in)
+        return r_min, kp, (plo, phi)
+
+    ry0, khp, pad_y = axis(kh, pads[0], in_hw[0], out_hw[0])
+    rx0, kwp, pad_x = axis(kw, pads[1], in_hw[1], out_hw[1])
+
+    wp = np.zeros((f_out * f_out * o_, khp, kwp, 4 * c), np.float32)
+    for dy in range(f_out):
+        for dx in range(f_out):
+            g = dy * f_out + dx
+            for u in range(kh):
+                ty = s * dy + u - pads[0][0]
+                for v in range(kw):
+                    tx = s * dx + v - pads[1][0]
+                    gi = (ty % 2) * 2 + (tx % 2)
+                    wp[g * o_:(g + 1) * o_, ty // 2 - ry0, tx // 2 - rx0,
+                       gi * c:(gi + 1) * c] = w[:, u, v, :]
+    bp = None if b is None else np.tile(b.astype(np.float32), f_out * f_out)
+    return wp, bp, sp, (pad_y, pad_x)
+
+
+def space_to_depth_pack(graph: Graph, min_hw: int = 64) -> Graph:
+    """Store every activation with H, W >= ``min_hw`` 2x2 space-to-depth
+    packed ([H/2, W/2, 4C]) and rewrite the ops between them.
+
+    TPU rationale: the early high-resolution stages of the MediaPipe nets
+    have 8-32 channels, so their convs occupy <6% of the MXU's 128x128
+    cells while streaming batch*H*W rows through the array — time scales
+    with ROWS, not FLOPs.  Packing quarters the row count and quadruples
+    both the contraction dim (kh*kw*4C) and the output channels, moving the
+    same math onto cells that were idle.  (The classic space-to-depth conv
+    transformation; weights are re-scattered offline, numerics unchanged up
+    to f32 summation order.)
+
+    Ops without a packed rewrite fall back automatically: a DEPTH_TO_SPACE
+    materializes the unpacked tensor on demand.
+    """
+    tensors = list(graph.tensors)
+    dequant_of = {op.outputs[0]: op.inputs[0] for op in graph.ops
+                  if op.opcode == "DEQUANTIZE"
+                  and graph.tensors[op.inputs[0]].data is not None}
+
+    def const(idx: int) -> np.ndarray | None:
+        if idx < 0:
+            return None
+        if idx in dequant_of:
+            src = dequant_of[idx]
+            return _dequant(graph.tensors[src], graph.tensors[src].data)
+        info = tensors[idx]
+        return None if info.data is None else _dequant(info, info.data)
+
+    def add_tensor(name: str, shape, data=None) -> int:
+        tensors.append(TensorInfo(name, tuple(int(x) for x in shape),
+                                  np.float32,
+                                  None if data is None
+                                  else np.ascontiguousarray(data), None))
+        return len(tensors) - 1
+
+    new_ops: list[OpNode] = []
+    packed_of: dict[int, int] = {}    # orig idx -> packed-rep tensor idx
+    unpacked_of: dict[int, int] = {}  # packed-only outputs -> unpacked idx
+
+    def shape_of(t: int):
+        return tensors[t].shape
+
+    def packable(t: int) -> bool:
+        s = shape_of(t)
+        return (len(s) == 4 and s[0] == 1 and s[1] >= min_hw
+                and s[1] % 2 == 0 and s[2] % 2 == 0)
+
+    def get_packed(t: int) -> int | None:
+        if t in packed_of:
+            return packed_of[t]
+        if t not in produced or not packable(t):
+            return None
+        _, h, w, c = shape_of(t)
+        p = add_tensor(f"{tensors[t].name}_s2d", (1, h // 2, w // 2, 4 * c))
+        new_ops.append(OpNode("SPACE_TO_DEPTH", [t], [p], {"block": 2}))
+        packed_of[t] = p
+        return p
+
+    def ensure_unpacked(t: int) -> int:
+        if t in unpacked_of:
+            return unpacked_of[t]
+        if t in packed_of and t not in produced:
+            u = add_tensor(f"{tensors[t].name}_d2s", shape_of(t))
+            new_ops.append(OpNode("DEPTH_TO_SPACE", [packed_of[t]], [u],
+                                  {"block": 2}))
+            unpacked_of[t] = u
+            return u
+        return t
+
+    produced: set[int] = set(graph.inputs)  # tensors with a live unpacked rep
+    for idx, info in enumerate(tensors):
+        if info.data is not None:
+            produced.add(idx)
+    produced.update(dequant_of.keys())
+
+    for op in graph.ops:
+        name, ins, outs = op.opcode, op.inputs, op.outputs
+        out0 = outs[0] if outs else -1
+
+        if name == "CONV_2D" and len(ins) >= 2:
+            pin = get_packed(ins[0])
+            w = const(ins[1])
+            osh = shape_of(out0)
+            stride = op.options["stride"]
+            if (pin is not None and w is not None and len(osh) == 4
+                    and op.options.get("dilation") == (1, 1)
+                    and stride in ((1, 1), (2, 2))):
+                ish = shape_of(ins[0])
+                f_out = 2 if (osh[1] >= min_hw and osh[1] % 2 == 0
+                              and osh[2] % 2 == 0) else 1
+                s = stride[0]
+                if s * f_out in (2, 4):
+                    b = const(ins[2]) if len(ins) > 2 and ins[2] >= 0 else None
+                    pads = (_tflite_pad(ish[1], w.shape[1], s,
+                                        op.options["padding"]),
+                            _tflite_pad(ish[2], w.shape[2], s,
+                                        op.options["padding"]))
+                    out_hw = ((osh[1] // 2, osh[2] // 2) if f_out == 2
+                              else (osh[1], osh[2]))
+                    wp, bp, sp, padp = _pack_conv_weight(
+                        w, b, s, pads, f_out, (ish[1], ish[2]), out_hw)
+                    w_idx = add_tensor(f"s2d_w_{out0}", wp.shape, wp)
+                    b_idx = (-1 if bp is None
+                             else add_tensor(f"s2d_b_{out0}", bp.shape, bp))
+                    if f_out == 2:
+                        p_out = add_tensor(f"{tensors[out0].name}_p",
+                                           (1, osh[1] // 2, osh[2] // 2,
+                                            4 * osh[3]))
+                        packed_of[out0] = p_out
+                        dst = p_out
+                    else:
+                        dst = out0
+                        produced.add(out0)
+                    new_ops.append(OpNode(
+                        "CONV_2D", [pin, w_idx, b_idx], [dst],
+                        dict(stride=(sp, sp), dilation=(1, 1), padding=padp,
+                             activation=op.options.get("activation",
+                                                       "NONE"))))
+                    continue
+
+        elif name == "PRELU" and len(ins) == 2:
+            alpha = const(ins[1])
+            pin = get_packed(ins[0]) if alpha is not None else None
+            if pin is not None:
+                at = np.tile(alpha.reshape(-1), 4)
+                a_idx = add_tensor(f"s2d_alpha_{out0}", at.shape, at)
+                p_out = add_tensor(f"{tensors[out0].name}_p",
+                                   shape_of(pin))
+                packed_of[out0] = p_out
+                new_ops.append(OpNode("PRELU", [pin, a_idx], [p_out],
+                                      dict(op.options)))
+                continue
+
+        elif name == "ADD" and len(ins) == 2:
+            if (shape_of(ins[0]) == shape_of(ins[1])
+                    and const(ins[0]) is None and const(ins[1]) is None
+                    and (ins[0] in packed_of or ins[1] in packed_of)):
+                pa, pb = get_packed(ins[0]), get_packed(ins[1])
+                if pa is not None and pb is not None:
+                    p_out = add_tensor(f"{tensors[out0].name}_p",
+                                       shape_of(pa))
+                    packed_of[out0] = p_out
+                    new_ops.append(OpNode("ADD", [pa, pb], [p_out],
+                                          dict(op.options)))
+                    continue
+
+        elif name == "MAX_POOL_2D":
+            pin = packed_of.get(ins[0])
+            if (pin is not None
+                    and op.options.get("filter") == (2, 2)
+                    and op.options.get("stride") == (2, 2)):
+                # Pool output (i, j) = max over the 4 sub-positions of
+                # packed pixel (i, j): a pure channel-group max.
+                new_ops.append(OpNode("CHANNEL_GROUP_MAX", [pin], [out0],
+                                      {"groups": 4}))
+                produced.add(out0)
+                continue
+
+        elif name == "PAD":
+            padv = const(ins[1])
+            pin = (get_packed(ins[0])
+                   if (padv is not None and padv.shape == (4, 2)
+                       and not padv[:3].any() and padv[3, 0] == 0) else None)
+            if pin is not None:
+                c_old = shape_of(ins[0])[3]
+                p_out = add_tensor(f"{tensors[out0].name}_p",
+                                   (1,) + shape_of(pin)[1:3]
+                                   + (4 * shape_of(out0)[3],))
+                packed_of[out0] = p_out
+                new_ops.append(OpNode(
+                    "PACKED_CHANNEL_PAD", [pin], [p_out],
+                    {"groups": 4, "channels": int(c_old),
+                     "pad": int(padv[3, 1])}))
+                continue
+
+        # Fallback: run the op unpacked, materializing packed-only inputs.
+        rewired = [ensure_unpacked(t) if t >= 0 else t for t in ins]
+        new_ops.append(OpNode(name, rewired, list(outs), op.options))
+        for t in outs:
+            produced.add(t)
+
+    # Graph outputs must exist unpacked.
+    tail: list[OpNode] = []
+    for t in graph.outputs:
+        if t in packed_of and t not in produced:
+            u = packed_of[t]
+            tail.append(OpNode("DEPTH_TO_SPACE", [u], [t], {"block": 2}))
+    new_ops.extend(tail)
+    return Graph(tensors, new_ops, list(graph.inputs), list(graph.outputs))
+
+
 # --- execution ---------------------------------------------------------------
 
 
@@ -225,7 +579,8 @@ def _dequant(info: TensorInfo, arr: np.ndarray) -> np.ndarray:
 
 
 def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
-                   planar_inputs: bool = False
+                   planar_inputs: bool = False, fuse_dw_pw: bool = True,
+                   pack_s2d: int = 0
                    ) -> tuple[Callable[..., list[Array]], dict[str, Array]]:
     """Compile a .tflite model into ``fn(params, *inputs) -> [outputs]`` and
     its weights pytree.
@@ -246,7 +601,10 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
     the MXU's f32 accumulation), halving conv traffic again under bf16.
     """
     graph = parse_tflite(data)
-    tensors = graph.ops and graph.tensors or graph.tensors
+    if fuse_dw_pw:
+        graph = fuse_dw_pw_pairs(graph)
+    if pack_s2d:
+        graph = space_to_depth_pack(graph, min_hw=pack_s2d)
 
     params: dict[str, Array] = {}
     const_keys: dict[int, str] = {}
@@ -535,6 +893,32 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                 if len(ins) > 2 and ins[2] >= 0:
                     y = y + get(ins[2])
                 put(outs[0], _act(y, o["activation"]))
+            # --- space_to_depth_pack pseudo-ops (see space_to_depth_pack) ---
+            elif name == "SPACE_TO_DEPTH":
+                x = get(ins[0])
+                n, h, w, c = x.shape
+                y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+                y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+                put(outs[0], y.reshape(n, h // 2, w // 2, 4 * c))
+            elif name == "DEPTH_TO_SPACE":
+                x = get(ins[0])
+                n, h, w, c4 = x.shape
+                c = c4 // 4
+                y = x.reshape(n, h, w, 2, 2, c)
+                y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+                put(outs[0], y.reshape(n, 2 * h, 2 * w, c))
+            elif name == "CHANNEL_GROUP_MAX":
+                x = get(ins[0])
+                n, h, w, cg = x.shape
+                g = o["groups"]
+                put(outs[0], jnp.max(x.reshape(n, h, w, g, cg // g), axis=3))
+            elif name == "PACKED_CHANNEL_PAD":
+                x = get(ins[0])
+                n, h, w, _ = x.shape
+                g, c_old, padc = o["groups"], o["channels"], o["pad"]
+                y = x.reshape(n, h, w, g, c_old)
+                y = jnp.pad(y, ((0, 0),) * 3 + ((0, 0), (0, padc)))
+                put(outs[0], y.reshape(n, h, w, g * (c_old + padc)))
             else:
                 raise NotImplementedError(f"TFLite op {name}")
         return [get(i) for i in graph.outputs]

@@ -97,3 +97,32 @@ def test_bf16_compile_is_close():
     o16 = np.asarray(fn16(p16, jnp.asarray(x))[1], np.float32)
     # classificator logits: bf16 keeps ranking-level accuracy
     assert np.abs(o32 - o16).max() < 0.35 * (np.abs(o32).max() + 1e-6)
+
+@pytest.mark.parametrize("name", ["face_landmarks_detector.tflite",
+                                  "face_detector.tflite"])
+def test_graph_optimizations_are_exact(name):
+    """fuse_dw_pw_pairs and space_to_depth_pack keep interpreter parity.
+
+    The composition is linear-map algebra (no activation sits between the
+    MediaPipe depthwise and pointwise convs); the packing is a layout
+    re-scatter of the same weights — both must match the TFLite interpreter
+    to f32 round-off, not merely to a loose behavioral tolerance.
+    """
+    data = _models()[name]
+    fn0, p0 = tc.compile_tflite(data, fuse_dw_pw=False)
+    rng = np.random.RandomState(3)
+    x = rng.uniform(0, 1, size=fn0.input_shapes[0]).astype(np.float32)
+    ref = tflite_reference(data, [x])
+    ref_by_shape = {tuple(r.shape): r for r in ref}
+    fused, pf = tc.compile_tflite(data, fuse_dw_pw=True)
+    packed, ppk = tc.compile_tflite(data, fuse_dw_pw=True, pack_s2d=64)
+    # The packed graph must actually have packed ops (and no depthwise left).
+    opcodes = [op.opcode for op in packed.graph.ops]
+    assert "SPACE_TO_DEPTH" in opcodes
+    assert "DEPTHWISE_CONV_2D" not in opcodes
+    for fn, p in ((fused, pf), (packed, ppk)):
+        for m in jax.jit(fn)(p, jnp.asarray(x)):
+            m = np.asarray(m, np.float32)
+            r = ref_by_shape[tuple(m.shape)]
+            scale = np.abs(r).max() + 1e-6
+            np.testing.assert_allclose(m, r, atol=1e-4 * scale + 1e-5)

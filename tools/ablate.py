@@ -60,7 +60,10 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     cfg = EngineConfig(frame_height=h, frame_width=w, num_streams=streams,
                        compute_dtype="bfloat16",
-                       inference=InferenceConfig(use_pallas=on_tpu))
+                       inference=InferenceConfig(
+                           use_pallas=on_tpu,
+                           fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
+                           pack_s2d=int(os.environ.get("BENCH_S2D", "0"))))
     ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
     eng = ms.engine
 
