@@ -127,11 +127,41 @@ def blaze_detector_apply(p: dict, x: Array, num_kps: int) -> tuple[Array, Array]
             jnp.concatenate([c8, c16], axis=1))
 
 
+def _pack_stem(stem: dict, k: int, in_size: int) -> dict:
+    """Space-to-depth-packed twin of a stride-2 SAME stem conv (init-time
+    numpy; exact same linear map on 2x2-packed inputs/outputs).
+
+    The stem is ~99%% of a landmark stand-in's MXU row count (rows x taps:
+    e.g. 112(2) x 25 taps at 224(2) input vs a few K for the rest), and both
+    its contraction (k*k*3 -> k'*k'*12) and output channels (24 -> 96) stay
+    within ONE 128-wide MXU tile after packing — the regime where 2x2
+    packing is a true 4x row win (past 128 the zero-padded kernel costs
+    K-tiles and cancels it; measured on the face mesh graph).
+    """
+    import numpy as np
+    from bp_from_video_tpu.models.tflite_compiler import (_pack_conv_weight,
+                                                          _tflite_pad)
+    w = np.asarray(jnp.asarray(stem["w"], jnp.float32))   # HWIO [k,k,3,O]
+    b = np.asarray(jnp.asarray(stem["b"], jnp.float32))
+    out = in_size // 2
+    pads = (_tflite_pad(in_size, k, 2, "SAME"),) * 2
+    wp, bp, _, _ = _pack_conv_weight(
+        w.transpose(3, 0, 1, 2), b, 2, pads, 2,
+        (in_size, in_size), (out // 2, out // 2))
+    # Stride/padding are a static function of (k, in_size) — recomputed at
+    # trace time in blaze_landmark_apply so the params pytree stays pure
+    # arrays (jit-safe).
+    return {"w": jnp.asarray(wp.transpose(1, 2, 3, 0)),   # back to HWIO
+            "b": jnp.asarray(bp)}
+
+
 def init_blaze_landmark(seed: int, input_size: int, num_landmarks: int) -> dict:
     key = jax.random.PRNGKey(seed)
     ks = jax.random.split(key, 9)
+    stem = _conv_init(ks[0], 5, 5, 3, 24)
     return {
-        "stem": _conv_init(ks[0], 5, 5, 3, 24),
+        "stem": stem,
+        "stem_p": _pack_stem(stem, 5, input_size),
         "b1": _blaze_block_init(ks[1], 24, 48),
         "b2": _blaze_block_init(ks[2], 48, 96),
         "b3": _blaze_block_init(ks[3], 96, 96),
@@ -143,10 +173,34 @@ def init_blaze_landmark(seed: int, input_size: int, num_landmarks: int) -> dict:
 
 
 def blaze_landmark_apply(p: dict, x: Array, input_size: int) -> tuple[Array, Array, Array]:
-    """x: planar [1, 3, S, S] -> (landmarks [1, 3L] in crop pixels, presence
-    [1, 1] (sigmoided), aux/handedness [1, 1])."""
+    """x: planar [1, 3, S, S] — or [1, 12, S/2, S/2] when the crop arrives
+    2x2 space-to-depth packed (Pallas multi_crop pack=2; channel order
+    (a*2+b)*3+c) — -> (landmarks [1, 3L] in crop pixels, presence [1, 1]
+    (sigmoided), aux/handedness [1, 1])."""
     s = input_size
-    y = jax.nn.relu(_conv(p["stem"], x, stride=2))
+    if x.shape[1] == 12 and "stem_p" in p:
+        from bp_from_video_tpu.models.tflite_compiler import (_pack_axis,
+                                                              _tflite_pad)
+        k = p["stem"]["w"].shape[0]
+        pad1d = _tflite_pad(s, k, 2, "SAME")
+        _, _, padp = _pack_axis(k, pad1d, 2, 2, s, s // 4)
+        sp = p["stem_p"]
+        w = sp["w"]
+        y = jax.lax.conv_general_dilated(
+            x.astype(w.dtype), w, (2, 2), [padp, padp],
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            preferred_element_type=w.dtype)
+        y = y + sp["b"].astype(w.dtype).reshape(-1, 1, 1)
+        # Unpack [1, 4*24, s/4, s/4] -> [1, 24, s/2, s/2] (group-major
+        # packed channels: index (dy*2+dx)*24 + o).
+        n, c4, hh, ww = y.shape
+        o = c4 // 4
+        y = y.reshape(n, 2, 2, o, hh, ww)
+        y = jnp.transpose(y, (0, 3, 4, 1, 5, 2))
+        y = y.reshape(n, o, 2 * hh, 2 * ww)
+        y = jax.nn.relu(y)
+    else:
+        y = jax.nn.relu(_conv(p["stem"], x, stride=2))
     y = _blaze_block(p["b1"], y, stride=2)
     y = _blaze_block(p["b2"], y, stride=2)
     y = _blaze_block(p["b3"], y, stride=2)

@@ -116,6 +116,7 @@ class InferenceRunner:
         self.dtype = dtype
         self.params: dict[str, Any] = {}
         self._fns: dict[str, Callable] = {}
+        self._packed_in: dict[str, bool] = {}  # nets taking s2d-packed crops
         asset_dir = asset_dir or "."
 
         def resolve(p):
@@ -198,11 +199,20 @@ class InferenceRunner:
 
     def _load_landmark(self, key, blob, fallback_size, num_landmarks):
         if blob is not None:
+            # With packing on and the Pallas crop path active, compile the
+            # net to take its crop ALREADY 2x2 space-to-depth packed — the
+            # crop kernel emits that layout directly (multi_crop pack=2),
+            # so the packed graph's input relayout disappears entirely.
+            packed_in = bool(self.cfg.pack_s2d) and self.cfg.use_pallas
             fn, params = tc.compile_tflite(blob, self.dtype, layout="NCHW",
                                            planar_inputs=True,
                                            fuse_dw_pw=self.cfg.fuse_dw_pw,
-                                           pack_s2d=self.cfg.pack_s2d)
+                                           pack_s2d=self.cfg.pack_s2d,
+                                           packed_inputs=packed_in)
             size = fn.input_shapes[0][1]
+            if packed_in and fn.input_shapes[0][3] == 12:
+                self._packed_in[key] = True
+                size *= 2
 
             def apply(p, x, fn=fn, nl=num_landmarks):
                 outs = fn(p, x)
@@ -222,6 +232,10 @@ class InferenceRunner:
             self._fns[key] = (lambda p, x, s=fallback_size:
                               blaze.blaze_landmark_apply(p, x, s))
             self._fns[key + "_size"] = fallback_size
+            # The stand-ins carry a packed twin of their stem: feed them
+            # s2d-packed crops too when the packed Pallas crop path is on.
+            if bool(self.cfg.pack_s2d) and self.cfg.use_pallas:
+                self._packed_in[key] = True
 
     def _load_segmenter(self, key, blob, fallback_size):
         if blob is not None:
@@ -308,6 +322,13 @@ class InferenceRunner:
         kernel's epilogue)."""
         size = self._fns[key + "_size"]
         x = crop if prescaled else crop / 255.0
+        if self._packed_in.get(key) and x.shape[0] == 3:
+            # Net expects packed crops but this one is plain (non-Pallas
+            # crop path): pack in-graph ([3,S,S] -> [12,S/2,S/2]).
+            c, sh, sw = x.shape
+            x = x.reshape(c, sh // 2, 2, sw // 2, 2)
+            x = jnp.transpose(x, (2, 4, 0, 1, 3))
+            x = x.reshape(4 * c, sh // 2, sw // 2)
         lm, presence, aux = self._fns[key](params, x[None].astype(self.dtype))
         pts = lm[0].astype(jnp.float32).reshape(-1, 3)[:, :2] / size
         pts_px = warp.project_landmarks(pts, rect)
@@ -454,20 +475,25 @@ class InferenceRunner:
                     _safe_rect(ra, self.w, self.h)))))(rects_a)   # [S, nh, 5]
         if use_pallas and (face_cover is not None or hand_cover is not None):
             from bp_from_video_tpu.pallas import warp_kernel
-            rect_parts, sizes = [], []
+            rect_parts, sizes, packs = [], [], []
             if face_cover is not None:
                 rect_parts.append(face_cover[:, None, :4])
                 sizes.append(self._fns["flm_lm_size"])
+                packs.append(2 if self._packed_in.get("flm_lm") else 1)
             if hand_cover is not None:
                 rect_parts.append(hand_cover[..., :4])
                 sizes += [self._fns["hand_lm_size"]] * hand_cover.shape[1]
+                packs += ([2 if self._packed_in.get("hand_lm") else 1]
+                          * hand_cover.shape[1])
             planar = jnp.transpose(frames_rgb, (0, 3, 1, 2))
             # Crops come out planar ([S, 3, sz, sz]) — exactly the nets'
             # NCHW activation layout — pre-normalized and already in the
             # compute dtype (half-sized in HBM, no convert/normalize pass).
+            # Nets compiled for packed inputs get theirs 2x2 space-to-depth
+            # packed ([S, 12, sz/2, sz/2]) straight from the kernel.
             outs = warp_kernel.multi_crop(planar, jnp.concatenate(
                 rect_parts, axis=1), tuple(sizes), dtype=self.dtype,
-                out_dtype=self.dtype, scale=1.0 / 255.0)
+                out_dtype=self.dtype, scale=1.0 / 255.0, pack=tuple(packs))
             i = 0
             if face_cover is not None:
                 face_crops = outs[0]                              # [S, 3, sz, sz]

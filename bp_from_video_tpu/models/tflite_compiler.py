@@ -311,6 +311,22 @@ def _tflite_pad(in_size: int, k: int, s: int, padding) -> tuple[int, int]:
     return (lo, total - lo)
 
 
+def _pack_axis(k: int, pad: tuple[int, int], s: int, f_out: int,
+               in_size: int, out_size: int) -> tuple[int, int, tuple[int, int]]:
+    """Packed-domain kernel extent and explicit padding for one spatial dim
+    (shared by _pack_conv_weight and the blaze stand-ins' packed stems)."""
+    sp = s * f_out // 2
+    lo, _ = pad
+    ts = [s * d + u - lo for d in range(f_out) for u in range(k)]
+    r_min = min(t // 2 for t in ts)
+    r_max = max(t // 2 for t in ts)
+    kp = r_max - r_min + 1
+    plo = -r_min
+    packed_in = in_size // 2
+    phi = max(0, sp * (out_size - 1) + kp - plo - packed_in)
+    return r_min, kp, (plo, phi)
+
+
 def _pack_conv_weight(w: np.ndarray, b: np.ndarray | None, s: int,
                       pads: tuple[tuple[int, int], tuple[int, int]],
                       f_out: int, in_hw: tuple[int, int],
@@ -329,20 +345,8 @@ def _pack_conv_weight(w: np.ndarray, b: np.ndarray | None, s: int,
     o_, kh, kw, c = w.shape
     assert s * f_out in (2, 4), "unsupported stride/packing combination"
     sp = s * f_out // 2
-
-    def axis(k: int, pad: tuple[int, int], in_size: int, out_size: int):
-        lo, _ = pad
-        ts = [s * d + u - lo for d in range(f_out) for u in range(k)]
-        r_min = min(t // 2 for t in ts)
-        r_max = max(t // 2 for t in ts)
-        kp = r_max - r_min + 1
-        plo = -r_min
-        packed_in = in_size // 2
-        phi = max(0, sp * (out_size - 1) + kp - plo - packed_in)
-        return r_min, kp, (plo, phi)
-
-    ry0, khp, pad_y = axis(kh, pads[0], in_hw[0], out_hw[0])
-    rx0, kwp, pad_x = axis(kw, pads[1], in_hw[1], out_hw[1])
+    ry0, khp, pad_y = _pack_axis(kh, pads[0], s, f_out, in_hw[0], out_hw[0])
+    rx0, kwp, pad_x = _pack_axis(kw, pads[1], s, f_out, in_hw[1], out_hw[1])
 
     wp = np.zeros((f_out * f_out * o_, khp, kwp, 4 * c), np.float32)
     for dy in range(f_out):
@@ -359,7 +363,8 @@ def _pack_conv_weight(w: np.ndarray, b: np.ndarray | None, s: int,
     return wp, bp, sp, (pad_y, pad_x)
 
 
-def space_to_depth_pack(graph: Graph, min_hw: int = 64) -> Graph:
+def space_to_depth_pack(graph: Graph, min_hw: int = 64,
+                        packed_inputs: bool = False) -> Graph:
     """Store every activation with H, W >= ``min_hw`` 2x2 space-to-depth
     packed ([H/2, W/2, 4C]) and rewrite the ops between them.
 
@@ -431,6 +436,19 @@ def space_to_depth_pack(graph: Graph, min_hw: int = 64) -> Graph:
         return t
 
     produced: set[int] = set(graph.inputs)  # tensors with a live unpacked rep
+    new_inputs = list(graph.inputs)
+    if packed_inputs:
+        # The caller feeds 4-D image inputs ALREADY packed (e.g. the Pallas
+        # multi-crop kernel's pack=2 output): swap the graph input for a
+        # packed-shape tensor; the original only materializes on demand.
+        for i, t in enumerate(graph.inputs):
+            if packable(t):
+                _, h, w, c = shape_of(t)
+                p = add_tensor(f"{tensors[t].name}_pin",
+                               (1, h // 2, w // 2, 4 * c))
+                packed_of[t] = p
+                new_inputs[i] = p
+                produced.discard(t)
     for idx, info in enumerate(tensors):
         if info.data is not None:
             produced.add(idx)
@@ -549,7 +567,7 @@ def space_to_depth_pack(graph: Graph, min_hw: int = 64) -> Graph:
             u = packed_of[t]
             tail.append(OpNode("DEPTH_TO_SPACE", [u], [t], {"block": 2}))
     new_ops.extend(tail)
-    return Graph(tensors, new_ops, list(graph.inputs), list(graph.outputs))
+    return Graph(tensors, new_ops, new_inputs, list(graph.outputs))
 
 
 # --- execution ---------------------------------------------------------------
@@ -580,7 +598,7 @@ def _dequant(info: TensorInfo, arr: np.ndarray) -> np.ndarray:
 
 def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                    planar_inputs: bool = False, fuse_dw_pw: bool = True,
-                   pack_s2d: int = 0
+                   pack_s2d: int = 0, packed_inputs: bool = False
                    ) -> tuple[Callable[..., list[Array]], dict[str, Array]]:
     """Compile a .tflite model into ``fn(params, *inputs) -> [outputs]`` and
     its weights pytree.
@@ -604,7 +622,8 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
     if fuse_dw_pw:
         graph = fuse_dw_pw_pairs(graph)
     if pack_s2d:
-        graph = space_to_depth_pack(graph, min_hw=pack_s2d)
+        graph = space_to_depth_pack(graph, min_hw=pack_s2d,
+                                    packed_inputs=packed_inputs)
 
     params: dict[str, Array] = {}
     const_keys: dict[int, str] = {}

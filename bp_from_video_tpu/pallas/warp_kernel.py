@@ -27,51 +27,80 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _kernel(rects_ref, frame_ref, *out_refs, sizes, dtype, scale):
+def _kernel(rects_ref, frame_ref, *out_refs, sizes, dtype, scale, packs):
     # Cast each channel plane once (u8 -> i32 -> f32 -> dtype; Mosaic has no
     # direct u8->float cast) and reuse it across every crop.
     planes = [frame_ref[0, ch].astype(jnp.int32).astype(jnp.float32
                                                         ).astype(dtype)
               for ch in range(frame_ref.shape[1])]
-    for c, (size, out_ref) in enumerate(zip(sizes, out_refs)):
+    for c, (size, pack, out_ref) in enumerate(zip(sizes, packs, out_refs)):
         cx = rects_ref[0, c, 0]
         cy = rects_ref[0, c, 1]
         w_ = rects_ref[0, c, 2]
         h_ = rects_ref[0, c, 3]
         h = frame_ref.shape[2]
         w = frame_ref.shape[3]
-        # TPU iota is integer-only; cast to f32 after generation.
-        u = (jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
-             .astype(jnp.float32)[:, 0] + 0.5) / size - 0.5
-        ys = cy + u * h_ - 0.5
-        xs = cx + u * w_ - 0.5
-        gy = jax.lax.broadcasted_iota(jnp.int32, (size, h), 1
+
+        def weights(n, off, step, center, extent, g):
+            """Bilinear rows for sample points off+step*i (crop pixels)."""
+            # TPU iota is integer-only; cast to f32 after generation.
+            u = ((jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                  .astype(jnp.float32)[:, 0] * step + off) + 0.5) / size - 0.5
+            s = center + u * extent - 0.5
+            nan_s = jnp.isnan(s)[:, None]
+            return jnp.where(nan_s, 0.0,
+                             jnp.maximum(0.0, 1.0 - jnp.abs(s[:, None] - g))
+                             ).astype(dtype)
+
+        gy = jax.lax.broadcasted_iota(jnp.int32, (size // pack, h), 1
                                       ).astype(jnp.float32)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (size, w), 1
+        gx = jax.lax.broadcasted_iota(jnp.int32, (size // pack, w), 1
                                       ).astype(jnp.float32)
-        nan_ys = jnp.isnan(ys)[:, None]
-        nan_xs = jnp.isnan(xs)[:, None]
-        wy = jnp.where(nan_ys, 0.0,
-                       jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - gy))
-                       ).astype(dtype)
-        wx = jnp.where(nan_xs, 0.0,
-                       jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - gx))
-                       ).astype(dtype)
-        for ch, f in enumerate(planes):
-            # (Pixel values 0..255 are exact in bf16.)
-            tmp = jnp.dot(wy, f, preferred_element_type=jnp.float32
-                          ).astype(dtype)
-            res = jnp.dot(tmp, wx.T, preferred_element_type=jnp.float32)
-            if scale != 1.0:
-                res = res * scale
-            out_ref[0, ch] = res.astype(out_ref.dtype)
+        if pack == 1:
+            gy_full = jax.lax.broadcasted_iota(jnp.int32, (size, h), 1
+                                               ).astype(jnp.float32)
+            gx_full = jax.lax.broadcasted_iota(jnp.int32, (size, w), 1
+                                               ).astype(jnp.float32)
+            wy = weights(size, 0, 1, cy, h_, gy_full)
+            wx = weights(size, 0, 1, cx, w_, gx_full)
+            for ch, f in enumerate(planes):
+                # (Pixel values 0..255 are exact in bf16.)
+                tmp = jnp.dot(wy, f, preferred_element_type=jnp.float32
+                              ).astype(dtype)
+                res = jnp.dot(tmp, wx.T, preferred_element_type=jnp.float32)
+                if scale != 1.0:
+                    res = res * scale
+                out_ref[0, ch] = res.astype(out_ref.dtype)
+        else:
+            # Emit the crop 2x2 space-to-depth packed: plane (a, b, ch) of
+            # the output holds crop[a::2, b::2, ch] — the packed-graph input
+            # convention of tflite_compiler.space_to_depth_pack (channel
+            # index (a*2+b)*C + ch).  Same total matmul work, 4 quarter
+            # crops per channel instead of 1.
+            nch = len(planes)
+            wys = [weights(size // 2, a, 2, cy, h_, gy)
+                   for a in range(2)]
+            wxs = [weights(size // 2, b, 2, cx, w_, gx)
+                   for b in range(2)]
+            for ch, f in enumerate(planes):
+                tmps = [jnp.dot(wya, f, preferred_element_type=jnp.float32
+                                ).astype(dtype) for wya in wys]
+                for a in range(2):
+                    for b in range(2):
+                        res = jnp.dot(tmps[a], wxs[b].T,
+                                      preferred_element_type=jnp.float32)
+                        if scale != 1.0:
+                            res = res * scale
+                        out_ref[0, (a * 2 + b) * nch + ch] = res.astype(
+                            out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "interpret", "dtype",
-                                             "out_dtype", "scale"))
+                                             "out_dtype", "scale", "pack"))
 def multi_crop(frames_planar: Array, rects: Array, sizes: tuple[int, ...],
                interpret: bool = False, dtype=jnp.float32,
-               out_dtype=jnp.float32, scale: float = 1.0
+               out_dtype=jnp.float32, scale: float = 1.0,
+               pack: int | tuple[int, ...] = 1
                ) -> tuple[Array, ...]:
     """Crop ``len(sizes)`` axis-aligned rects out of each stream's frame.
 
@@ -87,14 +116,20 @@ def multi_crop(frames_planar: Array, rects: Array, sizes: tuple[int, ...],
     s, ch, h, w = frames_planar.shape
     c = rects.shape[1]
     assert c == len(sizes)
+    packs = (pack,) * c if isinstance(pack, int) else tuple(pack)
+    assert len(packs) == c
+    assert all(p in (1, 2) and sz % p == 0 for p, sz in zip(packs, sizes))
     grid = (s,)
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((s, ch, sz, sz), out_dtype) for sz in sizes)
+        jax.ShapeDtypeStruct((s, ch * p * p, sz // p, sz // p), out_dtype)
+        for p, sz in zip(packs, sizes))
     out_specs = tuple(
-        pl.BlockSpec((1, ch, sz, sz), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM) for sz in sizes)
+        pl.BlockSpec((1, ch * p * p, sz // p, sz // p),
+                     lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        for p, sz in zip(packs, sizes))
     return pl.pallas_call(
-        functools.partial(_kernel, sizes=sizes, dtype=dtype, scale=scale),
+        functools.partial(_kernel, sizes=sizes, dtype=dtype, scale=scale,
+                          packs=packs),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, c, 4), lambda i: (i, 0, 0),

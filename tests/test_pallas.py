@@ -84,3 +84,28 @@ def test_roi_sums_weighted_matches_xla():
                                     weights, use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4, equal_nan=True)
+
+
+@pytest.mark.parametrize("pack", [2, (2, 1)])
+def test_multi_crop_packed_layout(pack):
+    """pack=2 emits crops 2x2 space-to-depth packed, channel (a*2+b)*C+c —
+    the packed-graph input convention of tflite_compiler."""
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 3, 96, 128), np.uint8))
+    rects = jnp.asarray([[[60.0, 40.0, 50.0, 44.0],
+                          [30.0, 60.0, 80.0, 70.0]]] * 2, jnp.float32)
+    plain = warp_kernel.multi_crop(frames, rects, (64, 48), interpret=True)
+    mixed = warp_kernel.multi_crop(frames, rects, (64, 48), interpret=True,
+                                   pack=pack)
+    packs = (pack, pack) if isinstance(pack, int) else pack
+    for p, q, pk in zip(plain, mixed, packs):
+        if pk == 1:
+            np.testing.assert_array_equal(np.asarray(q), np.asarray(p))
+            continue
+        assert q.shape == (2, 12, p.shape[2] // 2, p.shape[3] // 2)
+        for a in range(2):
+            for b in range(2):
+                for ch in range(3):
+                    np.testing.assert_array_equal(
+                        np.asarray(q[:, (a * 2 + b) * 3 + ch]),
+                        np.asarray(p[:, ch, a::2, b::2]))

@@ -126,3 +126,17 @@ def test_graph_optimizations_are_exact(name):
             r = ref_by_shape[tuple(m.shape)]
             scale = np.abs(r).max() + 1e-6
             np.testing.assert_allclose(m, r, atol=1e-4 * scale + 1e-5)
+
+def test_packed_inputs_match_unpacked():
+    """packed_inputs=True consumes pre-packed crops bit-identically."""
+    data = _models()["face_landmarks_detector.tflite"]
+    fn0, p0 = tc.compile_tflite(data, fuse_dw_pw=True, pack_s2d=64)
+    fn1, p1 = tc.compile_tflite(data, fuse_dw_pw=True, pack_s2d=64,
+                                packed_inputs=True)
+    assert fn1.input_shapes == [(1, 128, 128, 12)]
+    rng = np.random.RandomState(5)
+    x = rng.uniform(0, 1, size=(1, 256, 256, 3)).astype(np.float32)
+    xp = (x.reshape(1, 128, 2, 128, 2, 3).transpose(0, 1, 3, 2, 4, 5)
+          .reshape(1, 128, 128, 12))
+    for a, b in zip(fn0(p0, jnp.asarray(x)), fn1(p1, jnp.asarray(xp))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

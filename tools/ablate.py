@@ -189,7 +189,10 @@ def main():
                         ms.params["flm_lm"], x[None]))(x256)
                 x256_2 = x256 + 0.001 * jnp.mean(lm).astype(x256.dtype)
                 return x256_2, jnp.mean(lm)
-            carry0 = jnp.zeros((streams, 3, 256, 256), jnp.bfloat16)
+            shape = ((streams, 12, 128, 128)
+                     if eng.runner._packed_in.get("flm_lm")
+                     else (streams, 3, 256, 256))
+            carry0 = jnp.zeros(shape, jnp.bfloat16)
             scan_time("face mesh net only", step, carry0, clip_len, streams)
 
         elif v == "hand":
@@ -200,7 +203,10 @@ def main():
                         ms.params["hand_lm"], x[None])))(x224)
                 x224_2 = x224 + 0.001 * jnp.mean(hl).astype(x224.dtype)
                 return x224_2, jnp.mean(hl)
-            carry0 = jnp.zeros((streams, 2, 3, 224, 224), jnp.bfloat16)
+            shape = ((streams, 2, 12, 112, 112)
+                     if eng.runner._packed_in.get("hand_lm")
+                     else (streams, 2, 3, 224, 224))
+            carry0 = jnp.zeros(shape, jnp.bfloat16)
             scan_time("hand nets only (2/stream)", step, carry0, clip_len,
                       streams)
 
@@ -217,9 +223,14 @@ def main():
                 x256_2 = x256 + 0.001 * jnp.mean(lm).astype(x256.dtype)
                 x224_2 = x224 + 0.001 * jnp.mean(hl).astype(x224.dtype)
                 return (x256_2, x224_2), (jnp.mean(lm) + jnp.mean(hl))
-            carry0 = (
-                jnp.zeros((streams, 3, 256, 256), jnp.bfloat16),
-                jnp.zeros((streams, 2, 3, 224, 224), jnp.bfloat16))
+            fshape = ((streams, 12, 128, 128)
+                      if eng.runner._packed_in.get("flm_lm")
+                      else (streams, 3, 256, 256))
+            hshape = ((streams, 2, 12, 112, 112)
+                      if eng.runner._packed_in.get("hand_lm")
+                      else (streams, 2, 3, 224, 224))
+            carry0 = (jnp.zeros(fshape, jnp.bfloat16),
+                      jnp.zeros(hshape, jnp.bfloat16))
             scan_time("landmark nets only", step, carry0, clip_len, streams)
 
         elif v == "crops":
