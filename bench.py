@@ -89,9 +89,12 @@ def main():
     # inference cost, and generating 59 MB of random pixels per step inside
     # the timed loop would charge ~10% of the step to synthesis work a real
     # pipeline never does (frames arrive by DMA).
+    # PLANAR frames ([S, 3, H, W]) — the layout both Pallas kernels consume;
+    # feeding it directly removes the per-step 2*S*H*W*3-byte transpose
+    # (capture/feeder upload planar the same way; engine accepts either).
     n_buf = 4
     frame_buf = jax.jit(lambda k: jax.random.randint(
-        k, (n_buf, streams, h, w, 3), 0, 256, jnp.uint8))(jax.random.key(7))
+        k, (n_buf, streams, 3, h, w), 0, 256, jnp.uint8))(jax.random.key(7))
 
     def body(carry, i):
         st, key = carry

@@ -19,6 +19,7 @@ import dataclasses
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 
 from bp_from_video_tpu.config import CaptureConfig, EngineConfig
 from bp_from_video_tpu.exceptions import CaptureError
@@ -65,7 +66,8 @@ def run(config: EngineConfig | None = None,
             states, out = step(params, states, ms.shard_frames(frames),
                                ms.shard_frames(ts))
             s = display_stream
-            key = draw(frames[s], jax.tree.map(lambda a: a[s], out),
+            key = draw(jnp.transpose(frames[s], (1, 2, 0)),
+                       jax.tree.map(lambda a: a[s], out),
                        bool(cal[s]))
             readers[s].prop_control(key)
             if recorder is not None:

@@ -382,6 +382,19 @@ class InferenceRunner:
         # S×H×W×3 f32 (hundreds of MB of HBM traffic) every steady-state
         # step just to feed the skipped detector branch.  Each consumer
         # casts lazily inside its own closure.
+        #
+        # Frames may arrive PLANAR ([S, 3, H, W] — the layout both Pallas
+        # kernels consume and the layout the bench/feeder uploads).  The
+        # NHWC view is materialized lazily INSIDE each detector branch so
+        # the steady-state step never pays the 2*S*H*W*3-byte transpose
+        # (a cond operand would be computed regardless of the branch).
+        planar_in = (frames_rgb.ndim == 4 and frames_rgb.shape[1] == 3
+                     and frames_rgb.shape[-1] != 3)
+
+        def as_nhwc():
+            return (jnp.transpose(frames_rgb, (0, 2, 3, 1)) if planar_in
+                    else frames_rgb)
+
         frames = frames_rgb
         s = frames.shape[0]
         video = self.cfg.running_mode is RunningMode.VIDEO
@@ -396,7 +409,7 @@ class InferenceRunner:
                 kps = _clip_floor(nms.kps, self.w, self.h)
                 return Detections(bbox=jnp.round(nms.boxes), points=kps,
                                   count=nms.count)
-            res = res._replace(face_detector=jax.vmap(fd_one)(frames))
+            res = res._replace(face_detector=jax.vmap(fd_one)(as_nhwc()))
 
         new_face_rect, new_face_tracking = state.face_rect, state.face_tracking
         if self.cfg.face_landmarker:
@@ -409,7 +422,7 @@ class InferenceRunner:
                                                0, 1, 0.0)
                     r = warp.rect_transform(r, scale=1.5)
                     return _rect_arr(r), nms.count > 0
-                return jax.vmap(one)(frames)
+                return jax.vmap(one)(as_nhwc())
 
             def reuse_faces(_):
                 return state.face_rect, jnp.ones((s,), bool)
@@ -443,7 +456,7 @@ class InferenceRunner:
                     rects = jnp.stack([mk(i) for i in range(n_hands)])
                     valid = jnp.arange(n_hands) < nms.count
                     return rects, valid
-                return jax.vmap(one)(frames)
+                return jax.vmap(one)(as_nhwc())
 
             def reuse_palms(_):
                 return state.hand_rects, state.hand_tracking
@@ -485,7 +498,8 @@ class InferenceRunner:
                 sizes += [self._fns["hand_lm_size"]] * hand_cover.shape[1]
                 packs += ([2 if self._packed_in.get("hand_lm") else 1]
                           * hand_cover.shape[1])
-            planar = jnp.transpose(frames_rgb, (0, 3, 1, 2))
+            planar = (frames_rgb if planar_in
+                      else jnp.transpose(frames_rgb, (0, 3, 1, 2)))
             # Crops come out planar ([S, 3, sz, sz]) — exactly the nets'
             # NCHW activation layout — pre-normalized and already in the
             # compute dtype (half-sized in HBM, no convert/normalize pass).
@@ -522,7 +536,7 @@ class InferenceRunner:
                         "flm_lm", params["flm_lm"], frame, rect)
                     return pts_px, presence, face_next_rect(pts_px)
                 pts_all, presences, next_rects = jax.vmap(lm_full)(
-                    frames, rect_a)
+                    as_nhwc(), rect_a)
             present = det_ok & (presences > PRESENCE_THRESHOLD)
             new_face_rect = jnp.where(present[:, None], next_rects,
                                       state.face_rect)
@@ -563,7 +577,7 @@ class InferenceRunner:
                     return pts_px, presence, hand_next_rect(pts_px)
                 pts_all, presences, next_rects = jax.vmap(
                     lambda f, rs: jax.vmap(
-                        lambda r1: hand_full(f, r1))(rs))(frames, rects_a)
+                        lambda r1: hand_full(f, r1))(rs))(as_nhwc(), rects_a)
             present = slot_ok & (presences > PRESENCE_THRESHOLD)
             new_hand_rects = jnp.where(present[..., None], next_rects,
                                        state.hand_rects)
@@ -600,7 +614,7 @@ class InferenceRunner:
                     dtype=jnp.bfloat16).astype(jnp.float32)
                 return (jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
                         jnp.transpose(conf_full, (2, 0, 1)))
-            seg_class, seg_conf = jax.vmap(seg_one)(frames)
+            seg_class, seg_conf = jax.vmap(seg_one)(as_nhwc())
             res = res._replace(seg_class=seg_class, seg_conf=seg_conf,
                                seg_valid=jnp.ones((s,), bool))
 

@@ -171,21 +171,30 @@ def sample_rois_batch(frames_rgb: Array, rois: Array,
     ``use_pallas`` routes through the fused TPU reduce kernel
     (pallas/roi_kernel.py — one VMEM-resident frame pass for all ROIs);
     otherwise the vmapped separable-einsum path.  Identical NaN/validity
-    semantics either way."""
+    semantics either way.
+
+    Frames may also arrive PLANAR ([S, 3, H, W] — the zero-copy layout the
+    multi-stream feeder/bench uploads); the Pallas path consumes that
+    directly, the einsum path transposes back."""
+    planar_in = frames_rgb.ndim == 4 and frames_rgb.shape[1] == 3 \
+        and frames_rgb.shape[-1] != 3
     if not (use_pallas and frames_rgb.dtype == jnp.uint8):
+        nhwc = (jnp.transpose(frames_rgb, (0, 2, 3, 1)) if planar_in
+                else frames_rgb)
         if weights is None:
             return jax.vmap(
                 lambda f, r: sample_rois(f, r, channel, None)
-            )(frames_rgb, rois)
+            )(nhwc, rois)
         return jax.vmap(
             lambda f, r, w: sample_rois(f, r, channel, w)
-        )(frames_rgb, rois, weights)
+        )(nhwc, rois, weights)
 
     from bp_from_video_tpu.pallas import roi_kernel
 
     finite = jnp.all(jnp.isfinite(rois), axis=-1)            # [S, R]
     safe = jnp.where(finite[..., None], jnp.nan_to_num(rois), 0.0)
-    planar = jnp.transpose(frames_rgb, (0, 3, 1, 2))
+    planar = (frames_rgb if planar_in
+              else jnp.transpose(frames_rgb, (0, 3, 1, 2)))
     sums, den = roi_kernel.roi_sums(planar, safe, weights,
                                     interpret=interpret)
     means = sums / jnp.where(den > 0, den, 1.0)[..., None]

@@ -5,7 +5,9 @@ The reference's pipeline transport is three depth-1 manager queues with
 drop-oldest semantics (reference pbp.py:24-30, :64-68).  Here the one real
 queue left is host→HBM: each stream has a capture thread publishing into a
 lock-free native FrameSlot (drop-oldest, bounded latency), and the feeder
-batches the newest frame of every stream into one [S, H, W, 3] uint8 upload
+batches the newest frame of every stream into one [S, 3, H, W] uint8 upload
+(PLANAR — the layout the engine's Pallas kernels consume, so the device
+never pays a per-step transpose)
 (uint8 on the wire — 4× less PCIe traffic than f32; the cast fuses into the
 first on-device matmul).
 """
@@ -26,9 +28,10 @@ from bp_from_video_tpu.runtime.capture import VideoReader
 
 @jax.jit
 def _to_rgb(frames_bgr: jnp.ndarray) -> jnp.ndarray:
-    """On-device channel flip (OpenCV frames are BGR; the engine consumes
+    """On-device channel flip of planar frames (OpenCV frames are BGR; the
+    engine consumes
     RGB, reference inference_runner.py:171's cvtColor moved in-graph)."""
-    return frames_bgr[..., ::-1]
+    return frames_bgr[:, ::-1]
 
 
 class StreamFeed:
@@ -68,7 +71,7 @@ class StreamFeed:
 class DeviceFeeder:
     """Batches the newest frame of every stream and ships it to the device.
 
-    ``get_batch()`` returns (frames_rgb_u8 [S,H,W,3] device array,
+    ``get_batch()`` returns (frames_rgb_u8 [S,3,H,W] device array,
     timestamps [S], sampling_freqs [S], calibrating [S]) — always the newest
     available frame per stream (frames the engine missed are dropped,
     exactly the reference's latest-wins policy).  Raises CaptureError when
@@ -81,7 +84,8 @@ class DeviceFeeder:
         self.feeds = [StreamFeed(r, frame_shape).start() for r in readers]
         self.device = device
         s = len(readers)
-        self._frames = np.zeros((s,) + self.frame_shape, np.uint8)
+        h, w, c = self.frame_shape
+        self._frames = np.zeros((s, c, h, w), np.uint8)
         self._ts = np.zeros((s,), np.float32)
         self._fs = np.full((s,), np.nan, np.float32)
         self._cal = np.zeros((s,), bool)
@@ -100,7 +104,7 @@ class DeviceFeeder:
                 item = feed.slot.get(require_fresh=True)
                 if item is not None:
                     frame, ts, fs, cal, _ = item
-                    self._frames[i] = frame
+                    self._frames[i] = frame.transpose(2, 0, 1)
                     self._ts[i] = ts
                     self._fs[i] = fs
                     self._cal[i] = cal
@@ -129,7 +133,7 @@ class DeviceFeeder:
                 item = feed.slot.get(require_fresh=True)
                 if item is not None:
                     frame, ts, fs, cal, _ = item
-                    self._frames[i] = frame
+                    self._frames[i] = frame.transpose(2, 0, 1)
                     self._ts[i] = ts
                     self._fs[i] = fs
                     self._cal[i] = cal

@@ -177,3 +177,32 @@ def test_engine_bpm_accuracy_uniform_video():
     # inherits this sign), and the peak quantizes to the 33 ms frame period.
     ptt = float(np.asarray(out.ptt)[0])
     assert abs(ptt + HAND_DELAY * 1000) <= 25.0, ptt
+
+
+def test_batch_step_planar_frames_match_nhwc():
+    """batch_step accepts planar ([S, 3, H, W]) frames — the feeder/bench
+    upload layout — with results identical to NHWC."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bp_from_video_tpu.config import (EngineConfig, InferenceConfig,
+                                          SignalConfig)
+    from bp_from_video_tpu.runtime.engine import Engine
+
+    cfg = EngineConfig(
+        frame_height=48, frame_width=64, num_streams=2,
+        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
+        inference=InferenceConfig(
+            face_detector_path=None, face_landmarker_path=None,
+            hand_landmarker_path=None, person_segmenter_path=None))
+    eng = Engine(cfg)
+    state = jax.tree.map(lambda x: jnp.stack([x, x]), eng.init_state())
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 48, 64, 3), np.uint8))
+    ts = jnp.asarray([1 / 30.0, 1 / 30.0], jnp.float32)
+    st_a, out_a = jax.jit(eng.batch_step)(eng.params, state, frames, ts)
+    st_b, out_b = jax.jit(eng.batch_step)(
+        eng.params, state, jnp.transpose(frames, (0, 3, 1, 2)), ts)
+    for a, b in zip(jax.tree.leaves((st_a, out_a)),
+                    jax.tree.leaves((st_b, out_b))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

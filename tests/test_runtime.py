@@ -128,11 +128,11 @@ def test_device_feeder_batches(video_file):
     readers = [VideoReader(video_file), VideoReader(video_file)]
     feeder = DeviceFeeder(readers, (H, W, 3))
     frames, ts, fs, cal = feeder.get_batch()
-    assert frames.shape == (2, H, W, 3)
+    assert frames.shape == (2, 3, H, W)   # planar upload layout
     assert frames.dtype.name == "uint8"
     # BGR->RGB happened on-device: the blue stripe is now channel 2.
     f0 = np.asarray(frames)[0]
-    assert f0[0, 0, 2] > 200 and f0[0, 0, 0] < 200
+    assert f0[2, 0, 0] > 200 and f0[0, 0, 0] < 200
     # Streams end -> CaptureError (clean shutdown signal).
     with pytest.raises(CaptureError):
         for _ in range(5 * N_FRAMES):

@@ -69,7 +69,7 @@ def main():
 
     n_buf = 4
     frame_buf = jax.jit(lambda k: jax.random.randint(
-        k, (n_buf, streams, h, w, 3), 0, 256, jnp.uint8))(jax.random.key(7))
+        k, (n_buf, streams, 3, h, w), 0, 256, jnp.uint8))(jax.random.key(7))
 
     def frames_at(i):
         return jax.lax.dynamic_index_in_dim(
