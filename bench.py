@@ -69,7 +69,10 @@ def main():
     # ~40-50 ms regardless of work, so short clips under-report steady-state
     # throughput by ~25% (measured: clip 16 -> 11.3 ms/step, clip 32 ->
     # 10.0, implying ~8.7 ms true step + L/clip overhead).
-    clip_len = int(os.environ.get("BENCH_CLIP", "8" if quick else "96"))
+    # Clip 256: the tunnel charges ~45 ms per executable dispatch regardless
+    # of work, so steady-state throughput needs long scans (0.18 ms/step of
+    # overhead at 256 vs 0.47 at 96).
+    clip_len = int(os.environ.get("BENCH_CLIP", "8" if quick else "256"))
     reps = int(os.environ.get("BENCH_REPS", "2" if quick else "3"))
     h, w = (128, 160) if quick else (480, 640)
     dt = 1.0 / 30.0

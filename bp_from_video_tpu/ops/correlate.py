@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from bp_from_video_tpu.ops import dft
+
 from bp_from_video_tpu.ops import signal as sig
 
 Array = jax.Array
@@ -58,10 +60,10 @@ def correlate_pair(x_a: Array, y_a: Array, y_b: Array) -> tuple[Array, Array]:
     # scipy.correlate(a, b, 'full')[j] = sum_t a[t]·b[t-(j-(n-1))]; the
     # reference layout wants entry j at lag index j-(K-1), i.e. the full
     # correlation shifted by K-1 — folded into the correlation's own phase.
-    fa = jnp.fft.rfft(ca.values, nfft)
-    fb = jnp.fft.rfft(cb.values, nfft)
+    fa = dft.rfft(ca.values, nfft)
+    fb = dft.rfft(cb.values, nfft)
     spec = fa * jnp.conj(fb)
-    full_s = jnp.fft.irfft(_shift_spectrum(spec, -(k - 1), nfft),
+    full_s = dft.irfft(_shift_spectrum(spec, -(k - 1), nfft),
                            nfft)[: 2 * n - 1]
 
     aa = jnp.dot(ca.values, ca.values)
@@ -80,8 +82,8 @@ def correlate_pair(x_a: Array, y_a: Array, y_b: Array) -> tuple[Array, Array]:
     x_last = sig.take_at(cx.values, -1, k)
     centered = jnp.where(jnp.arange(n) < k, cx.values - x_last, 0.0)
     fwd = jnp.concatenate([centered, jnp.zeros((n - 1,), centered.dtype)])
-    fr = jnp.fft.rfft(centered[::-1], nfft)
-    bwd = jnp.fft.irfft(_shift_spectrum(fr, n - 1 - 2 * (k - 1), nfft),
+    fr = dft.rfft(centered[::-1], nfft)
+    bwd = dft.irfft(_shift_spectrum(fr, n - 1 - 2 * (k - 1), nfft),
                         nfft)[: 2 * n - 1]
     x_rev_c = jnp.where(li <= 0, fwd, bwd)      # = x_rev - x_last
     lags = -x_rev_c * jnp.sign(li).astype(x_a.dtype)

@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from bp_from_video_tpu.ops import dft
+
 from bp_from_video_tpu.ops.iir import odd_ext, _reverse_prefix
 
 Array = jax.Array
@@ -78,7 +80,7 @@ def _causal_fir(h: Array, x: Array) -> Array:
     """Causal convolution conv(h, x)[:len(x)] via FFT."""
     length = x.shape[0]
     nfft = 1 << (length + h.shape[0] - 1).bit_length()
-    return jnp.fft.irfft(jnp.fft.rfft(x, nfft) * jnp.fft.rfft(h, nfft),
+    return dft.irfft(dft.rfft(x, nfft) * dft.rfft(h, nfft),
                          nfft)[:length].astype(x.dtype)
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from bp_from_video_tpu.ops import dft
+
 Array = jax.Array
 
 
@@ -115,9 +117,9 @@ def sosfilt_conv(p_d: Array, gain: Array, x: Array, x0: Array) -> Array:
     # zi spectrum: [-g·x0, -g·x0, 0, ...] -> -g·x0·(1 + z1), through 1/A_0
     # and sections 1..n-1 (their B and A are already inside h_zi's factors).
     h_zi = (b ** (n_sec - 1)) * inv_a
-    xf = jnp.fft.rfft(x, nfft)
+    xf = dft.rfft(x, nfft)
     yf = h_all * xf + h_zi * (-g * x0 * (1.0 + z1))
-    return jnp.fft.irfft(yf, nfft)[:length].astype(x.dtype)
+    return dft.irfft(yf, nfft)[:length].astype(x.dtype)
 
 
 def _shifted(a: Array, left_pad: int, right_pad: int, start: Array,
