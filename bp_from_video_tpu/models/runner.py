@@ -30,7 +30,7 @@ from bp_from_video_tpu.models import anchors as anchors_lib
 from bp_from_video_tpu.models import blaze, detection, warp
 from bp_from_video_tpu.models import tflite_compiler as tc
 from bp_from_video_tpu.models.detection import NMSOut
-from bp_from_video_tpu.ops.roi import Detections
+from bp_from_video_tpu.ops.roi import Detections, is_planar_frames as roi_is_planar
 
 Array = jax.Array
 
@@ -388,8 +388,7 @@ class InferenceRunner:
         # NHWC view is materialized lazily INSIDE each detector branch so
         # the steady-state step never pays the 2*S*H*W*3-byte transpose
         # (a cond operand would be computed regardless of the branch).
-        planar_in = (frames_rgb.ndim == 4 and frames_rgb.shape[1] == 3
-                     and frames_rgb.shape[-1] != 3)
+        planar_in = roi_is_planar(frames_rgb)
 
         def as_nhwc():
             return (jnp.transpose(frames_rgb, (0, 2, 3, 1)) if planar_in

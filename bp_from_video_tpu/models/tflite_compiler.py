@@ -596,8 +596,32 @@ def _dequant(info: TensorInfo, arr: np.ndarray) -> np.ndarray:
     return arr
 
 
+def _dce(graph: Graph) -> Graph:
+    """Drop ops whose outputs nothing consumes and blank the constant data
+    of unreferenced tensors.
+
+    The graph transforms (fuse_dw_pw_pairs / space_to_depth_pack) supersede
+    weights by appending rewritten copies; without this pass compile_tflite
+    would still hoist every original per-layer weight (and its DEQUANTIZE
+    source) into the params pytree, holding dead arrays in HBM for the life
+    of the model."""
+    live: set[int] = set(graph.outputs)
+    keep: list[OpNode] = []
+    for op in reversed(graph.ops):
+        if any(t in live for t in op.outputs):
+            keep.append(op)
+            live.update(t for t in op.inputs if t >= 0)
+    keep.reverse()
+    live.update(graph.inputs)
+    tensors = [info if (i in live or info.data is None)
+               else TensorInfo(info.name, info.shape, info.dtype, None,
+                               info.quant)
+               for i, info in enumerate(graph.tensors)]
+    return Graph(tensors, keep, list(graph.inputs), list(graph.outputs))
+
+
 def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
-                   planar_inputs: bool = False, fuse_dw_pw: bool = True,
+                   planar_inputs: bool = False, fuse_dw_pw: bool = False,
                    pack_s2d: int = 0, packed_inputs: bool = False
                    ) -> tuple[Callable[..., list[Array]], dict[str, Array]]:
     """Compile a .tflite model into ``fn(params, *inputs) -> [outputs]`` and
@@ -624,6 +648,8 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
     if pack_s2d:
         graph = space_to_depth_pack(graph, min_hw=pack_s2d,
                                     packed_inputs=packed_inputs)
+    if fuse_dw_pw or pack_s2d:
+        graph = _dce(graph)
 
     params: dict[str, Array] = {}
     const_keys: dict[int, str] = {}

@@ -57,8 +57,12 @@ def rfft(x: Array, n: int) -> Array:
     elif ln > n:
         x = x[..., :n]
     x = x.astype(jnp.float32)
-    re = x @ jnp.asarray(c)
-    im = x @ jnp.asarray(s)
+    # HIGHEST: TPU default matmul precision truncates f32 operands to bf16
+    # before the MXU — an FFT replacement must keep f32 accuracy (the MACs
+    # here are microseconds either way).
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(x, jnp.asarray(c), precision=hp)
+    im = jnp.matmul(x, jnp.asarray(s), precision=hp)
     return jax.lax.complex(re, im)
 
 
@@ -68,4 +72,6 @@ def irfft(y: Array, n: int) -> Array:
     c, s = _irfft_mats(n)
     re = jnp.real(y).astype(jnp.float32)
     im = jnp.imag(y).astype(jnp.float32)
-    return re @ jnp.asarray(c) + im @ jnp.asarray(s)
+    hp = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(re, jnp.asarray(c), precision=hp)
+            + jnp.matmul(im, jnp.asarray(s), precision=hp))

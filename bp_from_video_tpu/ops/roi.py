@@ -160,6 +160,15 @@ def _mix_channel(means: Array, channel: SignalColorChannel) -> Array:
     raise NotImplementedError(channel)  # pragma: no cover
 
 
+def is_planar_frames(frames: Array) -> bool:
+    """True when a 4-D frame batch is planar ([S, 3, H, W]) rather than
+    NHWC.  One shared heuristic for every consumer (the engine's inference
+    and ROI stages must agree); ambiguous only for W == 3 frames, which do
+    not occur."""
+    return (frames.ndim == 4 and frames.shape[1] == 3
+            and frames.shape[-1] != 3)
+
+
 def sample_rois_batch(frames_rgb: Array, rois: Array,
                       channel: SignalColorChannel,
                       weights: Array | None = None,
@@ -176,8 +185,7 @@ def sample_rois_batch(frames_rgb: Array, rois: Array,
     Frames may also arrive PLANAR ([S, 3, H, W] — the zero-copy layout the
     multi-stream feeder/bench uploads); the Pallas path consumes that
     directly, the einsum path transposes back."""
-    planar_in = frames_rgb.ndim == 4 and frames_rgb.shape[1] == 3 \
-        and frames_rgb.shape[-1] != 3
+    planar_in = is_planar_frames(frames_rgb)
     if not (use_pallas and frames_rgb.dtype == jnp.uint8):
         nhwc = (jnp.transpose(frames_rgb, (0, 2, 3, 1)) if planar_in
                 else frames_rgb)

@@ -57,12 +57,9 @@ def _kernel(rects_ref, frame_ref, *out_refs, sizes, dtype, scale, packs):
         gx = jax.lax.broadcasted_iota(jnp.int32, (size // pack, w), 1
                                       ).astype(jnp.float32)
         if pack == 1:
-            gy_full = jax.lax.broadcasted_iota(jnp.int32, (size, h), 1
-                                               ).astype(jnp.float32)
-            gx_full = jax.lax.broadcasted_iota(jnp.int32, (size, w), 1
-                                               ).astype(jnp.float32)
-            wy = weights(size, 0, 1, cy, h_, gy_full)
-            wx = weights(size, 0, 1, cx, w_, gx_full)
+            # gy/gx already have (size, ·) rows when pack == 1.
+            wy = weights(size, 0, 1, cy, h_, gy)
+            wx = weights(size, 0, 1, cx, w_, gx)
             for ch, f in enumerate(planes):
                 # (Pixel values 0..255 are exact in bf16.)
                 tmp = jnp.dot(wy, f, preferred_element_type=jnp.float32

@@ -239,3 +239,26 @@ def test_resize_bilinear_point_sampling():
     np.testing.assert_allclose(np.asarray(up)[2:-2, 2:-2],
                                np.asarray(ref_up)[2:-2, 2:-2],
                                atol=1e-5, rtol=1e-5)
+
+
+def test_blaze_landmark_packed_stem_matches_plain():
+    """The stand-ins' packed-stem branch (s2d crops from the Pallas kernel)
+    computes the same function as the plain path — the production hand
+    path whenever pack_s2d + use_pallas are on (the hand blob is absent
+    from the snapshot)."""
+    import jax
+    from bp_from_video_tpu.models import blaze
+
+    for size in (224, 256):
+        p = blaze.init_blaze_landmark(11, size, 21)
+        x = jax.random.uniform(jax.random.key(2), (1, 3, size, size),
+                               jnp.float32) * 255.0
+        plain = blaze.blaze_landmark_apply(p, x, size)
+        c = 3
+        xp = x.reshape(1, c, size // 2, 2, size // 2, 2)
+        xp = jnp.transpose(xp, (0, 3, 5, 1, 2, 4)).reshape(
+            1, 4 * c, size // 2, size // 2)
+        packed = blaze.blaze_landmark_apply(p, xp, size)
+        for a, b in zip(plain, packed):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-3)

@@ -240,9 +240,11 @@ def main():
                 rects = jnp.tile(jnp.asarray(
                     [[[320.0, 240.0, 200.0, 200.0]] * 3], jnp.float32),
                     (streams, 1, 1)) + shift
-                planar = jnp.transpose(frames_at(i), (0, 3, 1, 2))
+                planar = frames_at(i)  # frame_buf is already [S, 3, H, W]
+                packs = tuple(2 if eng.runner._packed_in.get(k) else 1
+                              for k in ("flm_lm", "hand_lm", "hand_lm"))
                 outs = warp_kernel.multi_crop(planar, rects, (256, 224, 224),
-                                              dtype=jnp.bfloat16)
+                                              dtype=jnp.bfloat16, pack=packs)
                 return shift + 0.1, sum(jnp.mean(o) for o in outs)
             scan_time("pallas crops only", step, jnp.float32(0.0), clip_len,
                       streams)

@@ -61,9 +61,10 @@ def scan_probe(label, dtype, batch, cin, hw, cout, k, stride, clip=32,
     def body(carry, _):
         x = carry
         y = f(x, w)
-        # Vary the carry each step so the runtime cannot dedup executions.
-        upd = y[:, :cin, :hw:stride if stride > 1 else 1, :].astype(x.dtype)
-        x2 = x + upd[:, :, :1, :1].astype(x.dtype)
+        # Perturb the carry from a reduced scalar of y (shape-agnostic in
+        # cin/cout) so the runtime cannot dedup repeated executions.
+        bump = jnp.sum(y[..., 0, 0], axis=-1, keepdims=True)[..., None, None]
+        x2 = x + bump.astype(x.dtype)
         return x2, jnp.sum(y[..., 0, 0], dtype=jnp.float32)
 
     @jax.jit
