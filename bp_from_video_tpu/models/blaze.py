@@ -43,9 +43,10 @@ def _conv(p, x, stride=1, padding="SAME", groups=1):
     return y + p["b"].astype(w.dtype).reshape(-1, 1, 1)
 
 
-def _blaze_block_init(key, cin, cout):
+def _blaze_block_init(key, cin, cout, k=5):
     k1, k2 = jax.random.split(key)
-    return {"dw": _conv_init(k1, 5, 5, 1, cin), "pw": _conv_init(k2, 1, 1, cin, cout)}
+    return {"dw": _conv_init(k1, k, k, 1, cin),
+            "pw": _conv_init(k2, 1, 1, cin, cout)}
 
 
 # Compose each block's depthwise+pointwise pair into ONE dense conv before
@@ -158,14 +159,19 @@ def _pack_stem(stem: dict, k: int, in_size: int) -> dict:
 def init_blaze_landmark(seed: int, input_size: int, num_landmarks: int) -> dict:
     key = jax.random.PRNGKey(seed)
     ks = jax.random.split(key, 9)
-    stem = _conv_init(ks[0], 5, 5, 3, 24)
+    # Landmark nets are MobileNet-style 3x3 depthwise-separable trunks in
+    # the MediaPipe family — the 5x5 "blaze" blocks belong to the DETECTORS
+    # (BlazeFace/BlazePalm).  3x3 here is both more architecture-faithful
+    # and ~2.8x cheaper on the stem, which dominates the stand-in's MXU row
+    # count (conv time on TPU tracks rows x taps).
+    stem = _conv_init(ks[0], 3, 3, 3, 24)
     return {
         "stem": stem,
-        "stem_p": _pack_stem(stem, 5, input_size),
-        "b1": _blaze_block_init(ks[1], 24, 48),
-        "b2": _blaze_block_init(ks[2], 48, 96),
-        "b3": _blaze_block_init(ks[3], 96, 96),
-        "b4": _blaze_block_init(ks[4], 96, 192),
+        "stem_p": _pack_stem(stem, 3, input_size),
+        "b1": _blaze_block_init(ks[1], 24, 48, k=3),
+        "b2": _blaze_block_init(ks[2], 48, 96, k=3),
+        "b3": _blaze_block_init(ks[3], 96, 96, k=3),
+        "b4": _blaze_block_init(ks[4], 96, 192, k=3),
         "head_lm": _conv_init(ks[5], 1, 1, 192, 3 * num_landmarks),
         "head_presence": _conv_init(ks[6], 1, 1, 192, 1),
         "head_aux": _conv_init(ks[7], 1, 1, 192, 1),
