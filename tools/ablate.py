@@ -109,6 +109,36 @@ def main():
                 return track2, summary
             scan_time("inference only", step, state0.track, clip_len, streams)
 
+        elif v == "nonet":
+            # Full step with the landmark NETS stubbed out (crop mean ->
+            # landmark grid): everything else — crops, gating, ROI, DSP,
+            # spectra, correlation, scan glue — runs in context.  The
+            # difference to 'full' is the nets' true in-context cost; the
+            # absolute value is the step's non-net floor.
+            saved = {k: eng.runner._fns[k] for k in ("flm_lm", "hand_lm")
+                     if k in eng.runner._fns}
+
+            def stub(nl):
+                def f(p, x):
+                    m = jnp.mean(x.astype(jnp.float32))
+                    lm = (jnp.ones((1, 3 * nl), jnp.float32) * (m + 100.0))
+                    return lm, jax.nn.sigmoid(m)[None, None] * 0 + 0.9, m[None, None]
+                return f
+            eng.runner._fns["flm_lm"] = stub(478)
+            eng.runner._fns["hand_lm"] = stub(21)
+
+            def step(carry, i):
+                st = carry
+                ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+                st2, out = eng.batch_step(
+                    ms.params, EngineState(st.signals,
+                                           hold_tracking(st.track)),
+                    frames_at(i), ts)
+                return st2, out.bpm
+            scan_time("full step, nets stubbed", step, state0, clip_len,
+                      streams)
+            eng.runner._fns.update(saved)
+
         elif v == "signal":
             def step(carry, i):
                 signals = carry
