@@ -19,8 +19,6 @@ import numpy as np
 class AnchorConfig:
     input_size: int
     strides: tuple[int, ...]
-    min_scale: float = 0.1484375
-    max_scale: float = 0.75
     anchor_offset: float = 0.5
     aspect_ratios: tuple[float, ...] = (1.0,)
     interpolated_scale_aspect_ratio: float = 1.0
@@ -41,11 +39,6 @@ def generate_anchors(cfg: AnchorConfig) -> np.ndarray:
     the stride-8 map and 6 on the merged stride-16 maps).
     """
     num_layers = len(cfg.strides)
-
-    def scale(k: int) -> float:
-        if num_layers == 1:
-            return (cfg.min_scale + cfg.max_scale) / 2.0
-        return cfg.min_scale + (cfg.max_scale - cfg.min_scale) * k / (num_layers - 1)
 
     anchors = []
     layer = 0

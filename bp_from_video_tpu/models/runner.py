@@ -19,6 +19,7 @@ for the face detector, detections sorted by area descending.
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -73,6 +74,13 @@ class ModelResults(NamedTuple):
         inference_runner.py:42-43)."""
         return (self.face_detector, self.face_landmarker,
                 self.hand_landmarker, (self.seg_class, self.seg_conf))
+
+
+def _seed(key: str) -> int:
+    """Deterministic stand-in weight seed (``hash()`` is PYTHONHASHSEED-
+    salted: multi-host SPMD would build different 'replicated' weights per
+    host, and runs would not reproduce across restarts)."""
+    return zlib.crc32(key.encode()) % 2**31
 
 
 def _rect_arr(r: warp.Rect) -> Array:
@@ -190,7 +198,7 @@ class InferenceRunner:
             self._fns[key] = apply
             self._fns[key + "_size"] = size
         else:
-            params = blaze.init_blaze_detector(hash(key) % 2**31, fallback_size,
+            params = blaze.init_blaze_detector(_seed(key), fallback_size,
                                                fallback_anchors, fallback_kps)
             self.params[key] = self._cast(params)
             self._fns[key] = (lambda p, x, k=fallback_kps:
@@ -226,7 +234,7 @@ class InferenceRunner:
             self._fns[key] = apply
             self._fns[key + "_size"] = size
         else:
-            params = blaze.init_blaze_landmark(hash(key) % 2**31, fallback_size,
+            params = blaze.init_blaze_landmark(_seed(key), fallback_size,
                                                num_landmarks)
             self.params[key] = self._cast(params)
             self._fns[key] = (lambda p, x, s=fallback_size:
@@ -252,7 +260,7 @@ class InferenceRunner:
             self._fns[key] = apply
             self._fns[key + "_size"] = size
         else:
-            params = blaze.init_segmenter(hash(key) % 2**31, fallback_size,
+            params = blaze.init_segmenter(_seed(key), fallback_size,
                                           SEG_CLASSES)
             self.params[key] = self._cast(params)
             self._fns[key] = (lambda p, x, s=fallback_size:

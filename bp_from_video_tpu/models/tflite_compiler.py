@@ -670,7 +670,24 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
             return None
         return info.data
 
+    # Raw f16/int8 weight tensors whose ONLY consumers are folded
+    # DEQUANTIZE ops would otherwise be hoisted alongside their dequantized
+    # copies — measured 50% dead duplicate weight bytes on the face mesh.
+    consumers: dict[int, set[str]] = {}
+    for op in graph.ops:
+        for t in op.inputs:
+            if t >= 0:
+                consumers.setdefault(t, set()).add(
+                    "folded" if (op.opcode == "DEQUANTIZE"
+                                 and op.outputs[0] in dequant_of)
+                    else op.opcode)
+    folded_sources = {src for out, src in dequant_of.items()
+                      if consumers.get(src) == {"folded"}
+                      and src not in graph.outputs}
+
     for idx, info in enumerate(graph.tensors):
+        if idx in folded_sources:
+            continue
         val = const_value(idx)
         if val is None:
             continue

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from bp_from_video_tpu.ops import dft
 
-from bp_from_video_tpu.ops.iir import odd_ext, _reverse_prefix
+from bp_from_video_tpu.ops.iir import _shifted, odd_ext, _reverse_prefix
 
 Array = jax.Array
 
@@ -113,6 +113,7 @@ def filtfilt_fir(h: Array, yc: Array, count: Array, ext_cap: int) -> Array:
     y = _reverse_prefix(y, ext_len)
     y = one_pass(y, ext_len)
     y = _reverse_prefix(y, ext_len)
-    i = jnp.arange(yc.shape[0])
-    out = y[jnp.clip(i + padlen, 0, y.shape[0] - 1)]
+    # dynamic_slice, not an affine gather (per-lane gathers lower
+    # element-serially on TPU — see iir._shifted).
+    out = _shifted(y, 0, yc.shape[0], padlen, yc.shape[0])
     return jnp.where(nmask, out, 0.0)

@@ -72,15 +72,6 @@ def default_padlen(order: int) -> int:
     return 3 * (2 * order + 1)
 
 
-def _ar2_impulse(q: Array, length: int) -> Array:
-    """Impulse response of 1/(1 + a1 z^-1 + a2 z^-2) with conjugate pole pair
-    (q, q̄):  h[k] = Im(q^{k+1}) / Im(q) = r^k sin((k+1)θ)/sin(θ)."""
-    k = jnp.arange(length, dtype=jnp.float32)
-    r = jnp.abs(q)
-    th = jnp.angle(q)
-    return jnp.exp(k * jnp.log(r)) * (jnp.sin((k + 1.0) * th) / jnp.sin(th))
-
-
 def sosfilt_conv(p_d: Array, gain: Array, x: Array, x0: Array) -> Array:
     """Causal Butterworth-cascade filter of ``x`` as ONE spectral multiply.
 

@@ -102,6 +102,10 @@ class VideoReader:
             self.calibrating = True
         else:
             self.cap.set(cv2.CAP_PROP_ORIENTATION_AUTO, 1)
+            # Rewind: the probe read consumed frame 0.  (The reference never
+            # rewinds, silently dropping every file's first frame —
+            # video_reader.py:52-54 + :92; a conscious fix, not a port.)
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
             self.calibrating = False
         self.timestamp_ref = time.time()
         self.timestamp_prev = float("nan")

@@ -113,8 +113,9 @@ class DeviceFeeder:
                    for h, f in zip(self._have, self.feeds)):
                 self._warm = True
                 if self._have.any():
+                    ts = np.where(self._have, self._ts, np.nan)
                     frames = jax.device_put(self._frames, self.device)
-                    return (_to_rgb(frames), jnp.asarray(self._ts),
+                    return (_to_rgb(frames), jnp.asarray(ts),
                             jnp.asarray(self._fs), jnp.asarray(self._cal))
             _time.sleep(0.0005)
         while True:
@@ -146,8 +147,15 @@ class DeviceFeeder:
             if not alive:
                 raise CaptureError("all streams ended")
             _time.sleep(0.0005)
+        if not self._have.any():
+            # Non-blocking call before any stream produced: no real frames
+            # to ship (never hand the engine the zero-initialized buffer).
+            return None
+        # Streams that ended before producing anything keep NaN timestamps:
+        # the NaN-masked rings discard their samples end-to-end.
+        ts = np.where(self._have, self._ts, np.nan)
         frames = jax.device_put(self._frames, self.device)
-        return (_to_rgb(frames), jnp.asarray(self._ts),
+        return (_to_rgb(frames), jnp.asarray(ts),
                 jnp.asarray(self._fs), jnp.asarray(self._cal))
 
     def cleanup(self):

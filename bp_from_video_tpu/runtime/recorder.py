@@ -43,20 +43,24 @@ class SignalRecorder:
 
     def add_clip(self, timestamps, clip_out) -> None:
         """Record a whole offline clip result (parallel.ClipOutputs,
-        time-major)."""
-        self._rows["timestamp"].append(np.asarray(timestamps, np.float32))
-        self._rows["bpm"].append(np.asarray(clip_out.bpm, np.float32))
-        self._rows["ptt"].append(np.asarray(clip_out.ptt, np.float32))
-        self._rows["curr_fs"].append(np.asarray(clip_out.curr_fs, np.float32))
+        time-major).  Stored row-per-step so clips and live ``add`` steps
+        mix freely (``save`` stacks uniformly shaped rows)."""
+        ts = np.asarray(timestamps, np.float32)
+        bpm = np.asarray(clip_out.bpm, np.float32)
+        ptt = np.asarray(clip_out.ptt, np.float32)
+        fs = np.asarray(clip_out.curr_fs, np.float32)
+        for t in range(ts.shape[0]):
+            self._rows["timestamp"].append(ts[t])
+            self._rows["bpm"].append(bpm[t])
+            self._rows["ptt"].append(ptt[t])
+            self._rows["curr_fs"].append(fs[t])
 
     def __len__(self) -> int:
         return len(self._rows["timestamp"])
 
     def save(self) -> str:
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
-        arrays = {k: np.stack(v) if v and v[0].ndim == v[-1].ndim
-                  else np.asarray(v, object)
-                  for k, v in self._rows.items() if v}
+        arrays = {k: np.stack(v) for k, v in self._rows.items() if v}
         np.savez_compressed(self.path, **arrays)
         return self.path
 
@@ -87,6 +91,11 @@ def save_state(path: str, tree: Any) -> str:
         ckptr.save(os.path.abspath(path), flat, force=True)
         return path
     except Exception:  # orbax missing or version drift -> npz fallback
+        # A half-written orbax directory must not shadow the npz on load
+        # (load_state prefers the directory form).
+        if os.path.isdir(path):
+            import shutil
+            shutil.rmtree(path, ignore_errors=True)
         np.savez(path + ".npz", **flat)
         return path + ".npz"
 

@@ -37,13 +37,14 @@ def test_video_reader_file(video_file):
     fd = r.read_frame()
     assert isinstance(fd, FrameData)
     assert fd.frame.shape == (H, W, 3)
-    # The startup probe read consumes frame 0 (reference video_reader.py:52),
-    # so the first delivered frame is index 1.
-    assert fd.timestamp == pytest.approx(1.0 / FPS)
+    # The startup probe read rewinds for files (the reference never does,
+    # silently dropping every file's first frame — a conscious fix), so the
+    # first delivered frame is index 0 at timestamp 0.
+    assert fd.timestamp == pytest.approx(0.0)
     assert np.isnan(fd.sampling_freq)
     assert not fd.calibrating
     fd2 = r.read_frame()
-    assert fd2.timestamp == pytest.approx(2.0 / FPS)
+    assert fd2.timestamp == pytest.approx(1.0 / FPS)
     assert fd2.sampling_freq == pytest.approx(FPS, rel=1e-3)
     # Files are not flipped by default: the blue stripe stays on the left.
     assert fd2.frame[0, 0, 0] > 200
