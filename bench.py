@@ -80,12 +80,29 @@ def main():
     import dataclasses
     from bp_from_video_tpu.config import InferenceConfig
     on_tpu = jax.default_backend() == "tpu"
-    cfg = EngineConfig(frame_height=h, frame_width=w, num_streams=streams,
-                       compute_dtype="bfloat16",
-                       inference=InferenceConfig(
-                           use_pallas=on_tpu,
-                           fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
-                           pack_s2d=int(os.environ.get("BENCH_S2D", "0"))))
+    preset = os.environ.get("BENCH_PRESET")
+    if preset:
+        # Measure one of the five BASELINE preset configurations instead of
+        # the flagship (e.g. BENCH_PRESET=multistream BENCH_STREAMS=8 for
+        # the 8-stream all-four-models target).
+        from bp_from_video_tpu.config import preset_configs
+        base = preset_configs()[preset]
+        cfg = dataclasses.replace(
+            base, frame_height=h, frame_width=w, num_streams=streams,
+            compute_dtype="bfloat16",
+            inference=dataclasses.replace(
+                base.inference, use_pallas=on_tpu,
+                fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
+                pack_s2d=int(os.environ.get("BENCH_S2D", "0"))))
+        metric = f"rppg_fused_throughput_{preset}"
+    else:
+        cfg = EngineConfig(frame_height=h, frame_width=w, num_streams=streams,
+                           compute_dtype="bfloat16",
+                           inference=InferenceConfig(
+                               use_pallas=on_tpu,
+                               fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
+                               pack_s2d=int(os.environ.get("BENCH_S2D", "0"))))
+        metric = "rppg_fused_throughput"
     ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
 
     # Pre-generated rotating frame buffer: frame CONTENT does not change
@@ -134,7 +151,7 @@ def main():
         best = max(best, (clip_len * streams) / elapsed)
 
     print(json.dumps({
-        "metric": "rppg_fused_throughput",
+        "metric": metric,
         "value": round(best, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(best / REF_BASELINE_FPS, 2),
