@@ -52,3 +52,25 @@ def test_state_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored.signals.raw_x),
                                np.arange(8))
     assert restored.track.face_rect.shape == state.track.face_rect.shape
+
+
+def test_signal_recorder_mixed_live_and_clip_rows(tmp_path):
+    """add() steps and add_clip() clips mix into one uniformly stacked npz
+    (clips are stored row-per-step)."""
+    class FakeClip:
+        def __init__(self, t):
+            self.bpm = jnp.asarray([[60.0 + t, 70.0], [61.0 + t, 71.0]])
+            self.ptt = jnp.asarray([[25.0], [26.0]])
+            self.curr_fs = jnp.asarray([30.0, 30.0])
+
+    path = str(tmp_path / "mixed.npz")
+    r = rec.SignalRecorder(path)
+    r.add(0.0, FakeOut([60.0, 70.0], [25.0], 30.0))
+    r.add_clip([1 / 30.0, 2 / 30.0], FakeClip(1.0))
+    r.add(3 / 30.0, FakeOut([63.0, 73.0], [28.0], 30.0))
+    assert len(r) == 4
+    r.save()
+    data = np.load(path)  # default allow_pickle=False must succeed
+    assert data["bpm"].shape == (4, 2)
+    np.testing.assert_allclose(data["timestamp"],
+                               np.arange(4, dtype=np.float32) / 30.0)

@@ -222,3 +222,39 @@ def test_frame_slot_never_tears():
                 torn.append(item[4])
     t.join()
     assert not torn, f"torn frames at seqs {torn[:5]}"
+
+
+def test_device_feeder_nonblocking_returns_none_until_first_frame():
+    """get_batch(block=False) must never ship the zero-initialized buffer."""
+    import threading
+
+    from bp_from_video_tpu.runtime.feeder import DeviceFeeder
+
+    gate = threading.Event()
+
+    class SlowReader:
+        def read_frame(self):
+            gate.wait(5.0)
+            from bp_from_video_tpu.runtime.capture import FrameData
+            frame = np.full((H, W, 3), 7, np.uint8)
+            return FrameData(frame, 0.5, float("nan"), False)
+
+        def cleanup(self):
+            pass
+
+    feeder = DeviceFeeder([SlowReader()], (H, W, 3))
+    try:
+        assert feeder.get_batch(block=False) is None
+        gate.set()
+        deadline = time.time() + 5.0
+        out = None
+        while out is None and time.time() < deadline:
+            out = feeder.get_batch(block=False)
+            time.sleep(0.005)
+        assert out is not None
+        frames, ts, fs, cal = out
+        assert np.asarray(frames).max() == 7
+        assert float(ts[0]) == 0.5
+    finally:
+        gate.set()
+        feeder.cleanup()
