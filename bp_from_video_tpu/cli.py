@@ -98,8 +98,15 @@ def build_parser() -> argparse.ArgumentParser:
     sig.add_argument("--fir-taps", type=int, default=None)
     sig.add_argument("--min-freq", type=float, default=None)
     sig.add_argument("--max-freq", type=float, default=None)
-    sig.add_argument("--min-lag", type=float, default=None)
-    sig.add_argument("--max-lag", type=float, default=None)
+    # NOTE: the reference's lag/mag ranges are set but then clobbered by the
+    # SignalGroup auto data range (see engine.signal_post); the knobs are
+    # kept for config parity and faithfully have no effect.
+    sig.add_argument("--min-lag", type=float, default=None,
+                     help="PTT peak window min lag (s); reference quirk: "
+                          "overridden by the auto data range")
+    sig.add_argument("--max-lag", type=float, default=None,
+                     help="PTT peak window max lag (s); reference quirk: "
+                          "overridden by the auto data range")
 
     perf = p.add_argument_group("performance")
     perf.add_argument("--dtype", choices=["float32", "bfloat16"],
@@ -190,11 +197,11 @@ def main(argv=None) -> int:
         paths = [c.path for c in captures]
         if any(isinstance(p, int) for p in paths):
             raise SystemExit("--offline requires video files, not cameras")
-        out = offline.process_videos(paths, cfg, asset_dir=args.asset_dir,
-                                     max_frames=args.max_frames)
+        out, clip_ts = offline.process_videos(
+            paths, cfg, asset_dir=args.asset_dir,
+            max_frames=args.max_frames, target_res=captures[0].target_res)
         if recorder is not None:
-            ts = np.nanmean(np.asarray(out.curr_fs), axis=1)  # placeholder ts
-            recorder.add_clip(np.arange(out.bpm.shape[0]), out)
+            recorder.add_clip(clip_ts[:, 0], out)
             print(f"recorded clip -> {recorder.save()}")
         settled = np.asarray(out.bpm)[out.bpm.shape[0] // 2:]
         for s in range(settled.shape[1]):

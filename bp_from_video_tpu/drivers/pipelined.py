@@ -45,8 +45,12 @@ def run(config: EngineConfig | None = None,
                            flip_horizontally=c.flip_horizontally,
                            calibration_time=c.calibration_time)
                for c in captures]
-    fd0 = readers[0].read_frame()
-    h, w = fd0.frame.shape[:2]
+    # Resolution probe WITHOUT consuming a frame (a read here would drop
+    # each file's frame 0 that capture.py deliberately rewinds to keep).
+    shapes = [r.frame_shape for r in readers]
+    if len(set(shapes)) > 1:
+        raise ValueError(f"streams must share one resolution, got {shapes}")
+    h, w, _ = shapes[0]
     config = dataclasses.replace(config, frame_height=h, frame_width=w,
                                  num_streams=len(readers))
 

@@ -79,6 +79,7 @@ class FrameSlot:
         if self._lib is not None:
             self._q = ctypes.c_void_p(self._lib.fq_create(self.frame_bytes))
             self.native = True
+            self._consumed = 0
         else:  # pragma: no cover - toolchain-less fallback
             self._lock = threading.Lock()
             self._item = None
@@ -89,6 +90,12 @@ class FrameSlot:
     def put(self, frame: np.ndarray, timestamp: float, fs: float,
             calibrating: bool) -> None:
         frame = np.ascontiguousarray(frame, np.uint8)
+        if frame.shape != self.frame_shape:
+            # The native path memcpy's frame_bytes — a smaller source would
+            # be an out-of-bounds read, not just corrupt data.
+            raise ValueError(
+                f"frame shape {frame.shape} != slot shape {self.frame_shape}"
+                " (all streams must share one resolution)")
         if self.native:
             self._lib.fq_put(self._q,
                              frame.ctypes.data_as(ctypes.c_char_p),
@@ -102,6 +109,13 @@ class FrameSlot:
     def get(self, require_fresh: bool = False):
         """Newest (frame, timestamp, fs, calibrating, seq) or None."""
         if self.native:
+            if (require_fresh
+                    and self._lib.fq_latest_seq(self._q) == self._consumed):
+                # Cheap freshness pre-check: the feeder polls every ~0.5 ms;
+                # don't allocate a full frame buffer just to learn "nothing
+                # new".  (Racing a concurrent put is fine — the next poll
+                # picks it up; latest-wins semantics are unchanged.)
+                return None
             out = np.empty(self.frame_shape, np.uint8)
             ts = ctypes.c_double()
             fs = ctypes.c_double()
@@ -112,6 +126,7 @@ class FrameSlot:
                                    ctypes.byref(cal), int(require_fresh))
             if seq == 0:
                 return None
+            self._consumed = int(seq)
             return out, ts.value, fs.value, bool(cal.value), int(seq)
         with self._lock:  # pragma: no cover
             if self._item is None:

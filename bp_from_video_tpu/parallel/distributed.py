@@ -37,10 +37,14 @@ def initialize(coordinator_address: str | None = None,
         "JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None:
         return False
+    # `is not None`, not truthiness: process_id=0 (the coordinator) is the
+    # most common explicitly-passed value.
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]))
+        num_processes=(num_processes if num_processes is not None
+                       else int(os.environ["JAX_NUM_PROCESSES"])),
+        process_id=(process_id if process_id is not None
+                    else int(os.environ["JAX_PROCESS_ID"])))
     _initialized = True
     return True
 

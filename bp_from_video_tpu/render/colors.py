@@ -18,9 +18,9 @@ WHITE = (255, 255, 255)
 RED = (255, 0, 0)
 GREEN = (0, 255, 0)
 BLUE = (0, 0, 255)
-CYAN = (255, 255, 0)
+CYAN = (0, 255, 255)
 MAGENTA = (255, 0, 255)
-YELLOW = (0, 255, 255)
+YELLOW = (255, 255, 0)
 BLUE_AZURE = (0, 128, 255)
 GREEN_SPRING = (0, 255, 128)
 GREEN_PARIS = (128, 255, 0)

@@ -197,7 +197,8 @@ def rasterize_plots(cfg: DrawConfig, groups, sig_colors) -> tuple[Array, list]:
                         C.LIGHT_GRAY)
         # Border + zero axes (black).
         axes = _border(gl, h, w)
-        zero_col = max_x / (max_x - min_x) * gl.width + gl.origin_x
+        # x is NOT screen-inverted (unlike y below): col(v) = (v - min_x).
+        zero_col = -min_x / (max_x - min_x) * gl.width + gl.origin_x
         on_x = (min_x <= 0.0) & (0.0 <= max_x)
         axes = axes + _vline_mask(gl, zero_col[None], on_x[None], h, w)
         zero_row = max_y / (max_y - min_y) * gl.height + gl.origin_y

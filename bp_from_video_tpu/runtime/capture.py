@@ -110,6 +110,19 @@ class VideoReader:
         self.timestamp_ref = time.time()
         self.timestamp_prev = float("nan")
 
+    @property
+    def frame_shape(self) -> tuple[int, int, int]:
+        """Processed (H, W, 3) of delivered frames WITHOUT consuming one
+        (resolution probes must not eat frame 0 — see the rewind above)."""
+        h = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        w = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        if not self.is_camera and self.target_res is not None:
+            h, w = self.target_res
+        if self.crop_portrait and h < w:
+            new_w = int(np.round(h / np.sqrt(2)))
+            w = 2 * (new_w // 2)
+        return (h, w, 3)
+
     # -- camera control -----------------------------------------------------
 
     def set_prop_calibration(self, enable: bool) -> None:

@@ -46,15 +46,19 @@ def decode_clip(path: str, max_frames: int | None = None,
 
 def process_videos(paths: Sequence[str], config: EngineConfig | None = None,
                    *, asset_dir: str | None = None,
-                   max_frames: int | None = None, chunk: int = 256
-                   ) -> ClipOutputs:
+                   max_frames: int | None = None, chunk: int = 256,
+                   target_res: tuple[int, int] | None = None
+                   ) -> tuple[ClipOutputs, np.ndarray]:
     """Run the full pipeline over recorded videos in batch.
 
-    All videos are decoded (truncated to the shortest), stacked as streams,
-    and scanned through the fused step in ``chunk``-frame device blocks.
-    Returns time-major ClipOutputs ([T, S, ...])."""
+    All videos are decoded (truncated to the shortest, resized to
+    ``target_res`` when given — required for mixed-resolution inputs),
+    stacked as streams, and scanned through the fused step in
+    ``chunk``-frame device blocks.  Returns (time-major ClipOutputs
+    [T, S, ...], timestamps [T, S] seconds)."""
     config = config or EngineConfig()
-    decoded = [decode_clip(p, max_frames=max_frames) for p in paths]
+    decoded = [decode_clip(p, max_frames=max_frames, target_res=target_res)
+               for p in paths]
     t_len = min(f.shape[0] for f, _ in decoded)
     frames = np.stack([f[:t_len] for f, _ in decoded], axis=1)  # [T, S, ...]
     ts = np.stack([t[:t_len] for _, t in decoded], axis=1)      # [T, S]
@@ -70,5 +74,5 @@ def process_videos(paths: Sequence[str], config: EngineConfig | None = None,
         tb = jnp.asarray(ts[i:i + chunk])
         state, out = ms.run_clip(ms.params, state, fb, tb)
         outs.append(jax.tree.map(np.asarray, out))
-    return ClipOutputs(*[np.concatenate([getattr(o, f) for o in outs])
-                         for f in ClipOutputs._fields])
+    return (ClipOutputs(*[np.concatenate([getattr(o, f) for o in outs])
+                          for f in ClipOutputs._fields]), ts)

@@ -100,9 +100,12 @@ def test_cli_preset():
 def test_offline_batch_processing(pulse_video):
     from bp_from_video_tpu.runtime import offline
 
-    out = offline.process_videos(
+    out, clip_ts = offline.process_videos(
         [pulse_video, pulse_video], tiny_engine_config(), max_frames=30,
         chunk=16)
+    assert clip_ts.shape == (30, 2)
+    np.testing.assert_allclose(clip_ts[:, 0], np.arange(30) / FPS,
+                               atol=1e-3)
     assert out.bpm.shape[0] == 30            # capped by max_frames
     assert out.bpm.shape[1] == 2             # two streams
     assert np.isfinite(out.curr_fs[5:]).all()
