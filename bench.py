@@ -20,16 +20,21 @@ BASELINE.md).  ``vs_baseline`` is the speedup over that.
 Prints ONE JSON line:
   {"metric": "rppg_fused_throughput", "value": N, "unit": "frames/sec/chip",
    "vs_baseline": N}
+
+``BENCH_ALL=1`` instead measures the flagship AND every BASELINE preset,
+prints one JSON line per configuration (flagship line LAST so the driver's
+single-line parse still picks it up), and writes the machine-captured table
+to ``BENCH_PRESETS.json`` — headline claims must be artifact-backed, not
+README prose (VERDICT.md Weak #6).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
 import time
-
-import numpy as np
 
 REF_BASELINE_FPS = 25.0  # reference README.md:44
 
@@ -54,55 +59,41 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
-    quick = "--quick" in sys.argv
-    import jax
-    import jax.numpy as jnp
-    _enable_compile_cache()
-    from bp_from_video_tpu.config import EngineConfig
-    from bp_from_video_tpu.models.runner import TrackState
-    from bp_from_video_tpu.parallel import MultiStreamEngine
-    from bp_from_video_tpu.runtime.engine import EngineState
-
-    streams = int(os.environ.get("BENCH_STREAMS", "8" if quick else "64"))
-    # Long scan: each executable dispatch through the remote-TPU tunnel costs
-    # ~40-50 ms regardless of work, so short clips under-report steady-state
-    # throughput by ~25% (measured: clip 16 -> 11.3 ms/step, clip 32 ->
-    # 10.0, implying ~8.7 ms true step + L/clip overhead).
-    # Clip 256: the tunnel charges ~45 ms per executable dispatch regardless
-    # of work, so steady-state throughput needs long scans (0.18 ms/step of
-    # overhead at 256 vs 0.47 at 96).
-    clip_len = int(os.environ.get("BENCH_CLIP", "8" if quick else "256"))
-    reps = int(os.environ.get("BENCH_REPS", "2" if quick else "3"))
-    h, w = (128, 160) if quick else (480, 640)
-    dt = 1.0 / 30.0
-
-    import dataclasses
-    from bp_from_video_tpu.config import InferenceConfig
-    on_tpu = jax.default_backend() == "tpu"
-    preset = os.environ.get("BENCH_PRESET")
+def build_config(preset: str | None, streams: int, h: int, w: int,
+                 on_tpu: bool):
+    """The measured EngineConfig (flagship when ``preset`` is None, else one
+    of the five BASELINE preset configurations) and its metric name."""
+    from bp_from_video_tpu.config import (EngineConfig, InferenceConfig,
+                                          preset_configs)
+    infer_over = dict(
+        use_pallas=on_tpu,
+        fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
+        pack_s2d=int(os.environ.get("BENCH_S2D", "0")))
     if preset:
-        # Measure one of the five BASELINE preset configurations instead of
-        # the flagship (e.g. BENCH_PRESET=multistream BENCH_STREAMS=8 for
-        # the 8-stream all-four-models target).
-        from bp_from_video_tpu.config import preset_configs
         base = preset_configs()[preset]
         cfg = dataclasses.replace(
             base, frame_height=h, frame_width=w, num_streams=streams,
             compute_dtype="bfloat16",
-            inference=dataclasses.replace(
-                base.inference, use_pallas=on_tpu,
-                fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
-                pack_s2d=int(os.environ.get("BENCH_S2D", "0"))))
-        metric = f"rppg_fused_throughput_{preset}"
-    else:
-        cfg = EngineConfig(frame_height=h, frame_width=w, num_streams=streams,
-                           compute_dtype="bfloat16",
-                           inference=InferenceConfig(
-                               use_pallas=on_tpu,
-                               fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
-                               pack_s2d=int(os.environ.get("BENCH_S2D", "0"))))
-        metric = "rppg_fused_throughput"
+            inference=dataclasses.replace(base.inference, **infer_over))
+        return cfg, f"rppg_fused_throughput_{preset}"
+    cfg = EngineConfig(frame_height=h, frame_width=w, num_streams=streams,
+                       compute_dtype="bfloat16",
+                       inference=InferenceConfig(**infer_over))
+    return cfg, "rppg_fused_throughput"
+
+
+def measure(cfg, metric: str, clip_len: int, reps: int) -> dict:
+    """Compile the fused multi-stream step for ``cfg`` and measure
+    steady-state frames/sec/chip over ``reps`` scans of ``clip_len``."""
+    import jax
+    import jax.numpy as jnp
+    from bp_from_video_tpu.models.runner import TrackState
+    from bp_from_video_tpu.parallel import MultiStreamEngine
+    from bp_from_video_tpu.runtime.engine import EngineState
+
+    streams = cfg.num_streams
+    h, w = cfg.frame_height, cfg.frame_width
+    dt = 1.0 / 30.0
     ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
 
     # Pre-generated rotating frame buffer: frame CONTENT does not change
@@ -123,10 +114,15 @@ def main():
         ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
         # Hold steady tracking: the operating point with a subject in frame
         # (random frames cannot engage real-weight tracking by themselves).
+        # BENCH_LOST=k forces k streams' tracking OFF every step instead —
+        # the mixed-tracking operating point (bounded re-detection
+        # sub-batch; VERDICT.md Weak #4 cost claim).
         tr = st.track
-        tr = TrackState(tr.face_rect,
-                        jnp.ones_like(tr.face_tracking),
-                        tr.hand_rects, jnp.ones_like(tr.hand_tracking))
+        lost = jnp.arange(streams) < int(os.environ.get("BENCH_LOST", "0"))
+        tr = tr._replace(
+            face_tracking=jnp.ones_like(tr.face_tracking) & ~lost,
+            hand_tracking=(jnp.ones_like(tr.hand_tracking)
+                           & ~lost[:, None]))
         st, out = ms.engine.batch_step(ms.params, EngineState(st.signals, tr),
                                        frames, ts)
         return (st, key), out.bpm
@@ -150,12 +146,61 @@ def main():
         elapsed = time.perf_counter() - t0
         best = max(best, (clip_len * streams) / elapsed)
 
-    print(json.dumps({
+    return {
         "metric": metric,
         "value": round(best, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(best / REF_BASELINE_FPS, 2),
-    }))
+        "streams": streams,
+        "clip_len": clip_len,
+        "frame_hw": [h, w],
+    }
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps({k: result[k] for k in
+                      ("metric", "value", "unit", "vs_baseline")}))
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+    _enable_compile_cache()
+    on_tpu = jax.default_backend() == "tpu"
+
+    streams = int(os.environ.get("BENCH_STREAMS", "8" if quick else "64"))
+    # Long scan: each executable dispatch through the remote-TPU tunnel costs
+    # ~40-50 ms regardless of work, so short clips under-report steady-state
+    # throughput (clip 256 amortizes it to 0.18 ms/step vs 0.47 at 96).
+    clip_len = int(os.environ.get("BENCH_CLIP", "8" if quick else "256"))
+    reps = int(os.environ.get("BENCH_REPS", "2" if quick else "3"))
+    h, w = (128, 160) if quick else (480, 640)
+
+    if os.environ.get("BENCH_ALL"):
+        # Every BASELINE preset first, flagship LAST (the driver parses the
+        # final line).  The multistream preset keeps its 8-stream target
+        # shape (BASELINE.md: 8 x 200 FPS, all four models).
+        specs = [(p, 8 if p == "multistream" else streams)
+                 for p in ("butter_welch_face", "dual_roi_ls",
+                           "segmenter_fir", "ptt_filtered", "multistream")]
+        specs.append((None, streams))
+        results = []
+        for preset, s in specs:
+            cfg, metric = build_config(preset, s, h, w, on_tpu)
+            res = measure(cfg, metric, clip_len, reps)
+            _emit(res)
+            results.append(res)
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_PRESETS.json")
+        with open(out, "w") as f:
+            json.dump({"hardware": jax.devices()[0].device_kind,
+                       "backend": jax.default_backend(),
+                       "results": results}, f, indent=1)
+        return
+
+    preset = os.environ.get("BENCH_PRESET") or None
+    cfg, metric = build_config(preset, streams, h, w, on_tpu)
+    _emit(measure(cfg, metric, clip_len, reps))
 
 
 if __name__ == "__main__":

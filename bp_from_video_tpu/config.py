@@ -179,6 +179,15 @@ class InferenceConfig:
     max_faces: int = 1
     max_hands: int = 2
 
+    # Bounded re-detection sub-batch for VIDEO-mode stream batches: when
+    # only k of S streams lost tracking, run the detectors on (up to) this
+    # many compacted streams instead of all S (one stream of 64 losing its
+    # face re-ran BOTH detectors for all 64 — ~2x step cost; VERDICT.md
+    # Weak #4).  Most-starved streams are served first, so nothing starves;
+    # 0 disables (detect all S whenever any stream needs it).  Batches with
+    # S <= the bound behave identically to all-streams detection.
+    detector_subbatch: int = 8
+
     # True: rotated landmark crops via exact affine gather (MediaPipe
     # semantics; element-serial gathers are slow on TPU).  False (default):
     # crop the axis-aligned cover of the tracking rect with two MXU matmuls

@@ -18,6 +18,7 @@ for the face detector, detections sorted by area descending.
 
 from __future__ import annotations
 
+import logging
 import os
 import zlib
 from typing import Any, Callable, NamedTuple
@@ -34,6 +35,8 @@ from bp_from_video_tpu.models.detection import NMSOut
 from bp_from_video_tpu.ops.roi import Detections, is_planar_frames as roi_is_planar
 
 Array = jax.Array
+
+logger = logging.getLogger(__name__)
 
 NUM_FACE_LANDMARKS = 478
 NUM_HAND_LANDMARKS = 21
@@ -56,6 +59,12 @@ class TrackState(NamedTuple):
     face_tracking: Array   # bool scalar
     hand_rects: Array      # [max_hands, 5]
     hand_tracking: Array   # bool [max_hands]
+    # Detector-scheduling ages (int32, per stream): frames spent needing a
+    # detection without being served by the bounded sub-batch.  0 while
+    # tracking or once served; the sub-batch serves the most-starved streams
+    # first, so no stream starves (see predict_batch).
+    face_det_age: Array
+    hand_det_age: Array
 
 
 class ModelResults(NamedTuple):
@@ -125,6 +134,10 @@ class InferenceRunner:
         self.params: dict[str, Any] = {}
         self._fns: dict[str, Callable] = {}
         self._packed_in: dict[str, bool] = {}  # nets taking s2d-packed crops
+        #: key -> True when compiled from a real TFLite blob, False when a
+        #: random-init stand-in is in use (VERDICT.md Missing #1/#2: stand-in
+        #: fallbacks must be loud and observable, never silent).
+        self.real_weights: dict[str, bool] = {}
         asset_dir = asset_dir or "."
 
         def resolve(p):
@@ -156,9 +169,19 @@ class InferenceRunner:
         if cfg.hand_landmarker:
             path = resolve(cfg.hand_landmarker_path)
             blobs = tc.load_task_bundle(path) if path else {}
+            # Real-bundle blob names: palm_detection.tflite +
+            # hand_landmarks_detector.tflite (MediaPipe hand_landmarker.task;
+            # matched by substring so nested paths / variant suffixes work).
             palm_blob = next((v for k, v in blobs.items() if "palm" in k), None)
             lm_blob = next((v for k, v in blobs.items()
                             if "landmark" in k and "palm" not in k), None)
+            if blobs and (palm_blob is None or lm_blob is None):
+                logger.warning(
+                    "hand_landmarker bundle %r loaded but blob-name "
+                    "resolution failed (entries: %s; need one matching "
+                    "'palm' and one matching 'landmark'-not-'palm') — "
+                    "falling back to RANDOM-INIT stand-ins",
+                    path, sorted(blobs))
             self._load_detector("palm_det", None, fallback_size=192,
                                 fallback_anchors=2016, fallback_kps=NUM_PALM_KPS,
                                 blob=palm_blob)
@@ -177,11 +200,19 @@ class InferenceRunner:
             lambda a: a.astype(self.dtype)
             if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
 
+    def _warn_standin(self, key: str) -> None:
+        self.real_weights[key] = False
+        logger.warning(
+            "model %r: no TFLite weights resolved — using a RANDOM-INIT "
+            "architecture stand-in; its outputs are NOT accurate "
+            "(provide the asset via InferenceConfig paths / asset_dir)", key)
+
     def _load_detector(self, key, path, fallback_size, fallback_anchors,
                        fallback_kps, blob=None):
         if blob is None and path is not None:
             blob = tc.load_tflite_file(path)
         if blob is not None:
+            self.real_weights[key] = True
             fn, params = tc.compile_tflite(blob, self.dtype, layout="NCHW",
                                            planar_inputs=True,
                                            fuse_dw_pw=self.cfg.fuse_dw_pw,
@@ -198,6 +229,7 @@ class InferenceRunner:
             self._fns[key] = apply
             self._fns[key + "_size"] = size
         else:
+            self._warn_standin(key)
             params = blaze.init_blaze_detector(_seed(key), fallback_size,
                                                fallback_anchors, fallback_kps)
             self.params[key] = self._cast(params)
@@ -207,6 +239,7 @@ class InferenceRunner:
 
     def _load_landmark(self, key, blob, fallback_size, num_landmarks):
         if blob is not None:
+            self.real_weights[key] = True
             # With packing on and the Pallas crop path active, compile the
             # net to take its crop ALREADY 2x2 space-to-depth packed — the
             # crop kernel emits that layout directly (multi_crop pack=2),
@@ -222,18 +255,48 @@ class InferenceRunner:
                 self._packed_in[key] = True
                 size *= 2
 
-            def apply(p, x, fn=fn, nl=num_landmarks):
+            # Output roles are resolved by SIZE plus (when ambiguous) a
+            # one-time probe, not by position: converters order outputs
+            # arbitrarily, and picking the WORLD landmarks ([L,3] metric,
+            # |v| < ~1) instead of the screen landmarks ([L,3] crop
+            # pixels, 0..size) silently zeroes the whole pipeline.  The
+            # probe (a mid-gray forward pass; separates the two by scale
+            # unambiguously) runs pinned to CPU so construction never
+            # triggers an accelerator compile of the standalone net.
+            sizes = [int(np.prod(s)) for s in fn.output_shapes]
+            cands = [i for i, n in enumerate(sizes)
+                     if n >= 3 * num_landmarks]
+            if not cands:
+                raise ValueError(
+                    f"model {key!r}: no output holds >= {3 * num_landmarks} "
+                    f"values (output sizes: {sizes})")
+            if len(cands) == 1:
+                lm_idx = cands[0]
+            else:
+                cpu = jax.devices("cpu")[0]
+                ish = fn.input_shapes[0]  # reported NHWC; net takes planar
+                with jax.default_device(cpu):
+                    probe = jnp.full((ish[0], ish[3], ish[1], ish[2]), 0.5,
+                                     self.dtype)
+                    outs = fn(jax.device_put(params, cpu), probe)
+                mags = {i: float(np.abs(np.asarray(outs[i], np.float32)).mean())
+                        for i in cands}
+                lm_idx = max(cands, key=mags.get)
+            scalar_idx = [i for i, n in enumerate(sizes) if n == 1]
+
+            def apply(p, x, fn=fn, nl=num_landmarks, li=lm_idx,
+                      si=tuple(scalar_idx)):
                 outs = fn(p, x)
                 flat = [o.reshape(-1) for o in outs]
-                lm = next(o for o in flat if o.shape[0] >= 3 * nl)[: 3 * nl]
-                scalars = [o for o in flat if o.shape[0] == 1]
-                presence = scalars[0] if scalars else jnp.ones((1,))
-                aux = scalars[1] if len(scalars) > 1 else jnp.zeros((1,))
+                lm = flat[li][: 3 * nl]
+                presence = flat[si[0]] if si else jnp.ones((1,))
+                aux = flat[si[1]] if len(si) > 1 else jnp.zeros((1,))
                 return lm[None], presence[None], aux[None]
             self.params[key] = params
             self._fns[key] = apply
             self._fns[key + "_size"] = size
         else:
+            self._warn_standin(key)
             params = blaze.init_blaze_landmark(_seed(key), fallback_size,
                                                num_landmarks)
             self.params[key] = self._cast(params)
@@ -247,6 +310,7 @@ class InferenceRunner:
 
     def _load_segmenter(self, key, blob, fallback_size):
         if blob is not None:
+            self.real_weights[key] = True
             fn, params = tc.compile_tflite(blob, self.dtype, layout="NCHW",
                                            planar_inputs=True,
                                            fuse_dw_pw=self.cfg.fuse_dw_pw,
@@ -260,6 +324,7 @@ class InferenceRunner:
             self._fns[key] = apply
             self._fns[key + "_size"] = size
         else:
+            self._warn_standin(key)
             params = blaze.init_segmenter(_seed(key), fallback_size,
                                           SEG_CLASSES)
             self.params[key] = self._cast(params)
@@ -276,7 +341,9 @@ class InferenceRunner:
             face_rect=default,
             face_tracking=jnp.asarray(False),
             hand_rects=jnp.tile(default[None], (self.cfg.max_hands, 1)),
-            hand_tracking=jnp.zeros((self.cfg.max_hands,), bool))
+            hand_tracking=jnp.zeros((self.cfg.max_hands,), bool),
+            face_det_age=jnp.asarray(0, jnp.int32),
+            hand_det_age=jnp.asarray(0, jnp.int32))
 
     def empty_results(self) -> ModelResults:
         return ModelResults(
@@ -341,6 +408,49 @@ class InferenceRunner:
         pts = lm[0].astype(jnp.float32).reshape(-1, 3)[:, :2] / size
         pts_px = warp.project_landmarks(pts, rect)
         return pts_px, presence[0, 0].astype(jnp.float32), aux[0, 0]
+
+    # -- bounded re-detection sub-batch -------------------------------------
+
+    def _subbatch_detect(self, frames_rgb: Array, planar_in: bool,
+                         need: Array, age: Array, cur_rects: Array,
+                         det_one: Callable, k_max: int):
+        """Run ``det_one`` on (up to) ``k_max`` compacted streams — the
+        most-starved ones needing detection — instead of all S.
+
+        ``det_one(frame_nhwc) -> (rects, valid)`` per stream.  Returns the
+        merged full-size ``(det_rects, det_valid, served)``: unserved
+        streams keep ``cur_rects`` with ``valid=False`` (they are re-tried
+        next frame, oldest first — starvation-free by construction since
+        unserved ages grow monotonically).
+        """
+        s = need.shape[0]
+        prio = jnp.where(need, -age.astype(jnp.float32), jnp.inf)
+        idx = jnp.argsort(prio)[:k_max]     # all needing first (oldest age
+        sub_need = need[idx]                # first), tracked fillers after
+
+        def detect(_):
+            sub = frames_rgb[idx]
+            if planar_in:
+                sub = jnp.transpose(sub, (0, 2, 3, 1))
+            return jax.vmap(det_one)(sub)
+
+        def skip(_):
+            tmpl = jax.eval_shape(detect, None)
+            return jax.tree.map(lambda t: jnp.zeros(t.shape, t.dtype), tmpl)
+
+        sub_rects, sub_valid = jax.lax.cond(jnp.any(need), detect, skip, None)
+        nd_r = sub_need.reshape((k_max,) + (1,) * (sub_rects.ndim - 1))
+        det_rects = cur_rects.at[idx].set(
+            jnp.where(nd_r, sub_rects, cur_rects[idx]))
+        nd_v = sub_need.reshape((k_max,) + (1,) * (sub_valid.ndim - 1))
+        det_valid = jnp.zeros((s,) + sub_valid.shape[1:], bool).at[idx].set(
+            sub_valid & nd_v)
+        served = jnp.zeros((s,), bool).at[idx].set(sub_need)
+        return det_rects, det_valid, served
+
+    def _det_subbatch(self, s: int) -> int:
+        k = self.cfg.detector_subbatch
+        return s if k <= 0 else min(k, s)
 
     # -- fused predict ------------------------------------------------------
 
@@ -419,25 +529,37 @@ class InferenceRunner:
             res = res._replace(face_detector=jax.vmap(fd_one)(as_nhwc()))
 
         new_face_rect, new_face_tracking = state.face_rect, state.face_tracking
+        new_face_age = state.face_det_age
         if self.cfg.face_landmarker:
+            def face_rect_one(frame):
+                nms, _ = self._run_detector(
+                    "flm_det", detection.FACE_DECODE, self.face_anchors,
+                    params["flm_det"], frame, "pm1", 1)
+                r = warp.detection_to_rect(nms.boxes[0], nms.kps[0],
+                                           0, 1, 0.0)
+                r = warp.rect_transform(r, scale=1.5)
+                return _rect_arr(r), nms.count > 0
+
             def detect_faces(_):
-                def one(frame):
-                    nms, _ = self._run_detector(
-                        "flm_det", detection.FACE_DECODE, self.face_anchors,
-                        params["flm_det"], frame, "pm1", 1)
-                    r = warp.detection_to_rect(nms.boxes[0], nms.kps[0],
-                                               0, 1, 0.0)
-                    r = warp.rect_transform(r, scale=1.5)
-                    return _rect_arr(r), nms.count > 0
-                return jax.vmap(one)(as_nhwc())
+                return jax.vmap(face_rect_one)(as_nhwc())
 
             def reuse_faces(_):
                 return state.face_rect, jnp.ones((s,), bool)
 
             if video:
-                det_rects, det_ok_d = jax.lax.cond(
-                    jnp.all(state.face_tracking), reuse_faces, detect_faces,
-                    None)
+                need = ~state.face_tracking
+                k_max = self._det_subbatch(s)
+                if k_max < s:
+                    det_rects, det_ok_d, served = self._subbatch_detect(
+                        frames_rgb, planar_in, need, state.face_det_age,
+                        state.face_rect, face_rect_one, k_max)
+                    new_face_age = jnp.where(need & ~served,
+                                             state.face_det_age + 1, 0)
+                else:
+                    det_rects, det_ok_d = jax.lax.cond(
+                        jnp.all(state.face_tracking), reuse_faces,
+                        detect_faces, None)
+                    new_face_age = jnp.zeros_like(state.face_det_age)
                 rect_a = jnp.where(state.face_tracking[:, None],
                                    state.face_rect, det_rects)
                 det_ok = state.face_tracking | det_ok_d
@@ -447,31 +569,46 @@ class InferenceRunner:
             rect_a = det_ok = None
 
         new_hand_rects, new_hand_tracking = state.hand_rects, state.hand_tracking
+        new_hand_age = state.hand_det_age
         if self.cfg.hand_landmarker:
             n_hands = self.cfg.max_hands
 
+            def palm_rects_one(frame):
+                nms, _ = self._run_detector(
+                    "palm_det", detection.PALM_DECODE, self.palm_anchors,
+                    params["palm_det"], frame, "zero1", n_hands)
+                def mk(i):
+                    r = warp.detection_to_rect(nms.boxes[i], nms.kps[i],
+                                               0, 2, jnp.pi / 2)
+                    r = warp.rect_transform(r, scale=2.6, shift_y=-0.5)
+                    return _rect_arr(r)
+                rects = jnp.stack([mk(i) for i in range(n_hands)])
+                valid = jnp.arange(n_hands) < nms.count
+                return rects, valid
+
             def detect_palms(_):
-                def one(frame):
-                    nms, _ = self._run_detector(
-                        "palm_det", detection.PALM_DECODE, self.palm_anchors,
-                        params["palm_det"], frame, "zero1", n_hands)
-                    def mk(i):
-                        r = warp.detection_to_rect(nms.boxes[i], nms.kps[i],
-                                                   0, 2, jnp.pi / 2)
-                        r = warp.rect_transform(r, scale=2.6, shift_y=-0.5)
-                        return _rect_arr(r)
-                    rects = jnp.stack([mk(i) for i in range(n_hands)])
-                    valid = jnp.arange(n_hands) < nms.count
-                    return rects, valid
-                return jax.vmap(one)(as_nhwc())
+                return jax.vmap(palm_rects_one)(as_nhwc())
 
             def reuse_palms(_):
                 return state.hand_rects, state.hand_tracking
 
             if video:
-                det_rects, det_valid = jax.lax.cond(
-                    jnp.all(state.hand_tracking), reuse_palms, detect_palms,
-                    None)
+                # A stream re-detects when ANY hand slot lost tracking
+                # (MediaPipe re-runs the palm detector when fewer than
+                # num_hands are tracked).
+                need = ~jnp.all(state.hand_tracking, axis=-1)
+                k_max = self._det_subbatch(s)
+                if k_max < s:
+                    det_rects, det_valid, served = self._subbatch_detect(
+                        frames_rgb, planar_in, need, state.hand_det_age,
+                        state.hand_rects, palm_rects_one, k_max)
+                    new_hand_age = jnp.where(need & ~served,
+                                             state.hand_det_age + 1, 0)
+                else:
+                    det_rects, det_valid = jax.lax.cond(
+                        jnp.all(state.hand_tracking), reuse_palms,
+                        detect_palms, None)
+                    new_hand_age = jnp.zeros_like(state.hand_det_age)
                 rects_a = jnp.where(state.hand_tracking[..., None],
                                     state.hand_rects, det_rects)
                 slot_ok = state.hand_tracking | det_valid
@@ -626,5 +763,6 @@ class InferenceRunner:
                                seg_valid=jnp.ones((s,), bool))
 
         new_state = TrackState(new_face_rect, new_face_tracking,
-                               new_hand_rects, new_hand_tracking)
+                               new_hand_rects, new_hand_tracking,
+                               new_face_age, new_hand_age)
         return new_state, res

@@ -986,6 +986,8 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
         return [get(i) for i in graph.outputs]
 
     fn.input_shapes = input_shapes  # type: ignore[attr-defined]
+    fn.output_shapes = [graph.tensors[i].shape  # type: ignore[attr-defined]
+                        for i in graph.outputs]
     fn.graph = graph                # type: ignore[attr-defined]
     return fn, params
 

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from bp_from_video_tpu.config import SignalConfig, SignalSpectrumTransform as T
+from bp_from_video_tpu.ops import dft
 from bp_from_video_tpu.ops import signal as sig
 
 Array = jax.Array
@@ -55,18 +56,41 @@ def dft_rfft(x: Array, y: Array, fs: Array) -> tuple[Array, Array]:
     return (jnp.where(out_mask, freqs, nan), jnp.where(out_mask, mags, nan))
 
 
+_WELCH_NPERSEG = 256  # scipy.signal.welch default nperseg
+
+
 def welch(x: Array, y: Array, fs: Array) -> tuple[Array, Array]:
-    """scipy.signal.welch(y_valid, fs) with its short-signal behavior:
-    nperseg clamps to K, giving one hann-windowed, constant-detrended,
-    density-scaled segment (reference signal_processor.py:259-261)."""
+    """scipy.signal.welch(y_valid, fs) (reference signal_processor.py:259-261).
+
+    Two regimes, matching scipy exactly:
+      * K <= 256: nperseg clamps to K — one hann-windowed,
+        constant-detrended, density-scaled segment of dynamic length K.
+      * K > 256 (possible whenever ``signal_max_samples`` > 256): the
+        default nperseg=256 with 50% overlap — frame into static length-256
+        segments at stride 128, constant-detrend + periodic-hann each,
+        average the periodograms of the (K-128)//128 valid segments.
+    Both regimes are masked dense projections; selection is a traced
+    ``where`` on K (cheap at these sizes, keeps the program shape static).
+    """
     n = x.shape[0]
     w = sig.valid_y(y)
     cy = sig.compact(w, y)
     k = cy.count
+    freqs1, pxx1 = _welch_single(n, cy.values, k, fs)
+    if n <= _WELCH_NPERSEG:
+        return freqs1, pxx1
+    freqs2, pxx2 = _welch_segmented(n, cy.values, k, fs)
+    seg = k > _WELCH_NPERSEG
+    return (jnp.where(seg, freqs2, freqs1), jnp.where(seg, pxx2, pxx1))
+
+
+def _welch_single(n: int, yv: Array, k: Array, fs: Array
+                  ) -> tuple[Array, Array]:
+    """One segment of dynamic length K (scipy's nperseg-clamped branch)."""
     kf = jnp.maximum(k, 1).astype(jnp.float32)
-    m = (jnp.arange(n) < k).astype(y.dtype)
-    mean = jnp.sum(cy.values * m) / kf
-    yd = (cy.values - mean) * m
+    m = (jnp.arange(n) < k).astype(yv.dtype)
+    mean = jnp.sum(yv * m) / kf
+    yd = (yv - mean) * m
     # Periodic hann window of dynamic length K.
     i = jnp.arange(n, dtype=jnp.float32)
     win = (0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * i / kf)) * m
@@ -81,6 +105,39 @@ def welch(x: Array, y: Array, fs: Array) -> tuple[Array, Array]:
     out_mask = bins < (k // 2 + 1)
     nan = jnp.float32(jnp.nan)
     return (jnp.where(out_mask, freqs, nan), jnp.where(out_mask, pxx, nan))
+
+
+def _welch_segmented(n: int, yv: Array, k: Array, fs: Array
+                     ) -> tuple[Array, Array]:
+    """scipy's multi-segment branch: nperseg=256, noverlap=128 (50%),
+    periodic hann, constant detrend per segment, mean of periodograms.
+    Segment length is STATIC, so the per-segment transform is a batched
+    fixed-size DFT matmul; only the number of valid segments is traced."""
+    nps = _WELCH_NPERSEG
+    step = nps // 2
+    max_segs = (n - step) // step  # (K - nps)//step + 1 at K = n
+    # Frame with static strides; tail beyond K is already zero-filled.
+    segs = jnp.stack([yv[s * step:s * step + nps] for s in range(max_segs)])
+    # Valid segment s needs s*step + nps <= K; count = (K - step) // step.
+    nseg = jnp.maximum((k - step) // step, 1)
+    seg_ok = (jnp.arange(max_segs) < nseg).astype(jnp.float32)
+    # Constant detrend per segment (all nps entries of a valid segment are
+    # real samples, so the plain mean is exact).
+    segs = segs - jnp.mean(segs, axis=1, keepdims=True)
+    i = jnp.arange(nps, dtype=jnp.float32)
+    win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * i / nps)
+    spec = dft.rfft(segs * win[None, :], nps)       # (max_segs, nps//2+1)
+    scale = 1.0 / (fs * jnp.sum(win * win))
+    pxx = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) * scale
+    bins = jnp.arange(nps // 2 + 1)
+    pxx = jnp.where((bins > 0) & (bins < nps // 2), 2.0 * pxx, pxx)
+    pxx = jnp.sum(pxx * seg_ok[:, None], axis=0) / jnp.sum(seg_ok)
+    freqs = bins.astype(jnp.float32) * fs / nps
+    nan = jnp.float32(jnp.nan)
+    out_mask = jnp.arange(n) < (nps // 2 + 1)
+    pad = (0, n - (nps // 2 + 1))
+    return (jnp.where(out_mask, jnp.pad(freqs, pad), nan),
+            jnp.where(out_mask, jnp.pad(pxx, pad), nan))
 
 
 def lombscargle(x: Array, y: Array, min_freq: float, max_freq: float

@@ -184,6 +184,30 @@ def test_spectrum_parity(transform, n_valid, nan_prob):
         np.testing.assert_allclose(mm[:kv], ref_m, atol=2e-3 * scale)
 
 
+@pytest.mark.parametrize("n_valid", [250, 256, 257, 300, 384, 512])
+def test_welch_segmented_matches_scipy(n_valid):
+    """signal_max_samples > 256 crosses into scipy's multi-segment Welch
+    (nperseg=256, 50% overlap, mean of periodograms) — parity at ring size
+    512 across the clamp boundary (VERDICT.md Weak #3)."""
+    n = 512
+    x, y = make_signal(n=n, n_valid=n_valid, nan_prob=0.05, offset=0.0,
+                       seed=n_valid)
+    w = np.isfinite(y)
+    u = np.isfinite(x)
+    pair = u[1:] & u[:-1]
+    fs = 1.0 / np.mean((x[1:] - x[:-1])[pair])
+    ref_f, ref_p = scipy.signal.welch(y[w], fs)
+    cfg = SignalConfig(signal_max_samples=n, spectrum_transform=T.PGRAM_WELCH)
+    mf, mm = spectrum.transform_signal(cfg, jnp.asarray(x, jnp.float32),
+                                       jnp.asarray(y, jnp.float32))
+    mf, mm = np.asarray(mf, np.float64), np.asarray(mm, np.float64)
+    kv = np.isfinite(mf).sum()
+    assert kv == len(ref_f), (kv, len(ref_f))
+    np.testing.assert_allclose(mf[:kv], ref_f, atol=1e-3)
+    scale = np.abs(ref_p).max() + 1e-12
+    np.testing.assert_allclose(mm[:kv], ref_p, atol=2e-3 * scale)
+
+
 def test_spectrum_peak_bpm_parity():
     """The acceptance metric: spectral-peak HR within ±1 BPM (it is in fact
     exactly the same bin)."""

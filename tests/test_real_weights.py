@@ -1,0 +1,165 @@
+"""Real-weight asset drop-in path, driven end-to-end with REAL TFLite
+flatbuffers built at test time (tests/tflite_fixtures.py).
+
+VERDICT.md Weak #5: the `.task` blob-name heuristics and the 2016-anchor
+PALM decode had never executed against a real bundle — a name mismatch
+would silently fall back to random stand-ins.  These tests pin:
+  * bundle member-name resolution (palm/landmark heuristics),
+  * TFLite->JAX compilation of the hand pipeline nets,
+  * PALM decode against the 2016 BlazePalm anchors + weighted NMS,
+  * detection->rect->crop->landmark->projection plumbing (closed form,
+    the fixture nets are input-independent),
+  * the real selfie-multiclass I/O contract (softmax confidences),
+  * LOUD warnings + ``real_weights`` flags whenever stand-ins are used.
+"""
+
+import logging
+import zipfile
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bp_from_video_tpu.config import InferenceConfig, RunningMode
+from bp_from_video_tpu.models.runner import InferenceRunner
+
+from tests import tflite_fixtures as fx
+
+pytest.importorskip("tensorflow")
+
+
+@pytest.fixture(scope="module")
+def hand_task(tmp_path_factory):
+    p = tmp_path_factory.mktemp("assets") / "hand_landmarker.task"
+    p.write_bytes(fx.build_hand_task_bundle())
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def seg_tflite(tmp_path_factory):
+    p = tmp_path_factory.mktemp("assets") / "selfie_multiclass.tflite"
+    p.write_bytes(fx.build_segmenter())
+    return str(p)
+
+
+def _hand_cfg(path, mode=RunningMode.VIDEO):
+    return InferenceConfig(
+        face_detector=False, face_landmarker=False, hand_landmarker=True,
+        person_segmenter=False, hand_landmarker_path=path,
+        running_mode=mode)
+
+
+def expected_hand_points(frame_wh=192):
+    """Closed-form expected landmark pixels (reference pixel contract:
+    clip then floor) for the fixture constants on a square frame equal to
+    the palm input size (letterbox is identity there)."""
+    ax, ay = fx.PALM_STAR_CENTER
+    cx, cy = ax * frame_wh, ay * frame_wh          # det box center
+    # rect_transform(scale=2.6, shift_y=-0.5) at rotation 0.
+    side = fx.PALM_BOX_WH * 2.6
+    rcx, rcy = cx, cy - 0.5 * fx.PALM_BOX_WH
+    pts = fx.hand_landmark_points().astype(np.float64)
+    x = rcx + (pts[:, 0] / 224.0 - 0.5) * side
+    y = rcy + (pts[:, 1] / 224.0 - 0.5) * side
+    x = np.floor(np.clip(x, 0, frame_wh - 1))
+    y = np.floor(np.clip(y, 0, frame_wh - 1))
+    return np.stack([x, y], axis=-1)
+
+
+def test_hand_bundle_resolves_and_decodes(hand_task):
+    rng = np.random.RandomState(0)
+    runner = InferenceRunner(_hand_cfg(hand_task), 192, 192)
+    assert runner.real_weights == {"palm_det": True, "hand_lm": True}
+
+    state = runner.init_state()
+    frame = jnp.asarray(rng.randint(0, 255, (192, 192, 3)), jnp.uint8)
+    new_state, res = runner.predict(runner.params, state, frame)
+
+    hands = res.hand_landmarker
+    assert int(hands.count) == 1
+    assert bool(new_state.hand_tracking[0]) and not bool(
+        new_state.hand_tracking[1])
+    got = np.asarray(hands.points[0], np.float64)
+    np.testing.assert_allclose(got, expected_hand_points(), atol=1.0)
+    # Exact for all landmarks whose float position is not within f32 noise
+    # of an integer boundary (the fixture constants keep them clear).
+    np.testing.assert_array_equal(got, expected_hand_points())
+    # Slot 1 (no second hand): NaN detection contract.
+    assert np.isnan(np.asarray(hands.bbox[1])).all()
+
+
+def test_hand_video_mode_tracks_across_frames(hand_task):
+    rng = np.random.RandomState(1)
+    runner = InferenceRunner(_hand_cfg(hand_task), 192, 192)
+    state = runner.init_state()
+    frame = jnp.asarray(rng.randint(0, 255, (192, 192, 3)), jnp.uint8)
+    state, res1 = runner.predict(runner.params, state, frame)
+    # Frame 2: slot 0 tracked -> landmark rect comes from frame 1's
+    # landmarks; presence stays 0.9 so the hand persists.
+    state, res2 = runner.predict(runner.params, state, frame)
+    assert int(res2.hand_landmarker.count) == 1
+    assert bool(state.hand_tracking[0])
+    pts = np.asarray(res2.hand_landmarker.points[0])
+    assert np.isfinite(pts).all()
+    assert (pts >= 0).all() and (pts <= 191).all()
+
+
+def test_image_mode_is_deterministic(hand_task):
+    rng = np.random.RandomState(2)
+    runner = InferenceRunner(_hand_cfg(hand_task, RunningMode.IMAGE), 192, 192)
+    state = runner.init_state()
+    f1 = jnp.asarray(rng.randint(0, 255, (192, 192, 3)), jnp.uint8)
+    f2 = jnp.asarray(rng.randint(0, 255, (192, 192, 3)), jnp.uint8)
+    _, r1 = runner.predict(runner.params, state, f1)
+    _, r2 = runner.predict(runner.params, state, f2)
+    # Input-independent fixture nets: identical outputs on any frame.
+    np.testing.assert_array_equal(np.asarray(r1.hand_landmarker.points),
+                                  np.asarray(r2.hand_landmarker.points))
+
+
+def test_bundle_name_mismatch_warns_loudly(tmp_path, caplog):
+    bad = tmp_path / "hand_landmarker.task"
+    bad.write_bytes(fx.build_hand_task_bundle(
+        palm_name="model_a.tflite", lm_name="model_b.tflite"))
+    with caplog.at_level(logging.WARNING, "bp_from_video_tpu.models.runner"):
+        runner = InferenceRunner(_hand_cfg(str(bad)), 192, 192)
+    assert runner.real_weights == {"palm_det": False, "hand_lm": False}
+    text = caplog.text
+    assert "blob-name resolution failed" in text
+    assert "model_a.tflite" in text
+    assert "RANDOM-INIT" in text
+
+
+def test_missing_asset_warns_loudly(caplog):
+    with caplog.at_level(logging.WARNING, "bp_from_video_tpu.models.runner"):
+        runner = InferenceRunner(_hand_cfg(None), 192, 192)
+    assert runner.real_weights == {"palm_det": False, "hand_lm": False}
+    assert caplog.text.count("RANDOM-INIT") == 2
+
+
+def test_bundle_zip_members(hand_task):
+    # The fixture bundle uses the real MediaPipe member names the
+    # heuristics must keep matching.
+    names = zipfile.ZipFile(hand_task).namelist()
+    assert "palm_detection.tflite" in names
+    assert "hand_landmarks_detector.tflite" in names
+
+
+def test_segmenter_real_blob_contract(seg_tflite):
+    rng = np.random.RandomState(3)
+    cfg = InferenceConfig(
+        face_detector=False, face_landmarker=False, hand_landmarker=False,
+        person_segmenter=True, person_segmenter_path=seg_tflite)
+    runner = InferenceRunner(cfg, 64, 64)
+    assert runner.real_weights == {"seg": True}
+    state = runner.init_state()
+    frame = jnp.asarray(rng.randint(0, 255, (64, 64, 3)), jnp.uint8)
+    _, res = runner.predict(runner.params, state, frame)
+    assert bool(res.seg_valid)
+    # Constant logits -> argmax class everywhere; conf = softmax(logits).
+    assert (np.asarray(res.seg_class) == int(np.argmax(fx.SEG_LOGITS))).all()
+    want = np.exp(fx.SEG_LOGITS) / np.exp(fx.SEG_LOGITS).sum()
+    got = np.asarray(res.seg_conf, np.float64)   # [6, H, W]
+    # bf16 upsample path: ~1e-2 mask-grade tolerance.
+    np.testing.assert_allclose(got.mean(axis=(1, 2)), want, atol=1e-2)
+    assert res.seg_conf.shape == (6, 64, 64)

@@ -1,0 +1,133 @@
+"""Synthetic real-TFLite fixtures for the asset drop-in path.
+
+The reference snapshot is missing the hand/segmenter blobs
+(.MISSING_LARGE_BLOBS), so the real-weight loading path could never
+execute (VERDICT.md Weak #5).  These builders use TensorFlow to emit REAL
+flatbuffers with the exact I/O contracts of the missing MediaPipe assets
+(reference inference_runner.py:61-64):
+
+  * palm detector    [1,192,192,3] -> regressors [1,2016,18] + logits [1,2016,1]
+  * hand landmarks   [1,224,224,3] -> lm [1,63], presence [1,1],
+                     handedness [1,1], world lm [1,63]
+  * selfie multiclass [1,256,256,3] -> softmax confidences [1,256,256,6]
+
+The nets are input-independent (zero kernels, crafted biases) so every
+downstream stage — blob-name resolution, TFLite->JAX compilation, 2016-
+anchor PALM decode, weighted NMS, rect transforms, crop + projection — has
+a closed-form expected output the tests can verify against.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import numpy as np
+
+# The single hot anchor: stride-8 cell (12, 12), anchor 0 of 2, row-major
+# with anchors-per-cell innermost (models/anchors.py layout) -> center
+# (12.5/24, 12.5/24).
+PALM_STAR_ANCHOR = (12 * 24 + 12) * 2
+PALM_STAR_CENTER = (12.5 / 24.0, 12.5 / 24.0)
+# Regressor row (offsets in 192-input pixels): centered box 60x60, kp0 at
+# the anchor, kp2 straight up 40px -> rotation exactly 0 for the palm's
+# pi/2 target angle.
+PALM_BOX_WH = 60.0
+PALM_KP2_DY = -40.0
+# Hand landmark j sits at crop coords (40 + 6j, 60 + 5j) of the 224 crop.
+HAND_LM_BASE = (40.0, 60.0)
+HAND_LM_STEP = (6.0, 5.0)
+HAND_PRESENCE = 0.9
+HAND_HANDEDNESS = 0.7
+# Selfie-multiclass per-class logits; softmax argmax = class 2 (body-skin).
+SEG_LOGITS = (0.1, 0.2, 0.9, 0.4, 0.3, 0.0)
+
+
+def _convert(module, fn):
+    import tensorflow as tf
+    conv = tf.lite.TFLiteConverter.from_concrete_functions(
+        [fn.get_concrete_function()], module)
+    return conv.convert()
+
+
+def build_palm_detector() -> bytes:
+    import tensorflow as tf
+
+    a = 2016
+    reg = np.zeros((a, 18), np.float32)
+    reg[:, 2] = PALM_BOX_WH
+    reg[:, 3] = PALM_BOX_WH
+    reg[:, 9] = PALM_KP2_DY  # kp2 y-offset (kp pairs start at column 4)
+    logits = np.full((a, 1), -8.0, np.float32)
+    logits[PALM_STAR_ANCHOR] = 8.0
+    reg_c = tf.constant(reg.reshape(1, -1))
+    log_c = tf.constant(logits.reshape(1, -1))
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, 192, 192, 3], tf.float32)])
+        def __call__(self, x):
+            f = tf.reduce_mean(x, axis=[1, 2])            # [1, 3]
+            z = tf.matmul(f, tf.zeros([3, 1]))            # [1, 1]
+            return (tf.reshape(z + reg_c, [1, a, 18]),
+                    tf.reshape(z + log_c, [1, a, 1]))
+
+    m = M()
+    return _convert(m, m.__call__)
+
+
+def hand_landmark_points() -> np.ndarray:
+    j = np.arange(21, dtype=np.float32)
+    return np.stack([HAND_LM_BASE[0] + HAND_LM_STEP[0] * j,
+                     HAND_LM_BASE[1] + HAND_LM_STEP[1] * j], axis=-1)
+
+
+def build_hand_landmarker() -> bytes:
+    import tensorflow as tf
+
+    pts = hand_landmark_points()
+    lm = np.zeros((21, 3), np.float32)
+    lm[:, :2] = pts
+    lm_c = tf.constant(lm.reshape(1, 63))
+    world_c = tf.constant(np.zeros((1, 63), np.float32))
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, 224, 224, 3], tf.float32)])
+        def __call__(self, x):
+            f = tf.reduce_mean(x, axis=[1, 2])
+            z = tf.matmul(f, tf.zeros([3, 1]))
+            return (z + lm_c,                      # landmarks [1, 63]
+                    z + tf.constant([[HAND_PRESENCE]]),
+                    z + tf.constant([[HAND_HANDEDNESS]]),
+                    z + world_c)
+
+    m = M()
+    return _convert(m, m.__call__)
+
+
+def build_hand_task_bundle(palm_name="palm_detection.tflite",
+                           lm_name="hand_landmarks_detector.tflite") -> bytes:
+    """A synthetic hand_landmarker.task zip with the real bundle's member
+    names (override to exercise name-mismatch handling)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(palm_name, build_palm_detector())
+        z.writestr(lm_name, build_hand_landmarker())
+    return buf.getvalue()
+
+
+def build_segmenter() -> bytes:
+    import tensorflow as tf
+
+    bias = tf.constant(np.asarray(SEG_LOGITS, np.float32))
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, 256, 256, 3], tf.float32)])
+        def __call__(self, x):
+            y = tf.nn.conv2d(x, tf.zeros([1, 1, 3, 6]), 1, "SAME") + bias
+            return tf.nn.softmax(y)
+
+    m = M()
+    return _convert(m, m.__call__)

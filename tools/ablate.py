@@ -76,8 +76,8 @@ def main():
             frame_buf, jnp.mod(i.astype(jnp.int32), n_buf), keepdims=False)
 
     def hold_tracking(tr):
-        return TrackState(tr.face_rect, jnp.ones_like(tr.face_tracking),
-                          tr.hand_rects, jnp.ones_like(tr.hand_tracking))
+        return tr._replace(face_tracking=jnp.ones_like(tr.face_tracking),
+                           hand_tracking=jnp.ones_like(tr.hand_tracking))
 
     state0 = ms.init_states()
 
