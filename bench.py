@@ -68,7 +68,8 @@ def build_config(preset: str | None, streams: int, h: int, w: int,
     infer_over = dict(
         use_pallas=on_tpu,
         fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
-        pack_s2d=int(os.environ.get("BENCH_S2D", "0")))
+        pack_s2d=int(os.environ.get("BENCH_S2D", "0")),
+        fused_stem=on_tpu and bool(int(os.environ.get("BENCH_FSTEM", "0"))))
     if preset:
         base = preset_configs()[preset]
         cfg = dataclasses.replace(

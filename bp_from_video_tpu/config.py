@@ -200,6 +200,13 @@ class InferenceConfig:
     # TPU-only (Mosaic); leave False on CPU/interpret platforms.
     use_pallas: bool = False
 
+    # Run the stand-in landmark nets' 3x3/2 stem as a Pallas kernel on the
+    # 2x2-packed crops (pallas/stem_kernel): one 27-deep contraction per
+    # crop instead of XLA's 9 row-streamed conv taps — the stem is most of
+    # the stand-in nets' measured cost.  Requires use_pallas (the crop
+    # kernel supplies the packed layout); ignored for real-weight models.
+    fused_stem: bool = False
+
     # Graph-level conv optimizations in the TFLite->JAX compiler
     # (tflite_compiler.fuse_dw_pw_pairs / space_to_depth_pack).
     # fuse_dw_pw composes depthwise+1x1 pairs into dense convs (exact);

@@ -207,6 +207,15 @@ def blaze_landmark_apply(p: dict, x: Array, input_size: int) -> tuple[Array, Arr
         y = jax.nn.relu(y)
     else:
         y = jax.nn.relu(_conv(p["stem"], x, stride=2))
+    return landmark_trunk(p, y, s)
+
+
+def landmark_trunk(p: dict, y: Array, input_size: int
+                   ) -> tuple[Array, Array, Array]:
+    """Post-stem trunk + heads: y = ReLU'd stem activations
+    [1, 24, S/2, S/2] (the pallas/stem_kernel fused path feeds this
+    directly)."""
+    s = input_size
     y = _blaze_block(p["b1"], y, stride=2)
     y = _blaze_block(p["b2"], y, stride=2)
     y = _blaze_block(p["b3"], y, stride=2)

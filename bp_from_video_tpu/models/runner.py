@@ -134,6 +134,11 @@ class InferenceRunner:
         self.params: dict[str, Any] = {}
         self._fns: dict[str, Callable] = {}
         self._packed_in: dict[str, bool] = {}  # nets taking s2d-packed crops
+        #: key -> fused-Pallas-stem source: {"kind": "standin"} (blaze
+        #: params carry their own 'stem') or {"kind": "external",
+        #: "params": {name: params-key}} (stem split out of a real TFLite
+        #: graph by tflite_compiler._extract_stem).
+        self._stem_src: dict[str, dict] = {}
         #: key -> True when compiled from a real TFLite blob, False when a
         #: random-init stand-in is in use (VERDICT.md Missing #1/#2: stand-in
         #: fallbacks must be loud and observable, never silent).
@@ -240,20 +245,33 @@ class InferenceRunner:
     def _load_landmark(self, key, blob, fallback_size, num_landmarks):
         if blob is not None:
             self.real_weights[key] = True
-            # With packing on and the Pallas crop path active, compile the
-            # net to take its crop ALREADY 2x2 space-to-depth packed — the
-            # crop kernel emits that layout directly (multi_crop pack=2),
-            # so the packed graph's input relayout disappears entirely.
-            packed_in = bool(self.cfg.pack_s2d) and self.cfg.use_pallas
-            fn, params = tc.compile_tflite(blob, self.dtype, layout="NCHW",
-                                           planar_inputs=True,
-                                           fuse_dw_pw=self.cfg.fuse_dw_pw,
-                                           pack_s2d=self.cfg.pack_s2d,
-                                           packed_inputs=packed_in)
-            size = fn.input_shapes[0][1]
-            if packed_in and fn.input_shapes[0][3] == 12:
+            # fused_stem: split the net's leading 3x3/2 conv(+PReLU) out of
+            # the graph and run it as the Pallas stem kernel on the packed
+            # crops the multi-crop kernel emits (bit-exact; tested against
+            # the whole compiled graph).  Otherwise, with packing on and
+            # the Pallas crop path active, compile the net to take its crop
+            # ALREADY 2x2 space-to-depth packed — the crop kernel emits
+            # that layout directly (multi_crop pack=2), so the packed
+            # graph's input relayout disappears entirely.
+            want_stem = self.cfg.fused_stem and self.cfg.use_pallas
+            packed_in = (bool(self.cfg.pack_s2d) and self.cfg.use_pallas
+                         and not want_stem)
+            fn, params = tc.compile_tflite(
+                blob, self.dtype, layout="NCHW", planar_inputs=True,
+                fuse_dw_pw=self.cfg.fuse_dw_pw,
+                pack_s2d=0 if want_stem else self.cfg.pack_s2d,
+                packed_inputs=packed_in, external_stem=want_stem)
+            stem_meta = getattr(fn, "external_stem_meta", None)
+            if stem_meta is not None:
+                size = stem_meta["in_size"]
                 self._packed_in[key] = True
-                size *= 2
+                self._stem_src[key] = {"kind": "external",
+                                       "params": stem_meta["params"]}
+            else:
+                size = fn.input_shapes[0][1]
+                if packed_in and fn.input_shapes[0][3] == 12:
+                    self._packed_in[key] = True
+                    size *= 2
 
             # Output roles are resolved by SIZE plus (when ambiguous) a
             # one-time probe, not by position: converters order outputs
@@ -305,8 +323,12 @@ class InferenceRunner:
             self._fns[key + "_size"] = fallback_size
             # The stand-ins carry a packed twin of their stem: feed them
             # s2d-packed crops too when the packed Pallas crop path is on.
-            if bool(self.cfg.pack_s2d) and self.cfg.use_pallas:
+            # The fused Pallas stem consumes the same packed layout.
+            if self.cfg.use_pallas and (bool(self.cfg.pack_s2d)
+                                        or self.cfg.fused_stem):
                 self._packed_in[key] = True
+            if self.cfg.fused_stem and self.cfg.use_pallas:
+                self._stem_src[key] = {"kind": "standin"}
 
     def _load_segmenter(self, key, blob, fallback_size):
         if blob is not None:
@@ -408,6 +430,46 @@ class InferenceRunner:
         pts = lm[0].astype(jnp.float32).reshape(-1, 3)[:, :2] / size
         pts_px = warp.project_landmarks(pts, rect)
         return pts_px, presence[0, 0].astype(jnp.float32), aux[0, 0]
+
+    def _use_fused_stem(self, key: str) -> bool:
+        """Fused Pallas stem: stand-in landmark nets (their 'stem' params
+        run in the kernel) and real compiled graphs whose leading conv was
+        externalized (tflite_compiler external_stem) — both fed packed
+        crops."""
+        return (self.cfg.fused_stem and self.cfg.use_pallas
+                and key in self._stem_src
+                and bool(self._packed_in.get(key)))
+
+    def _fused_stem_batch(self, key: str, params, crops_packed: Array
+                          ) -> Array:
+        """Stem activations for a batch of packed crops ([..., 4C, S/2,
+        S/2] -> [..., O, S/2, S/2]) via pallas/stem_kernel; leading batch
+        dims are collapsed around the kernel grid."""
+        from bp_from_video_tpu.pallas import stem_kernel
+        src = self._stem_src[key]
+        if src["kind"] == "standin":
+            w, bi, al = params["stem"]["w"], params["stem"]["b"], None
+        else:
+            pk = src["params"]
+            w, bi, al = params[pk["w"]], params[pk["b"]], params[pk["alpha"]]
+        lead = crops_packed.shape[:-3]
+        flat = crops_packed.reshape((-1,) + crops_packed.shape[-3:])
+        stems = stem_kernel.stem_packed(flat, w, bi, al)
+        return stems.reshape(lead + stems.shape[1:])
+
+    def _landmark_from_stem(self, key: str, params, stem_y: Array,
+                            rect: warp.Rect) -> tuple[Array, Array, Array]:
+        """Post-stem trunk + projection (fused-stem twin of
+        :meth:`_landmark_from_crop`)."""
+        size = self._fns[key + "_size"]
+        if self._stem_src[key]["kind"] == "standin":
+            lm, presence, _aux = blaze.landmark_trunk(params, stem_y[None],
+                                                      size)
+        else:
+            lm, presence, _aux = self._fns[key](params, stem_y[None])
+        pts = lm[0].astype(jnp.float32).reshape(-1, 3)[:, :2] / size
+        pts_px = warp.project_landmarks(pts, rect)
+        return pts_px, presence[0, 0].astype(jnp.float32), _aux[0, 0]
 
     # -- bounded re-detection sub-batch -------------------------------------
 
@@ -665,7 +727,17 @@ class InferenceRunner:
                     warp.landmarks_to_rect(pts_px, *FACE_ROT_LANDMARKS, 0.0),
                     scale=1.5))
 
-            if face_crops is not None:
+            if face_crops is not None and self._use_fused_stem("flm_lm"):
+                face_stems = self._fused_stem_batch(
+                    "flm_lm", params["flm_lm"], face_crops)
+
+                def lm_stem(stem_y, cov):
+                    pts_px, presence, _ = self._landmark_from_stem(
+                        "flm_lm", params["flm_lm"], stem_y, _arr_rect(cov))
+                    return pts_px, presence, face_next_rect(pts_px)
+                pts_all, presences, next_rects = jax.vmap(lm_stem)(
+                    face_stems, face_cover)
+            elif face_crops is not None:
                 def lm_crop(crop, cov):
                     pts_px, presence, _ = self._landmark_from_crop(
                         "flm_lm", params["flm_lm"], crop, _arr_rect(cov),
@@ -705,7 +777,17 @@ class InferenceRunner:
                                            jnp.pi / 2), scale=2.0,
                     shift_y=-0.1))
 
-            if hand_crops is not None:
+            if hand_crops is not None and self._use_fused_stem("hand_lm"):
+                hand_stems = self._fused_stem_batch(
+                    "hand_lm", params["hand_lm"], hand_crops)
+
+                def hand_stem_one(stem_y, cov):
+                    pts_px, presence, _ = self._landmark_from_stem(
+                        "hand_lm", params["hand_lm"], stem_y, _arr_rect(cov))
+                    return pts_px, presence, hand_next_rect(pts_px)
+                pts_all, presences, next_rects = jax.vmap(jax.vmap(
+                    hand_stem_one))(hand_stems, hand_cover)
+            elif hand_crops is not None:
                 def hand_crop_one(crop, cov):
                     pts_px, presence, _ = self._landmark_from_crop(
                         "hand_lm", params["hand_lm"], crop, _arr_rect(cov),

@@ -620,9 +620,91 @@ def _dce(graph: Graph) -> Graph:
     return Graph(tensors, keep, list(graph.inputs), list(graph.outputs))
 
 
+def _extract_stem(graph: Graph) -> tuple[Graph, dict | None]:
+    """Split off a leading 3x3/stride-2 SAME image-stem conv (+ optional
+    PReLU) so it can run as the fused Pallas stem kernel on packed crops
+    (pallas/stem_kernel) while the rest of the graph compiles as usual.
+
+    Matches the MediaPipe landmark-net entry pattern (e.g. the face mesh:
+    CONV_2D [1,S,S,3]->[1,S/2,S/2,O] stride 2 SAME, then PRELU with
+    per-channel alphas).  On a match, returns a graph whose input IS the
+    activation tensor after the stem, plus {'w' HWIO, 'b', 'alpha',
+    'in_size'}.  No match -> (graph, None) unchanged.
+    """
+    if len(graph.inputs) != 1:
+        return graph, None
+    inp = graph.inputs[0]
+    ishape = graph.tensors[inp].shape
+    if len(ishape) != 4 or ishape[3] != 3 or ishape[1] != ishape[2] \
+            or ishape[1] % 2:
+        return graph, None
+
+    dequant_of = {op.outputs[0]: op.inputs[0] for op in graph.ops
+                  if op.opcode == "DEQUANTIZE"
+                  and graph.tensors[op.inputs[0]].data is not None}
+
+    def const(idx):
+        src = dequant_of.get(idx)
+        if src is not None:
+            info = graph.tensors[src]
+            return _dequant(info, info.data)
+        info = graph.tensors[idx]
+        return None if info.data is None else np.asarray(info.data)
+
+    conv = next((op for op in graph.ops if op.opcode == "CONV_2D"
+                 and op.inputs[0] == inp), None)
+    if conv is None:
+        return graph, None
+    o = conv.options
+    if (o.get("stride") != (2, 2) or o.get("padding") != "SAME"
+            or o.get("activation") not in ("NONE", "RELU")
+            or o.get("dilation", (1, 1)) != (1, 1)):
+        return graph, None
+    w = const(conv.inputs[1])
+    b = const(conv.inputs[2]) if len(conv.inputs) > 2 and \
+        conv.inputs[2] >= 0 else None
+    if w is None or w.shape[1:3] != (3, 3) or w.shape[3] != 3:
+        return graph, None
+    cout = w.shape[0]
+    if b is None:
+        b = np.zeros((cout,), np.float32)
+
+    # Optional PReLU directly after (activation NONE case).
+    stem_out = conv.outputs[0]
+    alpha = np.zeros((cout,), np.float32)
+    consumed = {id(conv)}
+    if o.get("activation") == "NONE":
+        users = [op for op in graph.ops
+                 if stem_out in op.inputs and op is not conv]
+        if len(users) != 1 or users[0].opcode != "PRELU":
+            return graph, None
+        prelu = users[0]
+        a = const(prelu.inputs[1])
+        if a is None or int(np.prod(a.shape)) != cout:
+            return graph, None
+        alpha = np.asarray(a, np.float32).reshape(cout)
+        stem_out = prelu.outputs[0]
+        consumed.add(id(prelu))
+
+    # Drop the consumed ops (and their now-dead weight DEQUANTIZEs via the
+    # normal folding path) and re-root the graph at the stem output.
+    keep_ops = [op for op in graph.ops if id(op) not in consumed]
+    new_graph = Graph(tensors=graph.tensors, ops=keep_ops,
+                      inputs=[stem_out], outputs=graph.outputs)
+    stem = {
+        "w": np.transpose(np.asarray(w, np.float32), (1, 2, 3, 0)),  # HWIO
+        "b": np.asarray(b, np.float32),
+        "alpha": alpha,
+        "in_size": ishape[1],
+        "out_channels": cout,
+    }
+    return new_graph, stem
+
+
 def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                    planar_inputs: bool = False, fuse_dw_pw: bool = False,
-                   pack_s2d: int = 0, packed_inputs: bool = False
+                   pack_s2d: int = 0, packed_inputs: bool = False,
+                   external_stem: bool = False
                    ) -> tuple[Callable[..., list[Array]], dict[str, Array]]:
     """Compile a .tflite model into ``fn(params, *inputs) -> [outputs]`` and
     its weights pytree.
@@ -643,12 +725,15 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
     the MXU's f32 accumulation), halving conv traffic again under bf16.
     """
     graph = parse_tflite(data)
+    stem_meta = None
+    if external_stem:
+        graph, stem_meta = _extract_stem(graph)
     if fuse_dw_pw:
         graph = fuse_dw_pw_pairs(graph)
     if pack_s2d:
         graph = space_to_depth_pack(graph, min_hw=pack_s2d,
                                     packed_inputs=packed_inputs)
-    if fuse_dw_pw or pack_s2d:
+    if fuse_dw_pw or pack_s2d or stem_meta is not None:
         graph = _dce(graph)
 
     params: dict[str, Array] = {}
@@ -989,6 +1074,17 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
     fn.output_shapes = [graph.tensors[i].shape  # type: ignore[attr-defined]
                         for i in graph.outputs]
     fn.graph = graph                # type: ignore[attr-defined]
+    if stem_meta is not None:
+        # The externalized stem's weights ride in the params pytree; the
+        # caller runs pallas/stem_kernel.stem_packed(crops, w, b, alpha)
+        # and feeds the result as the compiled fn's (planar) input.
+        for name in ("w", "b", "alpha"):
+            params[f"__stem__:{name}"] = jnp.asarray(stem_meta[name], dtype)
+        fn.external_stem_meta = {      # type: ignore[attr-defined]
+            "in_size": stem_meta["in_size"],
+            "out_channels": stem_meta["out_channels"],
+            "params": {n: f"__stem__:{n}" for n in ("w", "b", "alpha")},
+        }
     return fn, params
 
 

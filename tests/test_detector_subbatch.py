@@ -84,6 +84,7 @@ def test_subbatch_round_robin_is_starvation_free(runner):
     np.testing.assert_array_equal(counts, np.full(s, 2))
 
 
+@pytest.mark.slow
 def test_batch_matches_per_stream_predict_under_mixed_tracking(runner):
     """The VERDICT equivalence gate: with <= detector_subbatch streams
     needing detection, predict_batch == vmap-free per-stream predict."""

@@ -97,6 +97,7 @@ def test_cli_preset():
     assert cfg.num_streams == 8
 
 
+@pytest.mark.slow
 def test_offline_batch_processing(pulse_video):
     from bp_from_video_tpu.runtime import offline
 
@@ -131,6 +132,7 @@ def test_image_running_mode(pulse_video):
     assert out.raw_y.shape == (2, 48)
 
 
+@pytest.mark.slow
 def test_pipelined_driver_with_mesh(pulse_video):
     """Pipelined driver over a dp mesh (shard_map path end-to-end with real
     capture threads)."""
@@ -147,6 +149,7 @@ def test_pipelined_driver_with_mesh(pulse_video):
     assert out is not None and out.bpm.shape[0] == 2
 
 
+@pytest.mark.slow
 def test_cli_offline_mode(pulse_video, capsys):
     from bp_from_video_tpu.cli import main
 

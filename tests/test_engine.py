@@ -179,6 +179,7 @@ def test_engine_bpm_accuracy_uniform_video():
     assert abs(ptt + HAND_DELAY * 1000) <= 25.0, ptt
 
 
+@pytest.mark.slow
 def test_batch_step_planar_frames_match_nhwc():
     """batch_step accepts planar ([S, 3, H, W]) frames — the feeder/bench
     upload layout — with results identical to NHWC."""

@@ -109,3 +109,43 @@ def test_multi_crop_packed_layout(pack):
                     np.testing.assert_array_equal(
                         np.asarray(q[:, (a * 2 + b) * 3 + ch]),
                         np.asarray(p[:, ch, a::2, b::2]))
+
+
+def _pack22(crop_planar):
+    """[C, S, S] -> [4C, S/2, S/2] in multi_crop's (a*2+b)*C + c order."""
+    c, s, _ = crop_planar.shape
+    return jnp.stack([crop_planar[ch, a::2, b::2]
+                      for a in range(2) for b in range(2)
+                      for ch in range(3)])
+
+
+def test_stem_kernel_matches_reference():
+    from bp_from_video_tpu.pallas import stem_kernel as sk
+    rng = np.random.default_rng(7)
+    crops = jnp.asarray(rng.uniform(0, 1, (3, 12, 32, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.2, (3, 3, 3, 24)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (24,)), jnp.float32)
+    ref = sk.stem_packed_reference(crops, w, b)
+    for use_dot in (True, False):
+        got = sk.stem_packed(crops, w, b, interpret=True, use_dot=use_dot)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_fused_stem_composes_to_full_landmark_apply():
+    """stem_packed + landmark_trunk == blaze_landmark_apply exactly (the
+    fused-stem production path bypasses the in-graph stem)."""
+    from bp_from_video_tpu.models import blaze
+    from bp_from_video_tpu.pallas import stem_kernel as sk
+    rng = np.random.default_rng(8)
+    size = 64
+    params = blaze.init_blaze_landmark(11, size, 21)
+    crop = jnp.asarray(rng.uniform(0, 1, (3, size, size)), jnp.float32)
+    want = blaze.blaze_landmark_apply(params, crop[None], size)
+    packed = _pack22(crop)
+    stems = sk.stem_packed(packed[None], params["stem"]["w"],
+                           params["stem"]["b"], interpret=True)
+    got = blaze.landmark_trunk(params, stems, size)
+    for g, t in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(t),
+                                   atol=2e-4, rtol=1e-4)

@@ -38,6 +38,7 @@ def make_inputs(rng, num_streams, t, cfg):
     return jnp.asarray(base), ts
 
 
+@pytest.mark.slow
 def test_vmap_matches_loop():
     s = 3
     cfg = tiny_config(s)
@@ -70,6 +71,7 @@ def test_vmap_matches_loop():
                                        rtol=2e-3, atol=1e-5, equal_nan=True)
 
 
+@pytest.mark.slow
 def test_run_clip_matches_stepping():
     s, t_len = 2, 8
     cfg = tiny_config(s)

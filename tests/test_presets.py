@@ -25,7 +25,10 @@ def shrink(cfg):
                                num_streams=1)
 
 
-@pytest.mark.parametrize("name", sorted(preset_configs()))
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n == "multistream" else n
+     for n in sorted(preset_configs())])
 def test_preset_runs(name):
     cfg = shrink(preset_configs()[name])
     eng = Engine(cfg)

@@ -119,6 +119,7 @@ def test_trace_nan_gap_blanks_columns():
     assert cols[-gl.width // 4:].sum() > 0
 
 
+@pytest.mark.slow
 def test_drawer_headless_end_to_end():
     """Full display stage against real engine outputs (show=False)."""
     from bp_from_video_tpu.runtime.engine import Engine

@@ -140,3 +140,34 @@ def test_packed_inputs_match_unpacked():
           .reshape(1, 128, 128, 12))
     for a, b in zip(fn0(p0, jnp.asarray(x)), fn1(p1, jnp.asarray(xp))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_external_stem_matches_full_graph():
+    """external_stem=True splits the face mesh's conv+PReLU stem out; the
+    Pallas stem kernel (interpret) + the rest of the graph must reproduce
+    the full compiled graph bit-for-bit (the fused_stem production path)."""
+    from bp_from_video_tpu.pallas import stem_kernel as sk
+    data = _models()["face_landmarks_detector.tflite"]
+    fn0, p0 = tc.compile_tflite(data, layout="NCHW", planar_inputs=True)
+    fn1, p1 = tc.compile_tflite(data, layout="NCHW", planar_inputs=True,
+                                external_stem=True)
+    meta = fn1.external_stem_meta
+    assert meta["in_size"] == 256 and meta["out_channels"] == 16
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, (1, 3, 256, 256)).astype(np.float32)
+    ref = fn0(p0, jnp.asarray(x))
+    xp = np.stack([x[0, c, a::2, b::2] for a in range(2) for b in range(2)
+                   for c in range(3)])[None]
+    pk = meta["params"]
+    stems = sk.stem_packed(jnp.asarray(xp), p1[pk["w"]], p1[pk["b"]],
+                           p1[pk["alpha"]], interpret=True)
+    got = fn1(p1, stems)
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
+        scale = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(g, r, atol=1e-3 * scale)
+    # The dead stem weights must not ride along in the params pytree.
+    import jax as _jax
+    n0 = sum(a.size for a in _jax.tree.leaves(p0))
+    n1 = sum(a.size for a in _jax.tree.leaves(p1))
+    assert n1 <= n0 + 16 * 2  # alpha+bias added, conv weight removed

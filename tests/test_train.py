@@ -4,6 +4,7 @@ README.md:38/:46-48, completed here)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bp_from_video_tpu.train import bp_regressor as bpr
 
@@ -40,6 +41,7 @@ def test_training_reduces_loss():
     assert float(loss) < 0.5 * first
 
 
+@pytest.mark.slow
 def test_e2e_train_step_runs():
     from bp_from_video_tpu.config import (EngineConfig, InferenceConfig,
                                           SignalConfig)
