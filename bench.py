@@ -69,7 +69,11 @@ def build_config(preset: str | None, streams: int, h: int, w: int,
         use_pallas=on_tpu,
         fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
         pack_s2d=int(os.environ.get("BENCH_S2D", "0")),
-        fused_stem=on_tpu and bool(int(os.environ.get("BENCH_FSTEM", "0"))))
+        # Default ON (measured 7,019 -> 10,867 fps/chip, 2026-08-17):
+        # BENCH_FTRUNK=0 reverts to the plain XLA conv pipeline.
+        fused_stem=on_tpu and bool(int(os.environ.get("BENCH_FSTEM", os.environ.get("BENCH_FTRUNK", "1")))),
+        fused_trunk=on_tpu and bool(int(os.environ.get("BENCH_FTRUNK", "1"))),
+        fused_bn_min_hw=int(os.environ.get("BENCH_BN_MINHW", "96")))
     if preset:
         base = preset_configs()[preset]
         cfg = dataclasses.replace(

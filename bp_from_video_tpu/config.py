@@ -207,6 +207,22 @@ class InferenceConfig:
     # kernel supplies the packed layout); ignored for real-weight models.
     fused_stem: bool = False
 
+    # Run the landmark trunks through Pallas block kernels
+    # (pallas/block_kernel).  Stand-ins: each stride-2 dw+pw blaze block
+    # composes into ONE dense MXU contraction per crop (requires
+    # fused_stem — the trunk consumes the stem kernel's activations).
+    # Real TFLite graphs: every bottleneck residual unit
+    # (1x1-down -> PReLU -> dw3x3 -> 1x1-up -> add [-> PReLU]) fuses into
+    # a two-dot VMEM-resident kernel (tflite_compiler.fuse_bottlenecks).
+    # Both bypass XLA's row-streamed conv pipeline for the trunk body.
+    fused_trunk: bool = False
+
+    # Only fuse real-graph bottleneck units whose spatial size is at
+    # least this (tools/bnprobe.py, v5e: the kernel wins at 128^2,
+    # loses below 64^2 where the shift/roll VPU cost dominates).
+    # 0 fuses every unit.
+    fused_bn_min_hw: int = 96
+
     # Graph-level conv optimizations in the TFLite->JAX compiler
     # (tflite_compiler.fuse_dw_pw_pairs / space_to_depth_pack).
     # fuse_dw_pw composes depthwise+1x1 pairs into dense convs (exact);

@@ -221,12 +221,21 @@ def landmark_trunk(p: dict, y: Array, input_size: int
     y = _blaze_block(p["b3"], y, stride=2)
     y = _blaze_block(p["b4"], y, stride=2)
     y = jnp.mean(y, axis=(2, 3), keepdims=True)
-    lm = _conv(p["head_lm"], y).reshape(1, -1)
+    return landmark_heads(p, y, s)
+
+
+def landmark_heads(p: dict, y: Array, input_size: int
+                   ) -> tuple[Array, Array, Array]:
+    """Pooled trunk features [B, 192, 1, 1] -> (landmarks [B, 3L] in crop
+    pixels, presence [B, 1], aux [B, 1]) — batched (the fused Pallas trunk
+    feeds the whole crop batch at once)."""
+    b = y.shape[0]
+    lm = _conv(p["head_lm"], y).reshape(b, -1)
     # Scale random-init outputs into the crop-pixel range so downstream
     # geometry stays well-conditioned.
-    lm = (jax.nn.sigmoid(lm) * s)
-    presence = jax.nn.sigmoid(_conv(p["head_presence"], y).reshape(1, 1))
-    aux = jax.nn.sigmoid(_conv(p["head_aux"], y).reshape(1, 1))
+    lm = (jax.nn.sigmoid(lm) * input_size)
+    presence = jax.nn.sigmoid(_conv(p["head_presence"], y).reshape(b, 1))
+    aux = jax.nn.sigmoid(_conv(p["head_aux"], y).reshape(b, 1))
     return lm, presence, aux
 
 

@@ -139,6 +139,7 @@ class InferenceRunner:
         #: "params": {name: params-key}} (stem split out of a real TFLite
         #: graph by tflite_compiler._extract_stem).
         self._stem_src: dict[str, dict] = {}
+        self._trunk_specs: dict[str, tuple] = {}
         #: key -> True when compiled from a real TFLite blob, False when a
         #: random-init stand-in is in use (VERDICT.md Missing #1/#2: stand-in
         #: fallbacks must be loud and observable, never silent).
@@ -260,13 +261,30 @@ class InferenceRunner:
                 blob, self.dtype, layout="NCHW", planar_inputs=True,
                 fuse_dw_pw=self.cfg.fuse_dw_pw,
                 pack_s2d=0 if want_stem else self.cfg.pack_s2d,
-                packed_inputs=packed_in, external_stem=want_stem)
+                packed_inputs=packed_in, external_stem=want_stem,
+                # fused_trunk on a REAL graph = fuse its bottleneck
+                # residual units into Pallas block-kernel ops
+                # (tflite_compiler.fuse_bottlenecks).
+                fuse_bn=self.cfg.fused_trunk and self.cfg.use_pallas,
+                fuse_bn_min_hw=self.cfg.fused_bn_min_hw)
             stem_meta = getattr(fn, "external_stem_meta", None)
             if stem_meta is not None:
                 size = stem_meta["in_size"]
                 self._packed_in[key] = True
                 self._stem_src[key] = {"kind": "external",
                                        "params": stem_meta["params"]}
+                w_stem = params[stem_meta["params"]["w"]]
+                if self.cfg.fused_trunk and w_stem.shape[0] == 3:
+                    # Route the real net's externalized 3x3/2 stem through
+                    # the flat-matmul block kernel too (the trunk itself
+                    # stays the compiled XLA graph — real weights are a
+                    # general op graph, not blaze blocks).
+                    from bp_from_video_tpu.pallas import block_kernel
+                    wmat, wspec = block_kernel.pack_block_weights(
+                        w_stem, cin=w_stem.shape[2])
+                    params["__stem_wmat__"] = wmat
+                    self._stem_src[key].update(wmat_key="__stem_wmat__",
+                                               wspec=wspec)
             else:
                 size = fn.input_shapes[0][1]
                 if packed_in and fn.input_shapes[0][3] == 12:
@@ -329,6 +347,22 @@ class InferenceRunner:
                 self._packed_in[key] = True
             if self.cfg.fused_stem and self.cfg.use_pallas:
                 self._stem_src[key] = {"kind": "standin"}
+                if self.cfg.fused_trunk:
+                    # Compose each dw+pw block into its dense twin and
+                    # pre-pack the window-matrix weights (host-side, from
+                    # the raw f32 params); the arrays ride in the params
+                    # pytree, the static layout specs stay out of it.
+                    # The stem routes through the same flat-matmul kernel
+                    # (its packed twin replaces the VPU-FMA stem kernel).
+                    from bp_from_video_tpu.pallas import block_kernel
+                    arrays, specs = block_kernel.prepare_trunk(params)
+                    self.params[key]["trunk"] = arrays
+                    self._trunk_specs[key] = specs
+                    wmat, wspec = block_kernel.pack_block_weights(
+                        params["stem"]["w"], cin=3)
+                    self.params[key]["stem_wmat"] = wmat
+                    self._stem_src[key].update(wmat_key="stem_wmat",
+                                               wspec=wspec)
 
     def _load_segmenter(self, key, blob, fallback_size):
         if blob is not None:
@@ -443,9 +477,13 @@ class InferenceRunner:
     def _fused_stem_batch(self, key: str, params, crops_packed: Array
                           ) -> Array:
         """Stem activations for a batch of packed crops ([..., 4C, S/2,
-        S/2] -> [..., O, S/2, S/2]) via pallas/stem_kernel; leading batch
-        dims are collapsed around the kernel grid."""
-        from bp_from_video_tpu.pallas import stem_kernel
+        S/2] -> [..., O, S/2, S/2]); leading batch dims are collapsed
+        around the kernel grid.
+
+        With fused_trunk on, the stem runs through the same flat-matmul
+        block kernel as the trunk (one MXU dot per crop,
+        pallas/block_kernel); otherwise through the VPU-FMA stem kernel
+        (pallas/stem_kernel)."""
         src = self._stem_src[key]
         if src["kind"] == "standin":
             w, bi, al = params["stem"]["w"], params["stem"]["b"], None
@@ -454,8 +492,41 @@ class InferenceRunner:
             w, bi, al = params[pk["w"]], params[pk["b"]], params[pk["alpha"]]
         lead = crops_packed.shape[:-3]
         flat = crops_packed.reshape((-1,) + crops_packed.shape[-3:])
-        stems = stem_kernel.stem_packed(flat, w, bi, al)
+        wkey = src.get("wmat_key")
+        if wkey is not None:
+            from bp_from_video_tpu.pallas import block_kernel
+            stems = block_kernel.dense_s2_block(
+                flat, params[wkey], src["wspec"], bi, al,
+                cin=w.shape[2], resid=False)
+        else:
+            from bp_from_video_tpu.pallas import stem_kernel
+            stems = stem_kernel.stem_packed(flat, w, bi, al)
         return stems.reshape(lead + stems.shape[1:])
+
+    def _use_fused_trunk(self, key: str) -> bool:
+        return (self.cfg.fused_trunk and key in self._trunk_specs
+                and self._use_fused_stem(key))
+
+    def _fused_trunk_batch(self, key: str, params, stems: Array
+                           ) -> tuple[Array, Array]:
+        """Whole trunk + heads over a batch of stem activations
+        ([..., 24, S/2, S/2] -> landmarks [..., 3L], presence [...]) via
+        pallas/block_kernel (each dw+pw block = one MXU contraction)."""
+        from bp_from_video_tpu.pallas import block_kernel
+        size = self._fns[key + "_size"]
+        lead = stems.shape[:-3]
+        flat = stems.reshape((-1,) + stems.shape[-3:])
+        feats = block_kernel.trunk_apply(params["trunk"],
+                                         self._trunk_specs[key], flat)
+        lm, presence, _aux = blaze.landmark_heads(params, feats, size)
+        return (lm.reshape(lead + lm.shape[1:]),
+                presence.reshape(lead).astype(jnp.float32))
+
+    def _project_lm(self, key: str, lm: Array, rect: warp.Rect) -> Array:
+        """One crop's raw landmark vector [3L] -> frame pixels [L, 2]."""
+        size = self._fns[key + "_size"]
+        pts = lm.astype(jnp.float32).reshape(-1, 3)[:, :2] / size
+        return warp.project_landmarks(pts, rect)
 
     def _landmark_from_stem(self, key: str, params, stem_y: Array,
                             rect: warp.Rect) -> tuple[Array, Array, Array]:
@@ -731,12 +802,24 @@ class InferenceRunner:
                 face_stems = self._fused_stem_batch(
                     "flm_lm", params["flm_lm"], face_crops)
 
-                def lm_stem(stem_y, cov):
-                    pts_px, presence, _ = self._landmark_from_stem(
-                        "flm_lm", params["flm_lm"], stem_y, _arr_rect(cov))
-                    return pts_px, presence, face_next_rect(pts_px)
-                pts_all, presences, next_rects = jax.vmap(lm_stem)(
-                    face_stems, face_cover)
+                if self._use_fused_trunk("flm_lm"):
+                    lm_b, presences = self._fused_trunk_batch(
+                        "flm_lm", params["flm_lm"], face_stems)
+
+                    def lm_proj(lm, cov):
+                        pts_px = self._project_lm("flm_lm", lm,
+                                                  _arr_rect(cov))
+                        return pts_px, face_next_rect(pts_px)
+                    pts_all, next_rects = jax.vmap(lm_proj)(lm_b,
+                                                            face_cover)
+                else:
+                    def lm_stem(stem_y, cov):
+                        pts_px, presence, _ = self._landmark_from_stem(
+                            "flm_lm", params["flm_lm"], stem_y,
+                            _arr_rect(cov))
+                        return pts_px, presence, face_next_rect(pts_px)
+                    pts_all, presences, next_rects = jax.vmap(lm_stem)(
+                        face_stems, face_cover)
             elif face_crops is not None:
                 def lm_crop(crop, cov):
                     pts_px, presence, _ = self._landmark_from_crop(
@@ -781,12 +864,24 @@ class InferenceRunner:
                 hand_stems = self._fused_stem_batch(
                     "hand_lm", params["hand_lm"], hand_crops)
 
-                def hand_stem_one(stem_y, cov):
-                    pts_px, presence, _ = self._landmark_from_stem(
-                        "hand_lm", params["hand_lm"], stem_y, _arr_rect(cov))
-                    return pts_px, presence, hand_next_rect(pts_px)
-                pts_all, presences, next_rects = jax.vmap(jax.vmap(
-                    hand_stem_one))(hand_stems, hand_cover)
+                if self._use_fused_trunk("hand_lm"):
+                    lm_b, presences = self._fused_trunk_batch(
+                        "hand_lm", params["hand_lm"], hand_stems)
+
+                    def hand_proj(lm, cov):
+                        pts_px = self._project_lm("hand_lm", lm,
+                                                  _arr_rect(cov))
+                        return pts_px, hand_next_rect(pts_px)
+                    pts_all, next_rects = jax.vmap(jax.vmap(hand_proj))(
+                        lm_b, hand_cover)
+                else:
+                    def hand_stem_one(stem_y, cov):
+                        pts_px, presence, _ = self._landmark_from_stem(
+                            "hand_lm", params["hand_lm"], stem_y,
+                            _arr_rect(cov))
+                        return pts_px, presence, hand_next_rect(pts_px)
+                    pts_all, presences, next_rects = jax.vmap(jax.vmap(
+                        hand_stem_one))(hand_stems, hand_cover)
             elif hand_crops is not None:
                 def hand_crop_one(crop, cov):
                     pts_px, presence, _ = self._landmark_from_crop(

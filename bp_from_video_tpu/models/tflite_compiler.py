@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import io
+import logging
 import zipfile
 from typing import Any, Callable
 
@@ -296,6 +297,167 @@ def fuse_dw_pw_pairs(graph: Graph) -> Graph:
                     skip.add(cons[0])
                     continue
         new_ops.append(op)
+    return Graph(tensors, new_ops, list(graph.inputs), list(graph.outputs))
+
+
+def fuse_bottlenecks(graph: Graph, min_hw: int = 0) -> Graph:
+    """Fuse the MediaPipe bottleneck residual unit into one Pallas op.
+
+    The face_landmarks_detector trunk (and its siblings) repeats
+        CONV1x1(C->D) -> PRELU -> DW3x3/s1 -> CONV1x1(D->C') -> ADD(r)
+        [-> PRELU]
+    with no activation between the depthwise and the up-projection — the
+    dw+up pair composes exactly into one dense 3x3 D->C' conv, and the
+    whole unit becomes TWO MXU contractions per crop on flat VMEM-resident
+    activations (pallas/block_kernel.bottleneck_s1), replacing five
+    row-streamed XLA ops and their HBM round trips.
+
+    Matched chains are replaced by a ``PALLAS_BN`` pseudo-op whose inputs
+    are [x, residual, wd, bd, ad, wu, bu, au] (the packed weights appended
+    as new constant tensors); options carry {"cmid", "last_act"}.
+
+    ``min_hw``: only fuse units whose spatial size is >= min_hw — measured
+    on TPU (tools/bnprobe.py, v5e, batch 64): the kernel wins at 128^2
+    (1.48x) and loses below 64^2 (0.44-0.90x), where the rolls' VPU cost
+    and the thin-M dots can't amortize; XLA's conv pipeline handles the
+    small-spatial tail better.
+    """
+    from bp_from_video_tpu.pallas import block_kernel as bk
+
+    consumers: dict[int, list[int]] = {}
+    for i, op in enumerate(graph.ops):
+        for t in op.inputs:
+            if t >= 0:
+                consumers.setdefault(t, []).append(i)
+    dequant_of = {op.outputs[0]: op.inputs[0] for op in graph.ops
+                  if op.opcode == "DEQUANTIZE"
+                  and graph.tensors[op.inputs[0]].data is not None}
+
+    def const(idx: int) -> np.ndarray | None:
+        if idx < 0:
+            return None
+        if idx in dequant_of:
+            src = dequant_of[idx]
+            return _dequant(graph.tensors[src], graph.tensors[src].data)
+        info = graph.tensors[idx]
+        return None if info.data is None else _dequant(info, info.data)
+
+    tensors = list(graph.tensors)
+
+    def add_const(name: str, arr: np.ndarray) -> int:
+        tensors.append(TensorInfo(name, tuple(arr.shape), arr.dtype,
+                                  np.ascontiguousarray(arr), None))
+        return len(tensors) - 1
+
+    def sole_consumer(t: int) -> tuple[int, OpNode | None]:
+        cons = consumers.get(t, [])
+        if len(cons) == 1 and t not in graph.outputs:
+            return cons[0], graph.ops[cons[0]]
+        return -1, None
+
+    new_ops: list[OpNode] = []
+    skip: set[int] = set()
+    n_fused = 0
+    for i, op in enumerate(graph.ops):
+        if i in skip:
+            continue
+        # -- match: 1x1 down-projection ------------------------------------
+        w_down = const(op.inputs[1]) if op.opcode == "CONV_2D" else None
+        if (w_down is None or w_down.shape[1] != 1 or w_down.shape[2] != 1
+                or op.options.get("stride") != (1, 1)
+                or op.options.get("activation") != "NONE"):
+            new_ops.append(op)
+            continue
+        out_shape = graph.tensors[op.outputs[0]].shape
+        if len(out_shape) != 4 or min(out_shape[1], out_shape[2]) < min_hw:
+            new_ops.append(op)
+            continue
+        pre_i, pre = sole_consumer(op.outputs[0])
+        if pre is None or pre.opcode != "PRELU":
+            new_ops.append(op)
+            continue
+        a_mid = const(pre.inputs[1])
+        dwo_i, dwo = sole_consumer(pre.outputs[0])
+        if (dwo is None or dwo.opcode != "DEPTHWISE_CONV_2D"
+                or dwo.options.get("stride") != (1, 1)
+                or dwo.options.get("dilation") != (1, 1)
+                or dwo.options.get("depth_multiplier") != 1
+                or dwo.options.get("padding") != "SAME"
+                or dwo.options.get("activation") != "NONE"
+                or a_mid is None):
+            new_ops.append(op)
+            continue
+        w_dw = const(dwo.inputs[1])
+        if w_dw is None or w_dw.shape[1:3] != (3, 3):
+            new_ops.append(op)
+            continue
+        upo_i, upo = sole_consumer(dwo.outputs[0])
+        w_up = const(upo.inputs[1]) if (upo is not None
+                                        and upo.opcode == "CONV_2D") else None
+        if (w_up is None or w_up.shape[1] != 1 or w_up.shape[2] != 1
+                or upo.options.get("stride") != (1, 1)
+                or upo.options.get("activation") != "NONE"):
+            new_ops.append(op)
+            continue
+        addo_i, addo = sole_consumer(upo.outputs[0])
+        if addo is None or addo.opcode != "ADD":
+            new_ops.append(op)
+            continue
+        resid = [t for t in addo.inputs if t != upo.outputs[0]]
+        if len(resid) != 1 or const(resid[0]) is not None:
+            new_ops.append(op)
+            continue
+        last_i, last = sole_consumer(addo.outputs[0])
+        act = addo.options.get("activation", "NONE")
+        if last is not None and last.opcode == "PRELU" and act == "NONE":
+            a_out = const(last.inputs[1])
+            out_t = last.outputs[0]
+            last_act = "prelu"
+            tail = {addo_i, last_i}
+        else:
+            a_out = None
+            out_t = addo.outputs[0]
+            last_act = "relu" if act in ("RELU", "RELU6") else "none"
+            tail = {addo_i}
+        # -- pack ------------------------------------------------------------
+        d = w_down.shape[0]
+        cout = w_up.shape[0]
+        # TFLite CONV weights are [out, kh, kw, in]; the kernel wants
+        # HWIO-style operands (pack_bottleneck_weights handles layout).
+        wd, wu = bk.pack_bottleneck_weights(
+            jnp.asarray(w_down.transpose(1, 2, 3, 0)),      # [1,1,C,D]
+            jnp.asarray(w_dw.transpose(1, 2, 0, 3)),        # [3,3,1,D]
+            jnp.asarray(w_up.transpose(1, 2, 3, 0)),        # [1,1,D,C']
+            dtype=jnp.float32)  # graph dtype applied at param load
+        bd = const(op.inputs[2]) if len(op.inputs) > 2 else None
+        bd = (np.zeros((d,), np.float32) if bd is None
+              else bd.astype(np.float32))
+        b_dw = const(dwo.inputs[2]) if len(dwo.inputs) > 2 else None
+        b_up = const(upo.inputs[2]) if len(upo.inputs) > 2 else None
+        bu = np.zeros((cout,), np.float32)
+        if b_up is not None:
+            bu += b_up.astype(np.float32)
+        if b_dw is not None:
+            # dw bias rides through the composed dense conv: the conv sums
+            # 9 taps of (z + 0) ... the dw bias adds once per output:
+            bu += w_up.reshape(cout, d).astype(np.float32) @ (
+                b_dw.astype(np.float32))
+        au = (np.zeros((cout,), np.float32) if a_out is None
+              else a_out.reshape(-1).astype(np.float32))
+        ins = [op.inputs[0], resid[0],
+               add_const(f"bn_wd_{i}", np.asarray(wd, np.float32)),
+               add_const(f"bn_bd_{i}", bd),
+               add_const(f"bn_ad_{i}", a_mid.reshape(-1).astype(np.float32)),
+               add_const(f"bn_wu_{i}", np.asarray(wu, np.float32)),
+               add_const(f"bn_bu_{i}", bu),
+               add_const(f"bn_au_{i}", au)]
+        new_ops.append(OpNode("PALLAS_BN", ins, [out_t],
+                              {"cmid": int(d), "last_act": last_act}))
+        skip.update({pre_i, dwo_i, upo_i} | tail)
+        n_fused += 1
+    if n_fused:
+        logging.getLogger(__name__).info(
+            "fuse_bottlenecks: fused %d residual units", n_fused)
     return Graph(tensors, new_ops, list(graph.inputs), list(graph.outputs))
 
 
@@ -704,7 +866,8 @@ def _extract_stem(graph: Graph) -> tuple[Graph, dict | None]:
 def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                    planar_inputs: bool = False, fuse_dw_pw: bool = False,
                    pack_s2d: int = 0, packed_inputs: bool = False,
-                   external_stem: bool = False
+                   external_stem: bool = False, fuse_bn: bool = False,
+                   fuse_bn_min_hw: int = 96
                    ) -> tuple[Callable[..., list[Array]], dict[str, Array]]:
     """Compile a .tflite model into ``fn(params, *inputs) -> [outputs]`` and
     its weights pytree.
@@ -728,12 +891,16 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
     stem_meta = None
     if external_stem:
         graph, stem_meta = _extract_stem(graph)
+    if fuse_bn:
+        # Before fuse_dw_pw: the bottleneck matcher must claim its
+        # dw -> 1x1-up pairs before the generic pair fusion rewrites them.
+        graph = fuse_bottlenecks(graph, min_hw=fuse_bn_min_hw)
     if fuse_dw_pw:
         graph = fuse_dw_pw_pairs(graph)
     if pack_s2d:
         graph = space_to_depth_pack(graph, min_hw=pack_s2d,
                                     packed_inputs=packed_inputs)
-    if fuse_dw_pw or pack_s2d or stem_meta is not None:
+    if fuse_bn or fuse_dw_pw or pack_s2d or stem_meta is not None:
         graph = _dce(graph)
 
     params: dict[str, Array] = {}
@@ -1059,6 +1226,17 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                 n, h, w, cg = x.shape
                 g = o["groups"]
                 put(outs[0], jnp.max(x.reshape(n, h, w, g, cg // g), axis=3))
+            elif name == "PALLAS_BN":
+                # Fused bottleneck residual unit (fuse_bottlenecks):
+                # two MXU dots per crop, VMEM-resident.
+                from bp_from_video_tpu.pallas import block_kernel as bk
+                x = get_planar(ins[0]).astype(dtype)
+                r = get_planar(ins[1]).astype(dtype)
+                y = bk.bottleneck_s1(
+                    x, r, get(ins[2]).astype(dtype), get(ins[3]),
+                    get(ins[4]), get(ins[5]).astype(dtype), get(ins[6]),
+                    get(ins[7]), last_act=o["last_act"])
+                put(outs[0], y.astype(dtype), True)
             elif name == "PACKED_CHANNEL_PAD":
                 x = get(ins[0])
                 n, h, w, _ = x.shape

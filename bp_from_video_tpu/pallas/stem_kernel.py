@@ -72,35 +72,40 @@ def _stem_kernel(crop_ref, w_ref, b_ref, a_ref, out_ref, *, cin, cout, k,
                 pc = (a * 2 + b) * cin + c
                 windows.append(_shifted(crop_ref[0, pc].astype(f32), sy, sx))
 
+    # Bias + per-channel PReLU applied channel-at-a-time with SMEM scalars:
+    # Mosaic has no [cout] -> [cout, 1, 1] vector shape cast.
+    def epilogue(co, plane):
+        v = plane + b_ref[0, co]
+        return jnp.where(v >= 0.0, v, v * a_ref[0, co]).astype(out_ref.dtype)
+
     if use_dot:
         # [cout, taps] x [taps, half, half] — one contraction, K = k*k*cin.
         # (w arrives pre-flattened/transposed: Mosaic has no in-kernel
-        # multi-dim vector reshape.)
+        # multi-dim vector reshape.)  NOTE: Mosaic currently rejects the
+        # internal [taps, H, W] -> [taps, H*W] flatten this lowers to
+        # ("unsupported shape cast"), so the FMA path is the production
+        # default; kept for when Mosaic grows the layout.
         wmat = w_ref[:].astype(f32)
         x = jnp.stack(windows)
         acc = jax.lax.dot_general(
             wmat, x, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32)
-        acc = acc + b_ref[0].astype(f32)[:, None, None]
-        alpha = a_ref[0].astype(f32)[:, None, None]
-        out_ref[0] = jnp.where(acc >= 0.0, acc, acc * alpha
-                               ).astype(out_ref.dtype)
+        for co in range(cout):
+            out_ref[0, co] = epilogue(co, acc[co])
     else:
-        # VPU fallback: 27 FMAs per output channel, f32 accumulator.
+        # VPU path: k*k*cin shifted FMAs per output channel (SMEM scalar
+        # weights), f32 accumulator.
         for co in range(cout):
             acc = jnp.zeros((half, half), f32)
             for t in range(k * k * cin):
                 acc = acc + windows[t] * w_ref[co, t]
-            acc = acc + b_ref[0, co].astype(f32)
-            av = a_ref[0, co].astype(f32)
-            out_ref[0, co] = jnp.where(acc >= 0.0, acc, acc * av
-                                       ).astype(out_ref.dtype)
+            out_ref[0, co] = epilogue(co, acc)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "use_dot"))
 def stem_packed(crops_packed: Array, w: Array, b: Array,
                 alpha: Array | None = None,
-                interpret: bool = False, use_dot: bool = True) -> Array:
+                interpret: bool = False, use_dot: bool = False) -> Array:
     """Fused stem over a batch of packed crops.
 
     crops_packed: [B, 4*cin, S/2, S/2] (multi_crop pack=2 layout, already
@@ -117,8 +122,11 @@ def stem_packed(crops_packed: Array, w: Array, b: Array,
     if alpha is None:
         alpha = jnp.zeros((cout,), w.dtype)
     # Pre-flatten the HWIO weight to [cout, k*k*cin] on the host: taps in
-    # (dy, dx, c) order, matching the kernel's window gathering.
+    # (dy, dx, c) order, matching the kernel's window gathering.  The FMA
+    # path reads them as SMEM scalars -> f32.
     wmat = jnp.transpose(w.reshape(k * k * cin, cout))
+    if not use_dot:
+        wmat = wmat.astype(jnp.float32)
     kern = functools.partial(_stem_kernel, cin=cin, cout=cout, k=k,
                              half=half, use_dot=use_dot)
     return pl.pallas_call(
@@ -128,11 +136,12 @@ def stem_packed(crops_packed: Array, w: Array, b: Array,
             pl.BlockSpec((1, pc4, half, half), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cout, k * k * cin), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=(pltpu.VMEM if use_dot
+                                       else pltpu.SMEM)),
             pl.BlockSpec((1, cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, cout, half, half),
                                lambda i: (i, 0, 0, 0),
@@ -140,7 +149,8 @@ def stem_packed(crops_packed: Array, w: Array, b: Array,
         out_shape=jax.ShapeDtypeStruct((bsz, cout, half, half),
                                        crops_packed.dtype),
         interpret=interpret,
-    )(crops_packed, wmat, b.reshape(1, cout), alpha.reshape(1, cout))
+    )(crops_packed, wmat, b.reshape(1, cout).astype(jnp.float32),
+      alpha.reshape(1, cout).astype(jnp.float32))
 
 
 def stem_packed_reference(crops_packed: Array, w: Array, b: Array,

@@ -120,6 +120,7 @@ HAVE_ASSETS = os.path.exists("/root/reference/models/face_landmarker.task")
 
 
 @pytest.mark.skipif(not HAVE_ASSETS, reason="face assets absent")
+@pytest.mark.slow
 def test_runner_end_to_end_face_and_hand():
     cfg = InferenceConfig(face_detector=True, face_landmarker=True,
                           hand_landmarker=True, person_segmenter=True,

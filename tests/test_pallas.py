@@ -132,6 +132,150 @@ def test_stem_kernel_matches_reference():
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("cin,cout,h", [(24, 48, 14), (48, 96, 7),
+                                        (3, 24, 16)])
+def test_block_kernel_matches_dense_oracle(cin, cout, h):
+    """dense_s2_block == XLA stride-2 SAME conv (+ blaze residual when
+    C is a block channel count) on the same composed weight, bf16 taps,
+    f32 accumulation."""
+    from bp_from_video_tpu.pallas import block_kernel as bk
+    rng = np.random.default_rng(9)
+    bsz, resid = 3, cin % 8 == 0
+    x = jnp.asarray(rng.standard_normal((bsz, cin, 2 * h, 2 * h)),
+                    jnp.bfloat16)
+    wd = jnp.asarray(rng.normal(0, 0.2, (3, 3, cin, cout)), jnp.float32)
+    bd = jnp.asarray(rng.normal(0, 0.1, (cout,)), jnp.float32)
+    wmat, wspec = bk.pack_block_weights(wd, cin=cin)
+    got = bk.dense_s2_block(bk.pack_s2d(x), wmat, wspec, bd, None,
+                            cin=cin, resid=resid, interpret=True)
+    y = jax.lax.conv_general_dilated(
+        x, wd.astype(jnp.bfloat16), (2, 2), "SAME",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        preferred_element_type=jnp.float32) + bd.reshape(-1, 1, 1)
+    if resid:
+        pool = jax.lax.reduce_window(x.astype(jnp.float32), -jnp.inf,
+                                     jax.lax.max, (1, 1, 2, 2),
+                                     (1, 1, 2, 2), "SAME")
+        y = y + jnp.pad(pool, ((0, 0), (0, cout - cin), (0, 0), (0, 0)))
+    want = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2 * float(jnp.max(jnp.abs(want)).astype(jnp.float32)) * 2**-8,
+        rtol=2**-7)
+
+
+@pytest.mark.parametrize("cin,cmid,h,last_act", [
+    (16, 8, 12, "prelu"), (32, 16, 8, "prelu"), (16, 8, 10, "none")])
+def test_bottleneck_kernel_matches_xla_chain(cin, cmid, h, last_act):
+    """bottleneck_s1 == the unfused XLA chain (1x1-down -> PReLU ->
+    dw3x3/s1 SAME -> 1x1-up -> add residual [-> PReLU]) in f32."""
+    from bp_from_video_tpu.pallas import block_kernel as bk
+    rng = np.random.default_rng(11)
+    bsz = 2
+    f32 = jnp.float32
+    x = jnp.asarray(rng.standard_normal((bsz, cin, h, h)), f32)
+    w_down = jnp.asarray(rng.normal(0, 0.3, (1, 1, cin, cmid)), f32)
+    b_down = jnp.asarray(rng.normal(0, 0.1, (cmid,)), f32)
+    a_mid = jnp.asarray(rng.uniform(0.1, 0.5, (cmid,)), f32)
+    w_dw = jnp.asarray(rng.normal(0, 0.3, (3, 3, 1, cmid)), f32)
+    b_dw = jnp.asarray(rng.normal(0, 0.1, (cmid,)), f32)
+    w_up = jnp.asarray(rng.normal(0, 0.3, (1, 1, cmid, cin)), f32)
+    b_up = jnp.asarray(rng.normal(0, 0.1, (cin,)), f32)
+    a_out = jnp.asarray(rng.uniform(0.1, 0.5, (cin,)), f32)
+
+    z = jax.lax.conv_general_dilated(
+        x, w_down, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "HWIO", "NCHW")) + b_down.reshape(-1, 1, 1)
+    z = jnp.where(z >= 0, z, z * a_mid.reshape(-1, 1, 1))
+    z = jax.lax.conv_general_dilated(
+        z, w_dw, (1, 1), "SAME", feature_group_count=cmid,
+        dimension_numbers=("NCHW", "HWIO", "NCHW")) + b_dw.reshape(-1, 1, 1)
+    z = jax.lax.conv_general_dilated(
+        z, w_up, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "HWIO", "NCHW")) + b_up.reshape(-1, 1, 1)
+    want = z + x
+    if last_act == "prelu":
+        want = jnp.where(want >= 0, want, want * a_out.reshape(-1, 1, 1))
+
+    wd, wu = bk.pack_bottleneck_weights(w_down, w_dw, w_up, dtype=f32)
+    bu = b_up + w_up[0, 0].T @ b_dw
+    got = bk.bottleneck_s1(x, x, wd, b_down, a_mid, wu, bu,
+                           a_out if last_act == "prelu" else None,
+                           last_act=last_act, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_trunk_matches_composed_xla_chain():
+    """Block-kernel trunk == the same chain of composed dense convs run
+    through XLA (bf16 taps, f32 accumulation, blaze residuals) — verifies
+    the chaining, the s2d glue, and the pooled features end-to-end.  (The
+    dense twin is the exact composition of each dw+pw pair,
+    models/blaze.py:52-60; it rounds once where the two-step path rounds
+    twice, so the two-step landmark_trunk is only bf16-close, which the
+    per-block oracle test already bounds.)"""
+    from bp_from_video_tpu.models import blaze
+    from bp_from_video_tpu.pallas import block_kernel as bk
+    rng = np.random.default_rng(10)
+    size = 64
+    params = blaze.init_blaze_landmark(12, size, 21)
+    arrays, specs = bk.prepare_trunk(params)
+    stems = jnp.asarray(rng.uniform(0, 1, (2, 24, size // 2, size // 2)),
+                        jnp.bfloat16)
+    feats = bk.trunk_apply(arrays, specs, stems, interpret=True)
+
+    y = stems
+    for name in ("b1", "b2", "b3", "b4"):
+        wd, bd = bk.compose_block_params(params[name])
+        cin, cout = wd.shape[2], wd.shape[3]
+        z = jax.lax.conv_general_dilated(
+            y, wd.astype(jnp.bfloat16), (2, 2), "SAME",
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            preferred_element_type=jnp.float32) + bd.reshape(-1, 1, 1)
+        pool = jax.lax.reduce_window(y.astype(jnp.float32), -jnp.inf,
+                                     jax.lax.max, (1, 1, 2, 2),
+                                     (1, 1, 2, 2), "SAME")
+        z = z + jnp.pad(pool, ((0, 0), (0, cout - cin), (0, 0), (0, 0)))
+        y = jnp.maximum(z, 0.0).astype(jnp.bfloat16)
+    want = jnp.mean(y, axis=(2, 3), keepdims=True)
+    np.testing.assert_allclose(np.asarray(feats, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.02, atol=0.02)
+    # Heads consume the pooled features unchanged (batched).
+    lm, presence, aux = blaze.landmark_heads(params, feats, size)
+    assert lm.shape == (2, 3 * 21) and presence.shape == (2, 1)
+    assert bool(jnp.all((lm >= 0) & (lm <= size)))
+
+
+@pytest.mark.slow
+def test_fused_trunk_engine_smoke():
+    """The whole fused-kernel hand path (pallas multi-crop -> block-kernel
+    stem -> block-kernel trunk -> batched heads) traces, runs (TPU
+    interpret simulator), and produces finite tracked results."""
+    from jax.experimental.pallas import tpu as pltpu
+    from bp_from_video_tpu.config import InferenceConfig
+    from bp_from_video_tpu.models.runner import InferenceRunner
+
+    cfg = InferenceConfig(
+        hand_landmarker=True, face_detector_path=None,
+        face_landmarker_path=None, hand_landmarker_path=None,
+        person_segmenter_path=None, use_pallas=True, fused_stem=True,
+        fused_trunk=True)
+    r = InferenceRunner(cfg, 64, 64)
+    assert r._use_fused_trunk("hand_lm")
+    state = jax.tree.map(lambda x: jnp.stack([x, x]), r.init_state())
+    rng = np.random.default_rng(4)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 3, 64, 64), np.uint8))
+    with pltpu.force_tpu_interpret_mode():
+        new_state, res = jax.jit(r.predict_batch)(r.params, state, frames)
+    pts = np.asarray(res.hand_landmarker.points, np.float32)
+    assert pts.shape[:2] == (2, 2)
+    # Presence of the random-init net decides tracking; whatever it says,
+    # the outputs must be finite or NaN-by-contract, never garbage.
+    tracked = np.asarray(new_state.hand_tracking)
+    assert np.isfinite(pts[tracked]).all()
+
+
 def test_fused_stem_composes_to_full_landmark_apply():
     """stem_packed + landmark_trunk == blaze_landmark_apply exactly (the
     fused-stem production path bypasses the in-graph stem)."""

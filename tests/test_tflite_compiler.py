@@ -142,6 +142,36 @@ def test_packed_inputs_match_unpacked():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_fuse_bottlenecks_matches_unfused():
+    """fuse_bn=True rewrites the face mesh's 28 stride-1 bottleneck
+    residual units into PALLAS_BN ops (471 -> ~134 ops) and keeps parity
+    with the unfused compiled graph (interpret-mode kernels)."""
+    from jax.experimental.pallas import tpu as pltpu
+    data = _models()["face_landmarks_detector.tflite"]
+    fn0, p0 = tc.compile_tflite(data, layout="NCHW", planar_inputs=True)
+    fn1, p1 = tc.compile_tflite(data, layout="NCHW", planar_inputs=True,
+                                fuse_bn=True, fuse_bn_min_hw=0)
+    n_bn = sum(op.opcode == "PALLAS_BN" for op in fn1.graph.ops)
+    assert n_bn == 28
+    # The production default (min_hw=96) keeps only the 128^2 stage.
+    fn96, _ = tc.compile_tflite(data, layout="NCHW", planar_inputs=True,
+                                fuse_bn=True)
+    assert sum(op.opcode == "PALLAS_BN" for op in fn96.graph.ops) == 4
+    # Only the 6 stride-2 downsample units keep a DEPTHWISE_CONV_2D.
+    assert sum(op.opcode == "DEPTHWISE_CONV_2D"
+               for op in fn1.graph.ops) == 6
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, (1, 3, 256, 256)).astype(np.float32)
+    ref = fn0(p0, jnp.asarray(x))
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(fn1)(p1, jnp.asarray(x))
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
+        scale = np.abs(r).max() + 1e-6
+        np.testing.assert_allclose(g, r, atol=1e-3 * scale)
+
+
 def test_external_stem_matches_full_graph():
     """external_stem=True splits the face mesh's conv+PReLU stem out; the
     Pallas stem kernel (interpret) + the rest of the graph must reproduce

@@ -63,7 +63,11 @@ def main():
                        inference=InferenceConfig(
                            use_pallas=on_tpu,
                            fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
-                           pack_s2d=int(os.environ.get("BENCH_S2D", "0"))))
+                           pack_s2d=int(os.environ.get("BENCH_S2D", "0")),
+                           fused_stem=on_tpu and bool(int(
+                               os.environ.get("BENCH_FSTEM", os.environ.get("BENCH_FTRUNK", "0")))),
+                           fused_trunk=on_tpu and bool(int(
+                               os.environ.get("BENCH_FTRUNK", "0")))))
     ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
     eng = ms.engine
 
