@@ -264,9 +264,12 @@ class InferenceRunner:
                 packed_inputs=packed_in, external_stem=want_stem,
                 # fused_trunk on a REAL graph = fuse its bottleneck
                 # residual units into Pallas block-kernel ops
-                # (tflite_compiler.fuse_bottlenecks).
+                # (tflite_compiler.fuse_bottlenecks) and call the graph
+                # once per stream BATCH (batch_flexible) instead of
+                # per-stream vmap, so the kernels see the whole batch.
                 fuse_bn=self.cfg.fused_trunk and self.cfg.use_pallas,
-                fuse_bn_min_hw=self.cfg.fused_bn_min_hw)
+                fuse_bn_min_hw=self.cfg.fused_bn_min_hw,
+                batch_flexible=self.cfg.fused_trunk and self.cfg.use_pallas)
             stem_meta = getattr(fn, "external_stem_meta", None)
             if stem_meta is not None:
                 size = stem_meta["in_size"]
@@ -331,6 +334,19 @@ class InferenceRunner:
             self.params[key] = params
             self._fns[key] = apply
             self._fns[key + "_size"] = size
+            if self.cfg.fused_trunk and self.cfg.use_pallas:
+                def apply_batch(p, x, fn=fn, nl=num_landmarks, li=lm_idx,
+                                si=tuple(scalar_idx)):
+                    outs = fn(p, x)
+                    b = x.shape[0]
+                    flat = [o.reshape(b, -1) for o in outs]
+                    lm = flat[li][:, : 3 * nl]
+                    presence = (flat[si[0]][:, 0] if si
+                                else jnp.ones((b,), jnp.float32))
+                    aux = (flat[si[1]][:, 0] if len(si) > 1
+                           else jnp.zeros((b,), jnp.float32))
+                    return lm, presence, aux
+                self._fns[key + "_batch"] = apply_batch
         else:
             self._warn_standin(key)
             params = blaze.init_blaze_landmark(_seed(key), fallback_size,
@@ -504,23 +520,34 @@ class InferenceRunner:
         return stems.reshape(lead + stems.shape[1:])
 
     def _use_fused_trunk(self, key: str) -> bool:
-        return (self.cfg.fused_trunk and key in self._trunk_specs
+        return (self.cfg.fused_trunk
+                and (key in self._trunk_specs
+                     or (key + "_batch") in self._fns)
                 and self._use_fused_stem(key))
 
     def _fused_trunk_batch(self, key: str, params, stems: Array
                            ) -> tuple[Array, Array]:
         """Whole trunk + heads over a batch of stem activations
-        ([..., 24, S/2, S/2] -> landmarks [..., 3L], presence [...]) via
-        pallas/block_kernel (each dw+pw block = one MXU contraction)."""
-        from bp_from_video_tpu.pallas import block_kernel
-        size = self._fns[key + "_size"]
+        ([..., C0, S/2, S/2] -> landmarks [..., 3L], presence [...]).
+
+        Stand-ins route through pallas/block_kernel (each dw+pw block =
+        one MXU contraction); real graphs through their batch_flexible
+        compiled fn (one call for the whole batch — the PALLAS_BN_CHAIN
+        ops inside see the full batch as their grid)."""
         lead = stems.shape[:-3]
         flat = stems.reshape((-1,) + stems.shape[-3:])
-        feats = block_kernel.trunk_apply(params["trunk"],
-                                         self._trunk_specs[key], flat)
-        lm, presence, _aux = blaze.landmark_heads(params, feats, size)
+        if key in self._trunk_specs:
+            from bp_from_video_tpu.pallas import block_kernel
+            size = self._fns[key + "_size"]
+            feats = block_kernel.trunk_apply(params["trunk"],
+                                             self._trunk_specs[key], flat)
+            lm, presence, _aux = blaze.landmark_heads(params, feats, size)
+            presence = presence.reshape(lead)
+        else:
+            lm, presence, _aux = self._fns[key + "_batch"](params, flat)
+            presence = presence.reshape(lead)
         return (lm.reshape(lead + lm.shape[1:]),
-                presence.reshape(lead).astype(jnp.float32))
+                presence.astype(jnp.float32))
 
     def _project_lm(self, key: str, lm: Array, rect: warp.Rect) -> Array:
         """One crop's raw landmark vector [3L] -> frame pixels [L, 2]."""

@@ -461,6 +461,77 @@ def fuse_bottlenecks(graph: Graph, min_hw: int = 0) -> Graph:
     return Graph(tensors, new_ops, list(graph.inputs), list(graph.outputs))
 
 
+def chain_bottlenecks(graph: Graph) -> Graph:
+    """Merge runs of self-residual same-shape ``PALLAS_BN`` ops into one
+    ``PALLAS_BN_CHAIN`` op (pallas/block_kernel.bottleneck_chain).
+
+    The face-mesh trunk runs 4 identical units per stage; chaining a whole
+    stage into one kernel call keeps the activation VMEM-resident across
+    all of them (one load + one store per stage instead of four), which is
+    what makes the small-spatial stages profitable to fuse at all
+    (tools/bnprobe.py: per-unit calls lose below 64^2 on call overhead).
+
+    Chain inputs: [x, wd, bd, ad, wu, bu, au] with the per-unit packed
+    weights stacked on a leading U axis; options {"cmid", "last_act"}.
+    """
+    consumers: dict[int, set[int]] = {}
+    for i, op in enumerate(graph.ops):
+        for t in op.inputs:
+            if t >= 0:
+                consumers.setdefault(t, set()).add(i)
+
+    tensors = list(graph.tensors)
+
+    def add_const(name: str, arr: np.ndarray) -> int:
+        tensors.append(TensorInfo(name, tuple(arr.shape), arr.dtype,
+                                  np.ascontiguousarray(arr), None))
+        return len(tensors) - 1
+
+    def chainable(op: OpNode) -> bool:
+        return (op.opcode == "PALLAS_BN" and op.inputs[0] == op.inputs[1])
+
+    def follows(a: OpNode, ai: int, b: OpNode) -> bool:
+        return (b.inputs[0] == a.outputs[0] and b.inputs[1] == a.outputs[0]
+                and b.options == a.options
+                and consumers.get(a.outputs[0]) == {ai + 1}
+                and a.outputs[0] not in graph.outputs)
+
+    new_ops: list[OpNode] = []
+    i = 0
+    n_chained = 0
+    ops = graph.ops
+    while i < len(ops):
+        op = ops[i]
+        run = [i]
+        if chainable(op):
+            j = i
+            while (j + 1 < len(ops) and chainable(ops[j + 1])
+                   and follows(ops[j], j, ops[j + 1])):
+                run.append(j + 1)
+                j += 1
+        if len(run) < 2:
+            new_ops.append(op)
+            i += 1
+            continue
+        members = [ops[k] for k in run]
+
+        def stacked(slot: int, name: str) -> int:
+            arrs = [tensors[m.inputs[slot]].data for m in members]
+            return add_const(f"bnc_{name}_{run[0]}", np.stack(arrs))
+
+        ins = [op.inputs[0], stacked(2, "wd"), stacked(3, "bd"),
+               stacked(4, "ad"), stacked(5, "wu"), stacked(6, "bu"),
+               stacked(7, "au")]
+        new_ops.append(OpNode("PALLAS_BN_CHAIN", ins,
+                              [members[-1].outputs[0]], dict(op.options)))
+        n_chained += 1
+        i = run[-1] + 1
+    if n_chained:
+        logging.getLogger(__name__).info(
+            "chain_bottlenecks: merged %d stage chains", n_chained)
+    return Graph(tensors, new_ops, list(graph.inputs), list(graph.outputs))
+
+
 def _tflite_pad(in_size: int, k: int, s: int, padding) -> tuple[int, int]:
     """TFLite's explicit (lo, hi) padding for one spatial dim."""
     if isinstance(padding, tuple):
@@ -867,7 +938,7 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                    planar_inputs: bool = False, fuse_dw_pw: bool = False,
                    pack_s2d: int = 0, packed_inputs: bool = False,
                    external_stem: bool = False, fuse_bn: bool = False,
-                   fuse_bn_min_hw: int = 96
+                   fuse_bn_min_hw: int = 96, batch_flexible: bool = False
                    ) -> tuple[Callable[..., list[Array]], dict[str, Array]]:
     """Compile a .tflite model into ``fn(params, *inputs) -> [outputs]`` and
     its weights pytree.
@@ -895,6 +966,9 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
         # Before fuse_dw_pw: the bottleneck matcher must claim its
         # dw -> 1x1-up pairs before the generic pair fusion rewrites them.
         graph = fuse_bottlenecks(graph, min_hw=fuse_bn_min_hw)
+        # DCE first: dead DEQUANTIZE ops of the fused weights sit between
+        # consecutive PALLAS_BN ops and would break the adjacency scan.
+        graph = chain_bottlenecks(_dce(graph))
     if fuse_dw_pw:
         graph = fuse_dw_pw_pairs(graph)
     if pack_s2d:
@@ -1129,6 +1203,15 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                 shape = o.get("new_shape")
                 if shape is None:
                     shape = tuple(int(v) for v in np_const(ins[1]))
+                if (batch_flexible and len(shape) and shape[0] == 1
+                        and all(d != -1 for d in shape[1:])):
+                    # batch_flexible: the graph's static batch-1 reshapes
+                    # follow the real batch (every other op in these nets
+                    # is batch-covariant), so ONE compiled fn serves any
+                    # leading batch — the runner feeds whole stream
+                    # batches without vmap, which is what lets the Pallas
+                    # ops see the full batch as their grid.
+                    shape = (-1,) + tuple(shape[1:])
                 put(outs[0], jnp.reshape(x, shape))
             elif name == "TRANSPOSE":
                 perm = tuple(int(v) for v in np_const(ins[1]))
@@ -1236,6 +1319,16 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                     x, r, get(ins[2]).astype(dtype), get(ins[3]),
                     get(ins[4]), get(ins[5]).astype(dtype), get(ins[6]),
                     get(ins[7]), last_act=o["last_act"])
+                put(outs[0], y.astype(dtype), True)
+            elif name == "PALLAS_BN_CHAIN":
+                # A whole stage of self-residual bottleneck units in one
+                # VMEM-resident kernel (chain_bottlenecks).
+                from bp_from_video_tpu.pallas import block_kernel as bk
+                x = get_planar(ins[0]).astype(dtype)
+                y = bk.bottleneck_chain(
+                    x, get(ins[1]).astype(dtype), get(ins[2]),
+                    get(ins[3]), get(ins[4]).astype(dtype), get(ins[5]),
+                    get(ins[6]), last_act=o["last_act"])
                 put(outs[0], y.astype(dtype), True)
             elif name == "PACKED_CHANNEL_PAD":
                 x = get(ins[0])

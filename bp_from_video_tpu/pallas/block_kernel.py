@@ -383,6 +383,136 @@ def bottleneck_s1(x: Array, residual: Array, wd: Array, bd: Array,
     return y.reshape(bsz, cout, h, w)
 
 
+# -- chained bottleneck stage -------------------------------------------------
+#
+# The face-mesh trunk runs its bottleneck units in stages of 4 identical
+# shapes.  One pallas_call per unit pays the block DMA (x in, y out) and
+# the call overhead 4x per stage; at small spatials that overhead dominates
+# (tools/bnprobe.py: 2^2 stage 1.25 ms pallas vs 0.55 ms XLA).  Chaining a
+# whole stage into ONE call keeps the activation VMEM-resident across all
+# 4 units — per-stage traffic drops to one load + one store.
+
+
+def _bottleneck_chain_kernel(x_ref, wd_ref, bd_ref, ad_ref, wu_ref,
+                             bu_ref, au_ref, m_ref, out_ref, win_ref, *,
+                             units, cmid, row, last_act):
+    """One crop through ``units`` chained same-shape bottleneck units
+    ([1, C, hw] -> [1, C, hw]); each unit's residual is its own input.
+
+    Stacked weights: wd [U, D, C], wu [U, C, 9D], biases/alphas [U, n, 1].
+    """
+    f32 = jnp.float32
+    y = x_ref[0]                                   # [C, hw]
+    hw = y.shape[-1]
+    for u in range(units):
+        z = jax.lax.dot_general(
+            wd_ref[u], y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)            # [D, hw]
+        z = z + bd_ref[u].astype(f32)
+        z = jnp.where(z >= 0.0, z, z * ad_ref[u].astype(f32))
+        t = 0
+        mi = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    s = z
+                else:
+                    sh = (dy * row + dx) % hw
+                    s = pltpu.roll(z, shift=hw - sh, axis=1)
+                    s = s * m_ref[mi:mi + 1].astype(f32)
+                    mi += 1
+                win_ref[t * cmid:(t + 1) * cmid] = s.astype(win_ref.dtype)
+                t += 1
+        acc = jax.lax.dot_general(
+            wu_ref[u], win_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)            # [C, hw]
+        acc = acc + bu_ref[u].astype(f32)
+        acc = acc + y.astype(f32)
+        if last_act == "prelu":
+            acc = jnp.where(acc >= 0.0, acc, acc * au_ref[u].astype(f32))
+        elif last_act == "relu":
+            acc = jnp.maximum(acc, 0.0)
+        # Round once per unit, like the unchained per-call kernels.
+        y = acc.astype(out_ref.dtype)
+    out_ref[0] = y
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cmid", "h", "w", "last_act", "interpret"))
+def _bottleneck_chain_call(x_flat, wd, bd, ad, wu, bu, au, masks, *,
+                           cmid, h, w, last_act, interpret):
+    bsz, c, hw = x_flat.shape
+    units = wd.shape[0]
+    kern = functools.partial(_bottleneck_chain_kernel, units=units,
+                             cmid=cmid, row=w, last_act=last_act)
+    full = lambda i: (i, 0, 0)
+    c2 = lambda i: (0, 0, 0)
+    return pl.pallas_call(
+        kern,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, c, hw), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wd.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bd.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(ad.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wu.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bu.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(au.shape, c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, hw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, hw), full, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, hw), x_flat.dtype),
+        scratch_shapes=[pltpu.VMEM((9 * cmid, hw), wu.dtype)],
+        interpret=interpret,
+    )(x_flat, wd, bd, ad, wu, bu, au, masks)
+
+
+def _chain_group(bsz: int, hw: int, cmid: int) -> int:
+    """Crops per grid step for bottleneck_chain: concatenate G crops on
+    the LANE axis so small-spatial stages amortize the per-step kernel
+    overhead and feed the MXU wide N (tools/bnprobe.py: per-crop calls
+    floor at ~0.15 ms/unit regardless of data size below 64^2).  Bounded
+    by the [9*D, G*hw] VMEM scratch (~5 MB) and one lane-tile target."""
+    target = max(hw, min(8192, 5_000_000 // (18 * cmid)))
+    g = max(1, min(bsz, target // hw))
+    while bsz % g:
+        g -= 1
+    return g
+
+
+def bottleneck_chain(x: Array, wd: Array, bd: Array, ad: Array, wu: Array,
+                     bu: Array, au: Array, *, last_act: str = "prelu",
+                     interpret: bool = False) -> Array:
+    """Chained same-shape bottleneck units on flat crops.
+
+    x: [B, C, h, w]; wd: [U, D, C]; wu: [U, C, 9D] (each unit's packed
+    weights from pack_bottleneck_weights, stacked); bd/ad: [U, D];
+    bu/au: [U, C].  Each unit's residual is its own input (the face-mesh
+    stage chain contract).  Returns [B, C, h, w].
+
+    Crops are processed G at a time, concatenated on the lane axis
+    (_chain_group): the in-kernel rolls bleed across crop boundaries but
+    the tiled shift masks zero exactly those lanes, so grouping is
+    value-exact vs G=1.
+    """
+    bsz, c, h, w = x.shape
+    u, cmid = wd.shape[0], wd.shape[1]
+    hw = h * w
+    g = _chain_group(bsz, hw, cmid)
+    m1 = _shift_masks(h, w)
+    masks = jnp.asarray(np.tile(m1, (1, g)))
+    col = lambda v, n: v.reshape(u, n, 1).astype(jnp.float32)
+    xg = x.reshape(bsz // g, g, c, hw)
+    xg = jnp.transpose(xg, (0, 2, 1, 3)).reshape(bsz // g, c, g * hw)
+    y = _bottleneck_chain_call(
+        xg, wd, col(bd, cmid), col(ad, cmid),
+        wu, col(bu, c), col(au, c), masks, cmid=cmid, h=h, w=w,
+        last_act=last_act, interpret=interpret)
+    y = y.reshape(bsz // g, c, g, hw)
+    return jnp.transpose(y, (0, 2, 1, 3)).reshape(bsz, c, h, w)
+
+
 # -- whole-trunk driver -------------------------------------------------------
 
 def compose_block_params(p: dict) -> Array:

@@ -164,6 +164,38 @@ def test_runner_image_mode_is_stateless():
                                equal_nan=True)
 
 
+@pytest.mark.skipif(not HAVE_ASSETS, reason="face assets absent")
+@pytest.mark.slow
+def test_real_face_fused_trunk_matches_unfused():
+    """Real face-mesh fused-trunk path (external Pallas stem ->
+    batch-flexible compiled graph with PALLAS_BN_CHAIN units -> batched
+    head extraction) tracks the fused-stem-only path (per-stream vmap
+    over the unchained graph) to sub-pixel landmarks."""
+    from jax.experimental.pallas import tpu as pltpu
+    base = dict(face_landmarker=True, hand_landmarker=False,
+                face_detector=False, person_segmenter=False,
+                use_pallas=True, fused_stem=True)
+    rng = np.random.RandomState(3)
+    frames = jnp.asarray(rng.randint(0, 255, (2, 3, 96, 128)), jnp.uint8)
+    rect = jnp.asarray([64.0, 48.0, 60.0, 60.0, 0.0], jnp.float32)
+    outs = []
+    for fused in (True, False):
+        r = InferenceRunner(InferenceConfig(**base, fused_trunk=fused),
+                            96, 128, asset_dir="/root/reference")
+        if fused:
+            assert r._use_fused_trunk("flm_lm")
+        st = jax.tree.map(lambda x: jnp.stack([x, x]), r.init_state())
+        st = st._replace(face_rect=jnp.stack([rect, rect]),
+                         face_tracking=jnp.ones((2,), bool))
+        with pltpu.force_tpu_interpret_mode():
+            _, res = jax.jit(r.predict_batch)(r.params, st, frames)
+        outs.append(np.asarray(res.face_landmarker.points, np.float32))
+    # Points are floor-to-int pixels; the two graphs agree to well under a
+    # pixel, so allow only the off-by-one flooring edge.
+    np.testing.assert_allclose(outs[0], outs[1], atol=1.001,
+                               equal_nan=True)
+
+
 def test_runner_fallback_architectures_without_assets():
     cfg = InferenceConfig(face_detector=False, face_landmarker=False,
                           hand_landmarker=True, person_segmenter=True,

@@ -206,6 +206,38 @@ def test_bottleneck_kernel_matches_xla_chain(cin, cmid, h, last_act):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_bottleneck_chain_matches_unit_calls():
+    """bottleneck_chain == the same units applied via bottleneck_s1 one
+    call at a time (bit-exact: both round once per unit)."""
+    from bp_from_video_tpu.pallas import block_kernel as bk
+    rng = np.random.default_rng(12)
+    bsz, c, d, h, u = 2, 16, 8, 9, 3
+    f32 = jnp.float32
+    x = jnp.asarray(rng.standard_normal((bsz, c, h, h)), f32)
+    wds, bds, ads, wus, bus, aus = [], [], [], [], [], []
+    for _ in range(u):
+        w_down = jnp.asarray(rng.normal(0, 0.3, (1, 1, c, d)), f32)
+        w_dw = jnp.asarray(rng.normal(0, 0.3, (3, 3, 1, d)), f32)
+        w_up = jnp.asarray(rng.normal(0, 0.3, (1, 1, d, c)), f32)
+        wd, wu = bk.pack_bottleneck_weights(w_down, w_dw, w_up, dtype=f32)
+        wds.append(wd)
+        wus.append(wu)
+        bds.append(jnp.asarray(rng.normal(0, 0.1, (d,)), f32))
+        ads.append(jnp.asarray(rng.uniform(0.1, 0.5, (d,)), f32))
+        bus.append(jnp.asarray(rng.normal(0, 0.1, (c,)), f32))
+        aus.append(jnp.asarray(rng.uniform(0.1, 0.5, (c,)), f32))
+    want = x
+    for i in range(u):
+        want = bk.bottleneck_s1(want, want, wds[i], bds[i], ads[i],
+                                wus[i], bus[i], aus[i], last_act="prelu",
+                                interpret=True)
+    got = bk.bottleneck_chain(
+        x, jnp.stack(wds), jnp.stack(bds), jnp.stack(ads),
+        jnp.stack(wus), jnp.stack(bus), jnp.stack(aus),
+        last_act="prelu", interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fused_trunk_matches_composed_xla_chain():
     """Block-kernel trunk == the same chain of composed dense convs run
     through XLA (bf16 taps, f32 accumulation, blaze residuals) — verifies

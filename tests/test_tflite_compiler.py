@@ -152,12 +152,16 @@ def test_fuse_bottlenecks_matches_unfused():
     fn0, p0 = tc.compile_tflite(data, layout="NCHW", planar_inputs=True)
     fn1, p1 = tc.compile_tflite(data, layout="NCHW", planar_inputs=True,
                                 fuse_bn=True, fuse_bn_min_hw=0)
-    n_bn = sum(op.opcode == "PALLAS_BN" for op in fn1.graph.ops)
-    assert n_bn == 28
+    ops1 = [op.opcode for op in fn1.graph.ops]
+    # All 28 units fuse; the 7 stages of 4 merge into 7 chain kernels.
+    assert ops1.count("PALLAS_BN_CHAIN") == 7
+    assert ops1.count("PALLAS_BN") == 0
     # The production default (min_hw=96) keeps only the 128^2 stage.
     fn96, _ = tc.compile_tflite(data, layout="NCHW", planar_inputs=True,
                                 fuse_bn=True)
-    assert sum(op.opcode == "PALLAS_BN" for op in fn96.graph.ops) == 4
+    ops96 = [op.opcode for op in fn96.graph.ops]
+    assert ops96.count("PALLAS_BN_CHAIN") == 1
+    assert ops96.count("PALLAS_BN") == 0
     # Only the 6 stride-2 downsample units keep a DEPTHWISE_CONV_2D.
     assert sum(op.opcode == "DEPTHWISE_CONV_2D"
                for op in fn1.graph.ops) == 6
@@ -170,6 +174,25 @@ def test_fuse_bottlenecks_matches_unfused():
         r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
         scale = np.abs(r).max() + 1e-6
         np.testing.assert_allclose(g, r, atol=1e-3 * scale)
+
+
+def test_batch_flexible_matches_per_sample():
+    """batch_flexible=True runs a whole batch through the batch-1 graph in
+    one call, matching per-sample invocations exactly."""
+    data = _models()["face_landmarks_detector.tflite"]
+    fn, p = tc.compile_tflite(data, layout="NCHW", planar_inputs=True,
+                              batch_flexible=True)
+    rng = np.random.RandomState(9)
+    x = rng.uniform(0, 1, (3, 3, 256, 256)).astype(np.float32)
+    singles = [fn(p, jnp.asarray(x[i:i + 1])) for i in range(3)]
+    batched = fn(p, jnp.asarray(x))
+    for k, b in enumerate(batched):
+        s = np.concatenate([np.asarray(sv[k]) for sv in singles])
+        # Batch-1 vs batch-3 conv lowerings accumulate in different
+        # orders; bound the drift relative to the output's scale.
+        scale = max(np.abs(s).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(b).reshape(s.shape), s,
+                                   atol=1e-4 * scale)
 
 
 def test_external_stem_matches_full_graph():

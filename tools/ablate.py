@@ -65,9 +65,11 @@ def main():
                            fuse_dw_pw=bool(int(os.environ.get("BENCH_FUSE", "0"))),
                            pack_s2d=int(os.environ.get("BENCH_S2D", "0")),
                            fused_stem=on_tpu and bool(int(
-                               os.environ.get("BENCH_FSTEM", os.environ.get("BENCH_FTRUNK", "0")))),
+                               os.environ.get("BENCH_FSTEM", os.environ.get("BENCH_FTRUNK", "1")))),
                            fused_trunk=on_tpu and bool(int(
-                               os.environ.get("BENCH_FTRUNK", "0")))))
+                               os.environ.get("BENCH_FTRUNK", "1"))),
+                           fused_bn_min_hw=int(
+                               os.environ.get("BENCH_BN_MINHW", "96"))))
     ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
     eng = ms.engine
 

@@ -132,10 +132,21 @@ def main():
                 y = xla_unit(p, y, dtype)
             return y
 
+        wds = jnp.stack([wd] * 4)
+        wus = jnp.stack([wu] * 4)
+        st = lambda v: jnp.stack([v] * 4)
+
+        def step_chain(xc):
+            return bk.bottleneck_chain(xc, wds, st(p["b_down"]),
+                                       st(p["a_mid"]), wus, st(bu),
+                                       st(p["a_out"]), last_act="prelu")
+
         t_pl = scan_time(step_pl, x, CLIP)
+        t_ch = scan_time(step_chain, x, CLIP)
         t_x = scan_time(step_xla, x, CLIP)
         print(f"    4-unit stage: pallas {t_pl * 1e3:7.3f} ms  "
-              f"xla {t_x * 1e3:7.3f} ms  speedup {t_x / t_pl:5.2f}x",
+              f"chain {t_ch * 1e3:7.3f} ms  "
+              f"xla {t_x * 1e3:7.3f} ms  chain-speedup {t_x / t_ch:5.2f}x",
               flush=True)
 
 
