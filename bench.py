@@ -191,8 +191,28 @@ def main():
         specs.append((None, streams))
         results = []
         for preset, s in specs:
-            cfg, metric = build_config(preset, s, h, w, on_tpu)
-            res = measure(cfg, metric, clip_len, reps)
+            # The tunnel's remote-compile endpoint rejects requests over a
+            # size limit (HTTP 413) — sometimes transiently, and
+            # deterministically for the biggest programs (segmenter_fir's
+            # full-res masks at 64 streams).  Retry same-size once for the
+            # transient case, then halve the stream count until the
+            # program fits; fps/chip is throughput-normalized either way
+            # and the JSON records the streams actually used.
+            res = None
+            for attempt, s_try in enumerate((s, s, max(s // 2, 8),
+                                             max(s // 4, 8))):
+                cfg, metric = build_config(preset, s_try, h, w, on_tpu)
+                try:
+                    res = measure(cfg, metric, clip_len, reps)
+                    break
+                except Exception as e:  # noqa: BLE001 - record and move on
+                    print(f"{metric}: attempt {attempt + 1} "
+                          f"(streams={s_try}) failed: {e}",
+                          file=sys.stderr, flush=True)
+            if res is None:
+                results.append({"metric": metric, "error": "compile/run "
+                                "failed after 4 attempts", "streams": s})
+                continue
             _emit(res)
             results.append(res)
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -98,8 +98,13 @@ def test_run_clip_matches_stepping():
         rtol=1e-6, equal_nan=True)
 
 
-@pytest.mark.parametrize("axes", [{STREAM_AXIS: 8},
-                                  {STREAM_AXIS: 4, MODEL_AXIS: 2}])
+# The dp-only mesh is slow-marked: the dp×tp case exercises both axes in
+# one compile (and the driver's dryrun_multichip validates the dp-only
+# e2e path every round), so the quick loop needs only one of the two
+# ~100 s virtual-mesh engine compiles.
+@pytest.mark.parametrize("axes", [
+    pytest.param({STREAM_AXIS: 8}, marks=pytest.mark.slow),
+    {STREAM_AXIS: 4, MODEL_AXIS: 2}])
 def test_sharded_matches_unsharded(axes):
     s = 8
     cfg = tiny_config(s)

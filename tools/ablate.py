@@ -123,6 +123,11 @@ def main():
             # absolute value is the step's non-net floor.
             saved = {k: eng.runner._fns[k] for k in ("flm_lm", "hand_lm")
                      if k in eng.runner._fns}
+            # The fused-stem/trunk path bypasses _fns[key] entirely —
+            # force it off so the stubs actually replace the nets
+            # (otherwise 'nonet' silently re-times the full step).
+            saved_fused = eng.runner._use_fused_stem
+            eng.runner._use_fused_stem = lambda key: False
 
             def stub(nl):
                 def f(p, x):
@@ -144,6 +149,7 @@ def main():
             scan_time("full step, nets stubbed", step, state0, clip_len,
                       streams)
             eng.runner._fns.update(saved)
+            eng.runner._use_fused_stem = saved_fused
 
         elif v == "signal":
             def step(carry, i):
