@@ -267,9 +267,14 @@ class InferenceRunner:
                 # (tflite_compiler.fuse_bottlenecks) and call the graph
                 # once per stream BATCH (batch_flexible) instead of
                 # per-stream vmap, so the kernels see the whole batch.
-                fuse_bn=self.cfg.fused_trunk and self.cfg.use_pallas,
+                # Gated on want_stem: the runtime fused-trunk path requires
+                # the fused stem (_use_fused_trunk), so compiling PALLAS_BN
+                # ops without it would only run them one-crop-at-a-time
+                # under vmap — the small-grid regime bnprobe measured 2-3x
+                # SLOWER than plain XLA.
+                fuse_bn=self.cfg.fused_trunk and want_stem,
                 fuse_bn_min_hw=self.cfg.fused_bn_min_hw,
-                batch_flexible=self.cfg.fused_trunk and self.cfg.use_pallas)
+                batch_flexible=self.cfg.fused_trunk and want_stem)
             stem_meta = getattr(fn, "external_stem_meta", None)
             if stem_meta is not None:
                 size = stem_meta["in_size"]
@@ -313,11 +318,18 @@ class InferenceRunner:
                 lm_idx = cands[0]
             else:
                 cpu = jax.devices("cpu")[0]
-                ish = fn.input_shapes[0]  # reported NHWC; net takes planar
+                # Probe a PLAIN compile of the same blob: the fused/packed
+                # variants can contain Pallas TPU kernels that cannot lower
+                # on the CPU backend, and the pass pipeline never reorders
+                # graph outputs, so the plain twin resolves the same roles.
+                pfn, pparams = tc.compile_tflite(blob, jnp.float32,
+                                                 layout="NCHW",
+                                                 planar_inputs=True)
+                ish = pfn.input_shapes[0]  # reported NHWC; net takes planar
                 with jax.default_device(cpu):
                     probe = jnp.full((ish[0], ish[3], ish[1], ish[2]), 0.5,
-                                     self.dtype)
-                    outs = fn(jax.device_put(params, cpu), probe)
+                                     jnp.float32)
+                    outs = pfn(jax.device_put(pparams, cpu), probe)
                 mags = {i: float(np.abs(np.asarray(outs[i], np.float32)).mean())
                         for i in cands}
                 lm_idx = max(cands, key=mags.get)
@@ -334,7 +346,9 @@ class InferenceRunner:
             self.params[key] = params
             self._fns[key] = apply
             self._fns[key + "_size"] = size
-            if self.cfg.fused_trunk and self.cfg.use_pallas:
+            if self.cfg.fused_trunk and want_stem:
+                # Only meaningful for the batch_flexible compile above —
+                # without it the graph is fixed at batch 1.
                 def apply_batch(p, x, fn=fn, nl=num_landmarks, li=lm_idx,
                                 si=tuple(scalar_idx)):
                     outs = fn(p, x)
@@ -469,6 +483,25 @@ class InferenceRunner:
         kernel's epilogue)."""
         size = self._fns[key + "_size"]
         x = crop if prescaled else crop / 255.0
+        src = self._stem_src.get(key)
+        if (src is not None and src.get("kind") == "external"
+                and x.shape[0] == 3):
+            # The compiled graph was re-rooted at the externalized stem's
+            # output (tflite_compiler external_stem): its input is the STEM
+            # ACTIVATION tensor, not a packed crop.  A plain crop (the
+            # exact_rotation / non-uint8 fallback) must run the stem here
+            # as an ordinary XLA conv (+PReLU; alpha=0 == the RELU case)
+            # before entering the graph.
+            pk = src["params"]
+            w = params[pk["w"]].astype(self.dtype)        # HWIO [3,3,3,O]
+            y = jax.lax.conv_general_dilated(
+                x[None].astype(self.dtype), w, (2, 2), "SAME",
+                dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                preferred_element_type=w.dtype)
+            y = y + params[pk["b"]].astype(y.dtype).reshape(-1, 1, 1)
+            al = params[pk["alpha"]].astype(y.dtype).reshape(-1, 1, 1)
+            return self._landmark_from_stem(
+                key, params, jnp.where(y >= 0, y, al * y)[0], rect)
         if self._packed_in.get(key) and x.shape[0] == 3:
             # Net expects packed crops but this one is plain (non-Pallas
             # crop path): pack in-graph ([3,S,S] -> [12,S/2,S/2]).

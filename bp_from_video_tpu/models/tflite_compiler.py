@@ -414,11 +414,16 @@ def fuse_bottlenecks(graph: Graph, min_hw: int = 0) -> Graph:
             out_t = last.outputs[0]
             last_act = "prelu"
             tail = {addo_i, last_i}
-        else:
+        elif act in ("NONE", "RELU"):
             a_out = None
             out_t = addo.outputs[0]
-            last_act = "relu" if act in ("RELU", "RELU6") else "none"
+            last_act = "relu" if act == "RELU" else "none"
             tail = {addo_i}
+        else:
+            # RELU6/RELU_N1_TO_1/TANH on the ADD have no kernel epilogue —
+            # fusing would silently change the activation; leave unfused.
+            new_ops.append(op)
+            continue
         # -- pack ------------------------------------------------------------
         d = w_down.shape[0]
         cout = w_up.shape[0]
@@ -882,11 +887,17 @@ def _extract_stem(graph: Graph) -> tuple[Graph, dict | None]:
             info = graph.tensors[src]
             return _dequant(info, info.data)
         info = graph.tensors[idx]
-        return None if info.data is None else np.asarray(info.data)
+        return None if info.data is None else _dequant(info, info.data)
 
     conv = next((op for op in graph.ops if op.opcode == "CONV_2D"
                  and op.inputs[0] == inp), None)
     if conv is None:
+        return graph, None
+    # The stem conv must be the image input's SOLE consumer: re-rooting the
+    # graph at the stem output orphans the input tensor, so any other
+    # consumer (a parallel normalization/resize branch) would read a tensor
+    # no op produces.  Decline extraction instead.
+    if any(inp in op.inputs for op in graph.ops if op is not conv):
         return graph, None
     o = conv.options
     if (o.get("stride") != (2, 2) or o.get("padding") != "SAME"

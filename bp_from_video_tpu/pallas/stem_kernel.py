@@ -119,6 +119,10 @@ def stem_packed(crops_packed: Array, w: Array, b: Array,
     assert half == half2, crops_packed.shape
     k, k2, cin, cout = w.shape
     assert k == k2 and pc4 == 4 * cin, (w.shape, crops_packed.shape)
+    # _shifted only implements the unit shifts a 3x3/2 window needs on the
+    # 2x2-packed layout (sy, sx in {0, 1}); k >= 5 would need shift 2 and
+    # would come out silently wrong, so reject it here.
+    assert k <= 3, f"stem_packed supports k<=3 stems, got k={k}"
     if alpha is None:
         alpha = jnp.zeros((cout,), w.dtype)
     # Pre-flatten the HWIO weight to [cout, k*k*cin] on the host: taps in

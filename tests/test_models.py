@@ -295,3 +295,53 @@ def test_blaze_landmark_packed_stem_matches_plain():
         for a, b in zip(plain, packed):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="face assets absent")
+@pytest.mark.slow
+def test_exact_rotation_fallback_with_external_stem():
+    """exact_rotation=True bypasses the Pallas crop path, so the landmark
+    fallback receives a PLAIN [3,S,S] crop while the fused-stem compile
+    re-rooted the graph at the stem activations — the fallback must run the
+    externalized stem itself as an XLA conv (regression: it used to 2x2-
+    pack the crop and feed 12 channels into the 16-channel stem input)."""
+    base = dict(face_landmarker=True, hand_landmarker=False,
+                face_detector=False, person_segmenter=False,
+                exact_rotation=True, fused_trunk=False)
+    rng = np.random.RandomState(7)
+    crop = jnp.asarray(rng.randint(0, 255, (3, 256, 256)), jnp.float32)
+    rect = warp.Rect(jnp.float32(64.0), jnp.float32(48.0),
+                     jnp.float32(60.0), jnp.float32(60.0), jnp.float32(0.3))
+    outs = []
+    for stem in (True, False):
+        r = InferenceRunner(InferenceConfig(**base, use_pallas=stem,
+                                            fused_stem=stem),
+                            96, 128, asset_dir="/root/reference")
+        if stem:
+            assert r._stem_src.get("flm_lm", {}).get("kind") == "external"
+        pts, presence, _ = jax.jit(
+            lambda p, c, r=r: r._landmark_from_crop("flm_lm", p, c, rect))(
+            r.params["flm_lm"], crop)
+        outs.append(np.asarray(pts, np.float32))
+    np.testing.assert_allclose(outs[0], outs[1], atol=5e-2)
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="face assets absent")
+def test_fused_trunk_without_stem_compiles_plain():
+    """fused_trunk without fused_stem can never reach the fused-trunk
+    runtime path (_use_fused_trunk requires the fused stem), so the graph
+    must compile WITHOUT Pallas ops — running it on CPU here would fail to
+    lower them if any were present (regression: it used to compile
+    PALLAS_BN_CHAIN ops that then ran one-crop-at-a-time under vmap, the
+    regime measured 2-3x slower than plain XLA)."""
+    cfg = InferenceConfig(face_landmarker=True, hand_landmarker=False,
+                          face_detector=False, person_segmenter=False,
+                          use_pallas=True, fused_stem=False,
+                          fused_trunk=True, exact_rotation=True)
+    r = InferenceRunner(cfg, 64, 64, asset_dir="/root/reference")
+    assert not r._use_fused_trunk("flm_lm")
+    assert "flm_lm_batch" not in r._fns
+    state = r.init_state()
+    frame = jnp.zeros((64, 64, 3), jnp.uint8)
+    _, res = jax.jit(r.predict)(r.params, state, frame)
+    assert res.face_landmarker.points.shape == (1, 478, 2)

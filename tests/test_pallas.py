@@ -325,3 +325,13 @@ def test_fused_stem_composes_to_full_landmark_apply():
     for g, t in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(t),
                                    atol=2e-4, rtol=1e-4)
+
+
+def test_stem_packed_rejects_k5():
+    """_shifted only implements the unit shifts a 3x3/2 window needs on the
+    packed layout; a 5x5 stem must be rejected, not silently mis-shifted."""
+    import jax.numpy as jnp
+    from bp_from_video_tpu.pallas import stem_kernel as sk
+    with pytest.raises(AssertionError, match="k<=3"):
+        sk.stem_packed(jnp.zeros((1, 12, 16, 16)), jnp.zeros((5, 5, 3, 8)),
+                       jnp.zeros((8,)), interpret=True)

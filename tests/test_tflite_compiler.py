@@ -224,3 +224,42 @@ def test_external_stem_matches_full_graph():
     n0 = sum(a.size for a in _jax.tree.leaves(p0))
     n1 = sum(a.size for a in _jax.tree.leaves(p1))
     assert n1 <= n0 + 16 * 2  # alpha+bias added, conv weight removed
+
+
+def test_fuse_bottlenecks_rejects_bounded_add_activation():
+    """A bottleneck whose ADD carries a bounded fused activation (RELU6)
+    must stay UNFUSED: the Pallas kernel's epilogue has no clamp, so fusing
+    would silently unbound the activation (regression — it used to map
+    RELU6 to plain relu)."""
+    data = _models()["face_landmarks_detector.tflite"]
+    g = tc.parse_tflite(data)
+    base = tc.fuse_bottlenecks(g, min_hw=0)
+    adds_left = sum(op.opcode == "ADD" for op in base.ops)
+    fused_ids = {id(o) for o in base.ops}
+    victim = next(op for op in g.ops
+                  if op.opcode == "ADD" and id(op) not in fused_ids)
+    victim.options["activation"] = "RELU6"
+    try:
+        got = tc.fuse_bottlenecks(g, min_hw=0)
+        assert any(op is victim for op in got.ops)
+        assert sum(op.opcode == "ADD" for op in got.ops) == adds_left + 1
+    finally:
+        victim.options["activation"] = "NONE"
+
+
+def test_external_stem_declines_shared_input():
+    """When the image input feeds a second consumer besides the stem conv,
+    re-rooting the graph at the stem output would orphan that consumer's
+    input — extraction must decline, not produce a broken graph."""
+    data = _models()["face_landmarks_detector.tflite"]
+    g = tc.parse_tflite(data)
+    _, stem = tc._extract_stem(g)
+    assert stem is not None  # sanity: the unmodified mesh does extract
+    tensors = list(g.tensors)
+    tensors.append(tc.TensorInfo("extra", g.tensors[g.inputs[0]].shape,
+                                 np.float32, None, None))
+    extra = tc.OpNode("RELU", [g.inputs[0]], [len(tensors) - 1], {})
+    g3 = tc.Graph(tensors, list(g.ops) + [extra], list(g.inputs),
+                  list(g.outputs) + [len(tensors) - 1])
+    g4, stem4 = tc._extract_stem(g3)
+    assert stem4 is None and g4 is g3

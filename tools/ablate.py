@@ -58,6 +58,7 @@ def main():
     h, w = 480, 640
     dt = 1.0 / 30.0
     on_tpu = jax.default_backend() == "tpu"
+    preset = os.environ.get("ABL_PRESET") or None
     cfg = EngineConfig(frame_height=h, frame_width=w, num_streams=streams,
                        compute_dtype="bfloat16",
                        inference=InferenceConfig(
@@ -70,6 +71,12 @@ def main():
                                os.environ.get("BENCH_FTRUNK", "1"))),
                            fused_bn_min_hw=int(
                                os.environ.get("BENCH_BN_MINHW", "96"))))
+    if preset:
+        # Ablate one of the BASELINE preset configurations instead of the
+        # flagship (ABL_PRESET=segmenter_fir etc.; same construction as
+        # bench.py BENCH_ALL so compiles hit the same cache entries).
+        from bench import build_config
+        cfg, _ = build_config(preset, streams, h, w, on_tpu)
     ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
     eng = ms.engine
 
@@ -290,6 +297,65 @@ def main():
                 return shift + 0.1, sum(jnp.mean(o) for o in outs)
             scan_time("pallas crops only", step, jnp.float32(0.0), clip_len,
                       streams)
+
+        elif v == "noseg":
+            # Full step with the segmenter knocked out of the config (and
+            # with it the weighted-sampling path) — diff vs 'full' under
+            # ABL_PRESET=segmenter_fir attributes the segmenter's true
+            # in-context cost.
+            import dataclasses as dc
+            cfg2 = dc.replace(cfg, inference=dc.replace(
+                cfg.inference, person_segmenter=False))
+            ms2 = MultiStreamEngine(cfg2, asset_dir=_asset_dir())
+            st0 = ms2.init_states()
+
+            def step(carry, i):
+                st = carry
+                ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+                st2, out = ms2.engine.batch_step(
+                    ms2.params, EngineState(st.signals,
+                                            hold_tracking(st.track)),
+                    frames_at(i), ts)
+                return st2, out.bpm
+            scan_time("full, segmenter off", step, st0, clip_len, streams)
+
+        elif v == "segnet":
+            # Segmenter net alone at model resolution (no frame resize, no
+            # full-res upsample) — carry-varied inputs.
+            size = eng.runner._fns["seg_size"]
+
+            def step(carry, i):
+                x = carry
+                conf = jax.vmap(lambda xx: eng.runner._fns["seg"](
+                    ms.params["seg"], xx[None])[0])(x)
+                return (x + 0.001 * jnp.mean(conf).astype(x.dtype),
+                        jnp.mean(conf))
+            carry0 = jnp.zeros((streams, 3, size, size), jnp.bfloat16)
+            scan_time("segmenter net only", step, carry0, clip_len, streams)
+
+        elif v == "segfull":
+            # The whole per-frame segmenter stage as predict_batch runs it
+            # when only the skin channel is live (bench): full-frame resize
+            # -> net -> full-res ch3 upsample.
+            from bp_from_video_tpu.models import warp
+            size = eng.runner._fns["seg_size"]
+
+            def step(carry, i):
+                frames = frames_at(i)
+
+                def seg_one(fr):
+                    nh = jnp.transpose(fr, (1, 2, 0))
+                    small = warp.resize_bilinear(nh, size, size) / 255.0
+                    small = jnp.transpose(small, (2, 0, 1))[None]
+                    conf = eng.runner._fns["seg"](
+                        ms.params["seg"], small.astype(eng.runner.dtype))
+                    conf_full = warp.resize_bilinear(
+                        conf[0], h, w, dtype=jnp.bfloat16)
+                    return conf_full[..., 3].astype(jnp.float32)
+                wts = jax.vmap(seg_one)(frames)
+                return carry + 0.0 * jnp.mean(wts), jnp.mean(wts)
+            scan_time("seg resize+net+up ch3", step, jnp.float32(0.0),
+                      clip_len, streams)
 
         else:
             print(f"unknown variant {v}")
