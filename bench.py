@@ -87,9 +87,16 @@ def build_config(preset: str | None, streams: int, h: int, w: int,
     return cfg, "rppg_fused_throughput"
 
 
-def measure(cfg, metric: str, clip_len: int, reps: int) -> dict:
+def measure(cfg, metric: str, clip_len: int, reps: int,
+            render: bool = False) -> dict:
     """Compile the fused multi-stream step for ``cfg`` and measure
-    steady-state frames/sec/chip over ``reps`` scans of ``clip_len``."""
+    steady-state frames/sec/chip over ``reps`` scans of ``clip_len``.
+
+    ``render`` additionally rasterizes the per-stream display output inside
+    the timed step — overlay compose (boxes/points/ROIs/segmenter blend)
+    plus the 3-graph plot — so "with on-device overlays" claims are
+    measured, not assumed (full-image reductions keep the rasterization
+    live against XLA slicing/DCE)."""
     import jax
     import jax.numpy as jnp
     from bp_from_video_tpu.models.runner import TrackState
@@ -112,6 +119,11 @@ def measure(cfg, metric: str, clip_len: int, reps: int) -> dict:
     frame_buf = jax.jit(lambda k: jax.random.randint(
         k, (n_buf, streams, 3, h, w), 0, 256, jnp.uint8))(jax.random.key(7))
 
+    drawer = None
+    if render:
+        from bp_from_video_tpu.render.drawer import Drawer
+        drawer = Drawer(cfg, show=False)
+
     def body(carry, i):
         st, key = carry
         frames = jax.lax.dynamic_index_in_dim(
@@ -130,13 +142,20 @@ def measure(cfg, metric: str, clip_len: int, reps: int) -> dict:
                            & ~lost[:, None]))
         st, out = ms.engine.batch_step(ms.params, EngineState(st.signals, tr),
                                        frames, ts)
-        return (st, key), out.bpm
+        extra = jnp.float32(0.0)
+        if drawer is not None:
+            nhwc = jnp.transpose(frames, (0, 2, 3, 1))
+            fimg, pimg, packed = jax.vmap(drawer._compose_fn)(nhwc, out)
+            extra = (jnp.sum(fimg, dtype=jnp.float32)
+                     + jnp.sum(pimg, dtype=jnp.float32)
+                     + jnp.sum(jnp.nan_to_num(packed)))
+        return (st, key), (out.bpm, extra)
 
     @jax.jit
     def run(st, key, i0):
-        (st, key), bpm = jax.lax.scan(
+        (st, key), (bpm, extra) = jax.lax.scan(
             body, (st, key), i0 + jnp.arange(clip_len, dtype=jnp.float32))
-        return st, key, bpm
+        return st, key, (bpm, extra)
 
     state = ms.init_states()
     key = jax.random.key(0)
@@ -170,6 +189,11 @@ def _emit(result: dict) -> None:
 def main():
     quick = "--quick" in sys.argv
     import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        # CPU smoke-testing: the environment's sitecustomize pins
+        # jax_platforms to the remote TPU at interpreter start, overriding
+        # the JAX_PLATFORMS env var; an explicit config update wins.
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     _enable_compile_cache()
     on_tpu = jax.default_backend() == "tpu"
 
@@ -209,7 +233,8 @@ def main():
                 if live:
                     metric = "rppg_live_step_latency"
                 try:
-                    res = measure(cfg, metric, clip_len, reps)
+                    res = measure(cfg, metric, clip_len, reps,
+                                  render=(preset == "multistream"))
                     if live:
                         # Flagship step at batch 1 (SURVEY §7 "b=1 live"):
                         # on-device ms/frame amortized over the scan (the
@@ -244,7 +269,9 @@ def main():
 
     preset = os.environ.get("BENCH_PRESET") or None
     cfg, metric = build_config(preset, streams, h, w, on_tpu)
-    _emit(measure(cfg, metric, clip_len, reps))
+    _emit(measure(cfg, metric, clip_len, reps,
+                  render=(preset == "multistream"
+                          or bool(int(os.environ.get("BENCH_RENDER", "0"))))))
 
 
 if __name__ == "__main__":

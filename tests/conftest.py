@@ -1,9 +1,16 @@
 """Test harness: run everything on a virtual 8-device CPU platform
 (SURVEY.md §4: multi-chip without a cluster).
 
-The environment's 'axon' TPU plugin registers itself regardless of
-JAX_PLATFORMS, so setting the env var alone is not enough — we also pin
-jax's default device to CPU after import.
+Hermeticity (the hard-won part): the environment boots the remote-TPU
+'axon' PJRT plugin from a sitecustomize on PYTHONPATH in EVERY python
+process, and that boot calls ``jax.config.update("jax_platforms",
+"axon,cpu")`` at interpreter start — overriding any ``JAX_PLATFORMS``
+env var (env vars only seed the config default; an explicit update
+wins).  jax's first backend init then dials the TPU tunnel, which goes
+dark for stretches, hanging the whole suite before a single test runs.
+The fix is to update the config BACK to "cpu" here, before anything
+initializes a backend — env-var pinning alone demonstrably does not
+keep processes off the tunnel in this environment.
 """
 
 import os
@@ -12,9 +19,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 try:
     _cpu0 = jax.devices("cpu")[0]
@@ -26,7 +35,14 @@ except RuntimeError:  # pragma: no cover - no cpu platform
 # The cache is shared with the remote-TPU tunnel runs, whose XLA:CPU AOT
 # artifacts are compiled for a different host machine type; loading them
 # (cpu_aot_loader "machine feature" warnings) produced wrong numerics in
-# sharded tests.  CPU test compiles are cheap enough without it.
+# sharded tests.  Tests get their OWN cache dir instead (only ever written
+# by this conftest's platform/flags, so the poisoning class above cannot
+# occur): the suite is compile-dominated on this 1-CPU box, and repeat runs
+# are the iteration loop.
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_tests_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def cpu_devices(n: int = 8):

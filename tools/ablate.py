@@ -162,8 +162,10 @@ def main():
             def step(carry, i):
                 signals = carry
                 ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+                # signal_step is the single-stream API: NHWC frames.
+                nhwc = jnp.transpose(frames_at(i), (0, 2, 3, 1))
                 signals2, out = jax.vmap(eng.signal_step)(
-                    signals, models0, frames_at(i), ts)
+                    signals, models0, nhwc, ts)
                 return signals2, out.bpm
             scan_time("signal path only", step, state0.signals, clip_len,
                       streams)

@@ -68,6 +68,9 @@ def unrotate_points(pts: np.ndarray, theta_deg: float, cx=128.0, cy=128.0
 def run_sweep(thetas=(0, 5, 10, 15, 20, 25, 30)):
     import jax
     import jax.numpy as jnp
+    # The env's sitecustomize force-selects the remote-TPU platform via a
+    # config update at interpreter start (beats JAX_PLATFORMS); pin back.
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
     from bp_from_video_tpu.config import InferenceConfig, RunningMode
     from bp_from_video_tpu.models.runner import InferenceRunner
