@@ -1,0 +1,76 @@
+"""Vision-IN-the-loop HR accuracy: full fused engine step with REAL face
+weights (BlazeFace detector + face-mesh landmarker from the reference's
+asset bundle) on a synthetic pulsing face video, recovered heart rate
+checked against the synthetic ground truth.
+
+This closes the parity-evidence gap VERDICT.md (round 1) called out: the
+DSP path was oracle-verified with *injected* detections (test_engine.py),
+but nothing exercised detection -> tracking -> crop -> landmark ->
+ROI-sampling -> DSP end-to-end with real weights against a known answer.
+Reference contract being matched: bp.py:21-30 (the whole per-frame loop)
+with inference_runner.py VIDEO-mode tracking semantics
+(inference_runner.py:97-102).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bp_from_video_tpu.config import (EngineConfig, InferenceConfig,
+                                      SignalConfig, FACE_FOREHEAD_CONFIG)
+from bp_from_video_tpu.runtime.engine import Engine
+
+from tools.rotsweep import synth_face
+
+HAVE_ASSETS = os.path.exists("/root/reference/models/face_landmarker.task")
+
+HR_HZ = 1.3      # ground truth: 78 BPM
+FS = 30.0
+
+
+def pulsing_face(base: np.ndarray, mask: np.ndarray, t: float) -> np.ndarray:
+    """Green channel of the facial skin modulated at HR_HZ (classic rPPG
+    signal model); amplitude small enough not to disturb detection."""
+    frame = base.copy()
+    g = frame[..., 1].astype(np.int16)
+    g[mask] += np.int16(round(9 * np.sin(2 * np.pi * HR_HZ * t)))
+    frame[..., 1] = np.clip(g, 0, 255).astype(np.uint8)
+    return frame
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="face assets absent")
+@pytest.mark.slow
+def test_real_weight_vision_loop_recovers_hr():
+    cfg = EngineConfig(
+        frame_height=256, frame_width=256,
+        signal=SignalConfig(roi_configs=(FACE_FOREHEAD_CONFIG,),
+                            signal_max_samples=128, peak_max_samples=16),
+        inference=InferenceConfig(hand_landmarker=False))
+    eng = Engine(cfg, asset_dir="/root/reference")
+    step = jax.jit(eng.step)
+
+    base = synth_face()
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+    skin = ((xx - 128) / 60.0) ** 2 + ((yy - 128) / 80.0) ** 2 <= 1.0
+
+    state = eng.init_state()
+    out = None
+    for i in range(140):
+        t = (i + 1) / FS
+        frame = pulsing_face(base, skin, t)
+        state, out = step(eng.params, state, jnp.asarray(frame),
+                          jnp.float32(t))
+
+    # The real detector found and tracked the synthetic face...
+    assert int(out.models.face_landmarker.count) == 1
+    # ...the forehead ROI sampled real pixels (ring filled, no NaN tail)...
+    raw = np.asarray(out.raw_y[0], np.float64)
+    assert np.isfinite(raw).all()
+    # ...and the recovered HR matches the synthetic ground truth.  Gate is
+    # the reference's own ±1 BPM acceptance reading plus headroom for
+    # landmark jitter moving the ROI a few pixels frame to frame.
+    bpm = float(np.asarray(out.bpm)[0])
+    assert abs(bpm - HR_HZ * 60) <= 3.0, bpm
