@@ -74,3 +74,46 @@ def test_real_weight_vision_loop_recovers_hr():
     # landmark jitter moving the ROI a few pixels frame to frame.
     bpm = float(np.asarray(out.bpm)[0])
     assert abs(bpm - HR_HZ * 60) <= 3.0, bpm
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="face assets absent")
+@pytest.mark.slow
+def test_real_weight_vision_loop_tracks_moving_face():
+    """Same loop with the subject drifting around the frame: VIDEO-mode
+    tracked crops must follow the face (reference
+    inference_runner.py:97-102 re-detects only on tracking loss) and the
+    HR estimate must survive the ROI moving with it."""
+    from tools.rotsweep import synth_face as face_at
+
+    cfg = EngineConfig(
+        frame_height=256, frame_width=256,
+        signal=SignalConfig(roi_configs=(FACE_FOREHEAD_CONFIG,),
+                            signal_max_samples=128, peak_max_samples=16),
+        inference=InferenceConfig(hand_landmarker=False))
+    eng = Engine(cfg, asset_dir="/root/reference")
+    step = jax.jit(eng.step)
+
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+    state = eng.init_state()
+    out = None
+    tracked = 0
+    n_frames = 140
+    for i in range(n_frames):
+        t = (i + 1) / FS
+        # ~0.5 px/frame orbital drift, +-16 px around center.
+        cx = 128 + 16 * np.sin(2 * np.pi * 0.08 * t)
+        cy = 128 + 12 * np.cos(2 * np.pi * 0.08 * t)
+        base = face_at(cx=cx, cy=cy)
+        skin = ((xx - cx) / 60.0) ** 2 + ((yy - cy) / 80.0) ** 2 <= 1.0
+        frame = pulsing_face(base, skin, t)
+        state, out = step(eng.params, state, jnp.asarray(frame),
+                          jnp.float32(t))
+        tracked += int(out.models.face_landmarker.count) == 1
+
+    assert tracked >= n_frames - 5, tracked  # at most the acquisition frames
+    # Landmarks actually followed the subject to its final position.
+    pts = np.asarray(out.models.face_landmarker.points[0], np.float64)
+    cx_est, cy_est = pts[:, 0].mean(), pts[:, 1].mean()
+    assert abs(cx_est - cx) < 25 and abs(cy_est - cy) < 25, (cx_est, cy_est)
+    bpm = float(np.asarray(out.bpm)[0])
+    assert abs(bpm - HR_HZ * 60) <= 4.0, bpm
