@@ -49,11 +49,19 @@ def _asset_dir():
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: compile once per shape, reuse across
-    processes (the remote-TPU tunnel makes fresh compiles minutes-long)."""
+    processes (the remote-TPU tunnel makes fresh compiles minutes-long).
+
+    CPU smoke runs (``BENCH_PLATFORM`` cpu-like) get their OWN cache dir:
+    the shared ``.jax_cache`` holds XLA:CPU AOT artifacts the tunnel
+    compiled for a different host machine type, and loading those locally
+    produced silently wrong numerics (tests/conftest.py documents the same
+    poisoning class)."""
     import jax
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           os.path.join(os.path.dirname(
-                               os.path.abspath(__file__)), ".jax_cache"))
+    default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".jax_cache_bench_cpu"
+                           if "cpu" in os.environ.get("BENCH_PLATFORM", "")
+                           else ".jax_cache")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -188,6 +196,19 @@ def _emit(result: dict) -> None:
 
 def main():
     quick = "--quick" in sys.argv
+    if not os.environ.get("BENCH_PLATFORM"):
+        # TPU run: the tunnel goes dark for stretches, and a dark tunnel
+        # hangs backend init forever.  Probe it (subprocess, bounded,
+        # retried — see utils/tunnel.py) BEFORE initializing, so the
+        # bench either runs for real after a recovery or fails honestly
+        # instead of wedging until an external timeout.
+        from bp_from_video_tpu.utils.tunnel import wait_for_tpu
+        if not wait_for_tpu():
+            print("bench.py: remote-TPU tunnel unreachable within "
+                  "BPTPU_TUNNEL_WAIT; refusing to emit a number "
+                  "(set BENCH_PLATFORM=cpu for a CPU smoke run)",
+                  file=sys.stderr, flush=True)
+            sys.exit(3)
     import jax
     if os.environ.get("BENCH_PLATFORM"):
         # CPU smoke-testing: the environment's sitecustomize pins
