@@ -96,7 +96,7 @@ def build_config(preset: str | None, streams: int, h: int, w: int,
 
 
 def measure(cfg, metric: str, clip_len: int, reps: int,
-            render: bool = False) -> dict:
+            render: bool = False, lost: int | None = None) -> dict:
     """Compile the fused multi-stream step for ``cfg`` and measure
     steady-state frames/sec/chip over ``reps`` scans of ``clip_len``.
 
@@ -143,11 +143,13 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
         # the mixed-tracking operating point (bounded re-detection
         # sub-batch; VERDICT.md Weak #4 cost claim).
         tr = st.track
-        lost = jnp.arange(streams) < int(os.environ.get("BENCH_LOST", "0"))
+        n_lost = (int(os.environ.get("BENCH_LOST", "0"))
+                  if lost is None else lost)
+        lost_m = jnp.arange(streams) < n_lost
         tr = tr._replace(
-            face_tracking=jnp.ones_like(tr.face_tracking) & ~lost,
+            face_tracking=jnp.ones_like(tr.face_tracking) & ~lost_m,
             hand_tracking=(jnp.ones_like(tr.hand_tracking)
-                           & ~lost[:, None]))
+                           & ~lost_m[:, None]))
         st, out = ms.engine.batch_step(ms.params, EngineState(st.signals, tr),
                                        frames, ts)
         extra = jnp.float32(0.0)
@@ -234,6 +236,7 @@ def main():
                  for p in ("butter_welch_face", "dual_roi_ls",
                            "segmenter_fir", "ptt_filtered", "multistream")]
         specs.append(("live", 1))
+        specs.append(("lost1", streams))
         specs.append((None, streams))
         results = []
         for preset, s in specs:
@@ -246,16 +249,24 @@ def main():
             # and the JSON records the streams actually used.
             res = None
             live = preset == "live"
+            lost1 = preset == "lost1"
             for attempt, s_try in enumerate((s, s, max(s // 2, 8),
                                              max(s // 4, 8)) if not live
                                             else (1, 1)):
-                cfg, metric = build_config(None if live else preset, s_try,
-                                           h, w, on_tpu)
+                cfg, metric = build_config(
+                    None if (live or lost1) else preset, s_try, h, w, on_tpu)
                 if live:
                     metric = "rppg_live_step_latency"
+                elif lost1:
+                    # Mixed-tracking operating point: 1 of S streams loses
+                    # tracking every step, so the bounded re-detection
+                    # sub-batch runs alongside steady tracking (the
+                    # "1-of-64 lost track costs <15%" claim, VERDICT Weak #4).
+                    metric = "rppg_fused_throughput_lost1"
                 try:
                     res = measure(cfg, metric, clip_len, reps,
-                                  render=(preset == "multistream"))
+                                  render=(preset == "multistream"),
+                                  lost=1 if lost1 else None)
                     if live:
                         # Flagship step at batch 1 (SURVEY §7 "b=1 live"):
                         # on-device ms/frame amortized over the scan (the
