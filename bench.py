@@ -31,6 +31,7 @@ README prose (VERDICT.md Weak #6).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import sys
@@ -132,7 +133,7 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
         from bp_from_video_tpu.render.drawer import Drawer
         drawer = Drawer(cfg, show=False)
 
-    def body(carry, i):
+    def body(params, frame_buf, carry, i):
         st, key = carry
         frames = jax.lax.dynamic_index_in_dim(
             frame_buf, jnp.mod(i.astype(jnp.int32), n_buf), keepdims=False)
@@ -150,7 +151,7 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
             face_tracking=jnp.ones_like(tr.face_tracking) & ~lost_m,
             hand_tracking=(jnp.ones_like(tr.hand_tracking)
                            & ~lost_m[:, None]))
-        st, out = ms.engine.batch_step(ms.params, EngineState(st.signals, tr),
+        st, out = ms.engine.batch_step(params, EngineState(st.signals, tr),
                                        frames, ts)
         extra = jnp.float32(0.0)
         if drawer is not None:
@@ -161,21 +162,29 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
                      + jnp.sum(jnp.nan_to_num(packed)))
         return (st, key), (out.bpm, extra)
 
+    # params and frame_buf are explicit jit ARGUMENTS, not closure
+    # captures: captured arrays travel with the remote-compile request
+    # through the tunnel (frame_buf alone is ~59 MB at 64 streams — the
+    # likely source of the HTTP 413 size ceiling above S=64), while
+    # argument shapes cost nothing.
     @jax.jit
-    def run(st, key, i0):
+    def run(params, frame_buf, st, key, i0):
         (st, key), (bpm, extra) = jax.lax.scan(
-            body, (st, key), i0 + jnp.arange(clip_len, dtype=jnp.float32))
+            functools.partial(body, params, frame_buf), (st, key),
+            i0 + jnp.arange(clip_len, dtype=jnp.float32))
         return st, key, (bpm, extra)
 
     state = ms.init_states()
     key = jax.random.key(0)
-    state, key, _ = run(state, key, jnp.float32(0.0))  # warmup/compile
+    state, key, _ = run(ms.params, frame_buf, state, key,
+                        jnp.float32(0.0))  # warmup/compile
     jax.block_until_ready(state)
 
     best = 0.0
     for r in range(reps):
         t0 = time.perf_counter()
-        state, key, bpm = run(state, key, jnp.float32((r + 1) * clip_len))
+        state, key, bpm = run(ms.params, frame_buf, state, key,
+                              jnp.float32((r + 1) * clip_len))
         jax.block_until_ready(bpm)
         elapsed = time.perf_counter() - t0
         best = max(best, (clip_len * streams) / elapsed)
