@@ -58,10 +58,14 @@ def _enable_compile_cache():
     produced silently wrong numerics (tests/conftest.py documents the same
     poisoning class)."""
     import jax
-    default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".jax_cache_bench_cpu"
-                           if "cpu" in os.environ.get("BENCH_PLATFORM", "")
-                           else ".jax_cache")
+    here = os.path.dirname(os.path.abspath(__file__))
+    if "cpu" in os.environ.get("BENCH_PLATFORM", ""):
+        # Host-keyed: XLA:CPU AOT artifacts from a different machine load
+        # with only a warning and run wrong (utils/hostcache.py).
+        from bp_from_video_tpu.utils.hostcache import scoped_cpu_cache_dir
+        default = scoped_cpu_cache_dir(here, ".jax_cache_bench_cpu")
+    else:
+        default = os.path.join(here, ".jax_cache")
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -300,8 +304,13 @@ def main():
                 continue
             _emit(res)
             results.append(res)
+        # BENCH_PRESETS.json is the machine-captured TPU artifact that backs
+        # BASELINE.md's headline table; a CPU smoke run must never clobber it
+        # (that happened once — the artifact silently became a 10 fps CPU
+        # table while BASELINE.md still cited the 10k fps numbers).
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_PRESETS.json")
+                           "BENCH_PRESETS.json" if on_tpu
+                           else "BENCH_PRESETS_cpu.json")
         with open(out, "w") as f:
             json.dump({"hardware": jax.devices()[0].device_kind,
                        "backend": jax.default_backend(),

@@ -35,11 +35,17 @@ except RuntimeError:  # pragma: no cover - no cpu platform
 # The cache is shared with the remote-TPU tunnel runs, whose XLA:CPU AOT
 # artifacts are compiled for a different host machine type; loading them
 # (cpu_aot_loader "machine feature" warnings) produced wrong numerics in
-# sharded tests.  Tests get their OWN cache dir instead (only ever written
-# by this conftest's platform/flags, so the poisoning class above cannot
-# occur): the suite is compile-dominated on this 1-CPU box, and repeat runs
-# are the iteration loop.
-_cache = os.path.join(os.path.dirname(os.path.dirname(
+# sharded tests.  Tests get their OWN cache dir instead, further keyed by
+# the host's CPU feature hash (the working tree migrates between machines,
+# and XLA's AOT loader runs foreign-machine code after only a warning):
+# the suite is compile-dominated on this 1-CPU box, and repeat runs are
+# the iteration loop.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bp_from_video_tpu.utils.hostcache import scoped_cpu_cache_dir  # noqa: E402
+
+_cache = scoped_cpu_cache_dir(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache_tests_cpu")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
