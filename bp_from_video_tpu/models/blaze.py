@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bp_from_video_tpu.models import warp
+
 Array = jax.Array
 
 
@@ -265,10 +267,13 @@ def segmenter_apply(p: dict, x: Array, input_size: int) -> Array:
     y = _blaze_block(p["b1"], y, stride=2)           # /4
     y = _blaze_block(p["b2"], y, stride=2)           # /8
     y = _blaze_block(p["b3"], y)
-    y = jax.image.resize(y, (1, y.shape[1], s // 4, s // 4), "bilinear")
+    # Decoder upsamples as MXU interpolation matmuls (jax.image.resize is
+    # gather-based — element-serial on TPU — and dominated this net's
+    # in-context cost, not the convs).
+    y = warp.resize_bilinear_planar(y, s // 4, s // 4)
     y = jax.nn.relu(_conv(p["up1"], y))
-    y = jax.image.resize(y, (1, y.shape[1], s // 2, s // 2), "bilinear")
+    y = warp.resize_bilinear_planar(y, s // 2, s // 2)
     y = jax.nn.relu(_conv(p["up2"], y))
-    y = jax.image.resize(y, (1, y.shape[1], s, s), "bilinear")
+    y = warp.resize_bilinear_planar(y, s, s)
     return jax.nn.softmax(jnp.transpose(_conv(p["head"], y), (0, 2, 3, 1)),
                           axis=-1)

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bp_from_video_tpu.models import warp
+
 Array = jax.Array
 
 # Lazy import: tensorflow is only needed at model-load time, never inside
@@ -1287,9 +1289,12 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                 if name == "RESIZE_NEAREST_NEIGHBOR":
                     put(outs[0], jax.image.resize(x, shape, "nearest"), planar)
                 elif o["half_pixel_centers"]:
-                    put(outs[0],
-                        jax.image.resize(x, shape, "bilinear").astype(dtype),
-                        planar)
+                    # MXU interpolation matmuls, not jax.image.resize:
+                    # gathers are element-serial on TPU, and jax.image
+                    # antialias-filters downscales where TFLite does not.
+                    resized = (warp.resize_bilinear_planar(x, *hw) if planar
+                               else warp.resize_bilinear_nhwc(x, *hw))
+                    put(outs[0], resized.astype(dtype), planar)
                 else:
                     # align_corners / asymmetric bilinear via explicit gather.
                     put(outs[0], _resize_bilinear_legacy(

@@ -226,6 +226,51 @@ def resize_bilinear(image: Array, out_h: int, out_w: int,
     return resample_separable(image, ys, xs, dtype=dtype, mode="edge")
 
 
+def resize_bilinear_planar(x: Array, out_h: int, out_w: int,
+                           dtype=None) -> Array:
+    """Half-pixel bilinear resize over the LAST TWO axes ([..., H, W] —
+    the planar activation layout) as two MXU matmuls.
+
+    ``jax.image.resize(..., "bilinear")`` lowers to gathers, which are
+    element-serial on TPU; the triangular-kernel interpolation matrices
+    keep the resize on the MXU (same formulation as resample_separable)
+    and match TFLite's RESIZE_BILINEAR half-pixel semantics exactly —
+    including on DOWNSCALE, where jax.image.resize antialias-filters and
+    TFLite does not.  Accumulates f32, returns ``x.dtype``."""
+    h, w = x.shape[-2], x.shape[-1]
+    if dtype is None:
+        dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) \
+            else jnp.float32
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
+    wy = interp_matrix(ys, h, "edge").astype(dtype)   # [oh, H]
+    wx = interp_matrix(xs, w, "edge").astype(dtype)   # [ow, W]
+    t = jnp.einsum("...hw,oh->...ow", x.astype(dtype), wy,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    out = jnp.einsum("...hw,pw->...hp", t, wx,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
+def resize_bilinear_nhwc(x: Array, out_h: int, out_w: int,
+                         dtype=None) -> Array:
+    """resize_bilinear_planar for NHWC batches ([B, H, W, C]) — interior
+    axes resampled by the same MXU interpolation matmuls, no transpose."""
+    h, w = x.shape[1], x.shape[2]
+    if dtype is None:
+        dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) \
+            else jnp.float32
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
+    wy = interp_matrix(ys, h, "edge").astype(dtype)   # [oh, H]
+    wx = interp_matrix(xs, w, "edge").astype(dtype)   # [ow, W]
+    t = jnp.einsum("bhwc,oh->bowc", x.astype(dtype), wy,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    out = jnp.einsum("bhwc,pw->bhpc", t, wx,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
 def unletterbox_points(pts_norm: Array, lb: Letterbox, out_size: int) -> Array:
     """Map detector outputs (normalized letterbox coords) to frame pixels."""
     x = (pts_norm[..., 0] * out_size - lb.pad_x) * lb.scale

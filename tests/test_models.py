@@ -345,3 +345,20 @@ def test_fused_trunk_without_stem_compiles_plain():
     frame = jnp.zeros((64, 64, 3), jnp.uint8)
     _, res = jax.jit(r.predict)(r.params, state, frame)
     assert res.face_landmarker.points.shape == (1, 478, 2)
+
+
+def test_resize_bilinear_planar_matches_jax_image_on_upsample():
+    """The MXU-matmul resize equals jax.image.resize 'bilinear' wherever
+    the latter is unfiltered (upsampling); used by the segmenter decoder
+    and the compiler's RESIZE_BILINEAR lowering."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 5, 12, 16)).astype(np.float32))
+    got = warp.resize_bilinear_planar(x, 31, 40)
+    want = jax.image.resize(x, (2, 5, 31, 40), "bilinear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    nhwc = jnp.transpose(x[0], (1, 2, 0))[None]
+    got2 = warp.resize_bilinear_nhwc(nhwc, 31, 40)
+    want2 = jax.image.resize(nhwc, (1, 31, 40, 5), "bilinear")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=1e-5)

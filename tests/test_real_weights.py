@@ -163,3 +163,28 @@ def test_segmenter_real_blob_contract(seg_tflite):
     # bf16 upsample path: ~1e-2 mask-grade tolerance.
     np.testing.assert_allclose(got.mean(axis=(1, 2)), want, atol=1e-2)
     assert res.seg_conf.shape == (6, 64, 64)
+
+
+def test_resize_bilinear_compiles_to_interpreter_parity():
+    """RESIZE_BILINEAR (half-pixel, up AND down) lowers to MXU
+    interpolation matmuls (warp.resize_bilinear_planar/_nhwc), which must
+    match the TFLite interpreter's semantics — including the no-antialias
+    downscale jax.image.resize gets wrong."""
+    from bp_from_video_tpu.models import tflite_compiler as tc
+    from tests.test_tflite_compiler import tflite_reference
+
+    data = fx.build_resize_net()
+    rng = np.random.RandomState(11)
+    x = rng.uniform(-1, 1, (1, 16, 20, 3)).astype(np.float32)
+    want = tflite_reference(data, [x])[0]
+
+    fn, params = tc.compile_tflite(data)                      # NHWC
+    got = np.asarray(fn(params, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    fnp, pp = tc.compile_tflite(data, layout="NCHW", planar_inputs=True)
+    xp = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+    got_p = np.asarray(fnp(pp, xp)[0])
+    if got_p.shape != want.shape:                             # planar out
+        got_p = np.transpose(got_p, (0, 2, 3, 1))
+    np.testing.assert_allclose(got_p, want, atol=2e-5)

@@ -117,6 +117,28 @@ def build_hand_task_bundle(palm_name="palm_detection.tflite",
     return buf.getvalue()
 
 
+def build_resize_net() -> bytes:
+    """Input-DEPENDENT net exercising RESIZE_BILINEAR (half-pixel) both up
+    and down: [1,16,20,3] -> conv -> up [40,52] -> down [9,11].  Locks the
+    compiler's MXU interpolation-matmul resize against the TFLite
+    interpreter's gather/filter semantics (incl. no-antialias downscale)."""
+    import tensorflow as tf
+
+    rng = np.random.RandomState(3)
+    k = tf.constant(rng.uniform(-0.5, 0.5, (3, 3, 3, 4)).astype(np.float32))
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, 16, 20, 3], tf.float32)])
+        def __call__(self, x):
+            y = tf.nn.relu(tf.nn.conv2d(x, k, 1, "SAME"))
+            up = tf.image.resize(y, [40, 52], "bilinear")
+            return tf.image.resize(up, [9, 11], "bilinear")
+
+    m = M()
+    return _convert(m, m.__call__)
+
+
 def build_segmenter() -> bytes:
     import tensorflow as tf
 
