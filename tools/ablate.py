@@ -359,6 +359,34 @@ def main():
             scan_time("seg resize+net+up ch3", step, jnp.float32(0.0),
                       clip_len, streams)
 
+        elif v == "segpost":
+            # The PRODUCTION segmenter stage exactly as predict_batch runs
+            # it: resize -> net -> SIX-channel full-res upsample -> full-res
+            # argmax (runner.py seg_one).  Diff vs 'segfull' (ch3-only)
+            # prices the 5 extra upsampled channels + the argmax — the
+            # candidate "skin-only outputs" optimization.
+            from bp_from_video_tpu.models import warp
+            size = eng.runner._fns["seg_size"]
+
+            def step(carry, i):
+                frames = frames_at(i)
+
+                def seg_one(fr):
+                    nh = jnp.transpose(fr, (1, 2, 0))
+                    small = warp.resize_bilinear(nh, size, size) / 255.0
+                    small = jnp.transpose(small, (2, 0, 1))[None]
+                    conf = eng.runner._fns["seg"](
+                        ms.params["seg"], small.astype(eng.runner.dtype))
+                    conf_full = warp.resize_bilinear(
+                        conf[0], h, w, dtype=jnp.bfloat16).astype(jnp.float32)
+                    return (jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
+                            conf_full[..., 3])
+                cls, wts = jax.vmap(seg_one)(frames)
+                return (carry + 0.0 * jnp.mean(wts),
+                        jnp.mean(wts) + jnp.sum(cls).astype(jnp.float32))
+            scan_time("seg full post (6ch+argmax)", step, jnp.float32(0.0),
+                      clip_len, streams)
+
         else:
             print(f"unknown variant {v}")
 
