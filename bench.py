@@ -86,7 +86,11 @@ def build_config(preset: str | None, streams: int, h: int, w: int,
         # BENCH_FTRUNK=0 reverts to the plain XLA conv pipeline.
         fused_stem=on_tpu and bool(int(os.environ.get("BENCH_FSTEM", os.environ.get("BENCH_FTRUNK", "1")))),
         fused_trunk=on_tpu and bool(int(os.environ.get("BENCH_FTRUNK", "1"))),
-        fused_bn_min_hw=int(os.environ.get("BENCH_BN_MINHW", "96")))
+        fused_bn_min_hw=int(os.environ.get("BENCH_BN_MINHW", "96")),
+        # BENCH_SEGSKIN=1: segmenter emits only the face-skin mask (the
+        # channel the pipeline consumes) instead of all 6 full-res masks
+        # + full-res argmax (config.InferenceConfig.seg_full_masks).
+        seg_full_masks=not bool(int(os.environ.get("BENCH_SEGSKIN", "0"))))
     if preset:
         base = preset_configs()[preset]
         cfg = dataclasses.replace(

@@ -179,6 +179,16 @@ class InferenceConfig:
     max_faces: int = 1
     max_hands: int = 2
 
+    # True (reference parity): the segmenter emits all 6 confidence masks
+    # upsampled to frame resolution plus the full-res argmax category mask
+    # (reference inference_runner.py:164-165 materializes both every
+    # frame).  False (TPU operating point): only the face-skin channel —
+    # the one mask the live pipeline consumes (drawer blend, drawer.py:99;
+    # skin-weighted ROI sampling) — is upsampled; ``seg_conf`` is [1, H, W]
+    # and ``seg_class`` is the MODEL-resolution argmax.  Saves 5 full-res
+    # channel upsamples + a full-res 6-way argmax per stream per frame.
+    seg_full_masks: bool = True
+
     # Bounded re-detection sub-batch for VIDEO-mode stream batches: when
     # only k of S streams lost tracking, run the detectors on (up to) this
     # many compacted streams instead of all S (one stream of 64 losing its

@@ -44,7 +44,18 @@ NUM_FACE_DET_KPS = 6
 NUM_PALM_KPS = 7
 MAX_FACE_DETS = 4
 SEG_CLASSES = 6
+# Selfie-multiclass class index the live pipeline consumes: face-skin
+# (reference drawer.py:99 blends confidence_masks[3] into the frame).
+SEG_SKIN_CLASS = 3
 PRESENCE_THRESHOLD = 0.5
+
+
+def skin_confidence(seg_conf):
+    """The face-skin confidence mask from ``seg_conf`` in either layout:
+    [..., 6, H, W] (seg_full_masks=True) or [..., 1, H, W] (skin-only
+    operating point).  Works batched and solo."""
+    c = seg_conf.shape[-3]
+    return seg_conf[..., min(SEG_SKIN_CLASS, c - 1), :, :]
 
 # Tracking-rect anchor landmarks: face = outer eye corners, hand = wrist ->
 # middle-finger MCP (the MediaPipe landmarks-to-ROI conventions).
@@ -988,13 +999,24 @@ class InferenceRunner:
                 small = jnp.transpose(small, (2, 0, 1))[None]  # planar
                 conf = self._fns["seg"](params["seg"],
                                         small.astype(self.dtype))
-                # Mask-grade data: upsample the 6 confidence channels in
-                # bf16 (halves the full-res traffic), emit f32.
-                conf_full = warp.resize_bilinear(
-                    conf[0], self.h, self.w,
+                if self.cfg.seg_full_masks:
+                    # Reference parity: all 6 confidence channels + argmax
+                    # at frame resolution (inference_runner.py:164-165).
+                    # Mask-grade data: upsample in bf16 (halves the
+                    # full-res traffic), emit f32.
+                    conf_full = warp.resize_bilinear(
+                        conf[0], self.h, self.w,
+                        dtype=jnp.bfloat16).astype(jnp.float32)
+                    return (jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
+                            jnp.transpose(conf_full, (2, 0, 1)))
+                # Skin-only operating point: upsample the one channel the
+                # pipeline consumes; category mask stays at model res.
+                sk = SEG_SKIN_CLASS
+                skin_full = warp.resize_bilinear(
+                    conf[0][..., sk:sk + 1], self.h, self.w,
                     dtype=jnp.bfloat16).astype(jnp.float32)
-                return (jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
-                        jnp.transpose(conf_full, (2, 0, 1)))
+                cls_small = jnp.argmax(conf[0], axis=-1).astype(jnp.int32)
+                return cls_small, jnp.transpose(skin_full, (2, 0, 1))
             seg_class, seg_conf = jax.vmap(seg_one)(as_nhwc())
             res = res._replace(seg_class=seg_class, seg_conf=seg_conf,
                                seg_valid=jnp.ones((s,), bool))

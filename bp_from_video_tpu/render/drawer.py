@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bp_from_video_tpu.config import EngineConfig, ModelType
+from bp_from_video_tpu.models import runner as runner_mod
 from bp_from_video_tpu.render import colors as C
 from bp_from_video_tpu.render import overlay, plotter
 from bp_from_video_tpu.runtime.engine import StepOutputs
@@ -60,7 +61,8 @@ class Drawer:
             d = out.models.hand_landmarker
             layers.append((d.bbox, d.points,
                            C.MODEL_COLORMAP[ModelType.HAND_LANDMARKER]))
-        seg = out.models.seg_conf[3] if cfg.inference.person_segmenter else None
+        seg = (runner_mod.skin_confidence(out.models.seg_conf)
+               if cfg.inference.person_segmenter else None)
         frame_img = overlay.compose_overlay(
             frame_rgb, layers, out.rois, self.sig_colors, seg,
             self.draw_cfg.alpha)

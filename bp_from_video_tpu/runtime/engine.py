@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from bp_from_video_tpu.config import EngineConfig, ModelType
+from bp_from_video_tpu.models import runner as runner_mod
 from bp_from_video_tpu.models.runner import InferenceRunner, ModelResults, TrackState
 from bp_from_video_tpu.ops import chain, correlate, roi as roi_ops, spectrum
 from bp_from_video_tpu.ops import signal as sig
@@ -152,7 +153,7 @@ class Engine:
         # segmenter runs (skin-confidence mask, drawer.py:99's channel 3).
         weights = None
         if self.config.inference.person_segmenter:
-            weights = models.seg_conf[3]
+            weights = runner_mod.skin_confidence(models.seg_conf)
         samples = roi_ops.sample_rois(frame_rgb, rois, cfg.color_channel,
                                       weights)
         return self.signal_post(st, roi_x, roi_y, rois, models, samples,
@@ -255,7 +256,7 @@ class Engine:
                                                       timestamps)
         weights = None
         if self.config.inference.person_segmenter:
-            weights = models.seg_conf[:, 3]
+            weights = runner_mod.skin_confidence(models.seg_conf)
         samples = roi_ops.sample_rois_batch(
             frames_rgb, rois, self.config.signal.color_channel, weights,
             use_pallas=self.config.inference.use_pallas)

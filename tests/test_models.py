@@ -362,3 +362,35 @@ def test_resize_bilinear_planar_matches_jax_image_on_upsample():
     want2 = jax.image.resize(nhwc, (1, 31, 40, 5), "bilinear")
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                atol=1e-5)
+
+
+def test_seg_skin_only_matches_full_masks():
+    """seg_full_masks=False (skin-only operating point) must produce the
+    same face-skin confidence the full-masks path yields at channel 3 —
+    the only mask the live pipeline consumes (engine weighted sampling,
+    drawer blend)."""
+    import dataclasses
+
+    from bp_from_video_tpu.models.runner import skin_confidence
+
+    base = InferenceConfig(
+        face_detector=False, face_landmarker=False, hand_landmarker=False,
+        person_segmenter=True, person_segmenter_path=None)
+    rng = np.random.default_rng(4)
+    frame = jnp.asarray(rng.integers(0, 256, (48, 64, 3), np.uint8))
+
+    outs = {}
+    for full in (True, False):
+        cfg = dataclasses.replace(base, seg_full_masks=full)
+        r = InferenceRunner(cfg, 48, 64)
+        _, res = jax.jit(r.predict)(r.params, r.init_state(), frame)
+        outs[full] = res
+
+    assert outs[True].seg_conf.shape == (6, 48, 64)
+    assert outs[True].seg_class.shape == (48, 64)
+    assert outs[False].seg_conf.shape == (1, 48, 64)
+    # Category mask stays at model resolution on the skin-only path.
+    assert outs[False].seg_class.shape[0] == outs[False].seg_class.shape[1]
+    np.testing.assert_allclose(
+        np.asarray(skin_confidence(outs[False].seg_conf)),
+        np.asarray(skin_confidence(outs[True].seg_conf)), atol=1e-5)
