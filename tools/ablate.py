@@ -44,6 +44,18 @@ def scan_time(label, step, carry0, clip_len, streams, reps=3):
 
 
 def main():
+    if os.environ.get("BENCH_PLATFORM"):
+        # CPU smoke runs: the sitecustomize pins jax_platforms to the
+        # remote TPU at interpreter start; an explicit update wins
+        # (same contract as bench.py).
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    else:
+        from bp_from_video_tpu.utils.tunnel import wait_for_tpu
+        if not wait_for_tpu():
+            print("ablate: remote-TPU tunnel unreachable "
+                  "(set BENCH_PLATFORM=cpu for a CPU smoke run)",
+                  file=sys.stderr, flush=True)
+            sys.exit(3)
     _enable_compile_cache()
     from bp_from_video_tpu.config import EngineConfig, InferenceConfig
     from bp_from_video_tpu.models.runner import TrackState
@@ -55,7 +67,8 @@ def main():
 
     streams = int(os.environ.get("BENCH_STREAMS", "64"))
     clip_len = int(os.environ.get("BENCH_CLIP", "16"))
-    h, w = 480, 640
+    h, w = (int(x) for x in
+            os.environ.get("ABL_HW", "480,640").split(","))
     dt = 1.0 / 30.0
     on_tpu = jax.default_backend() == "tpu"
     preset = os.environ.get("ABL_PRESET") or None
@@ -110,6 +123,29 @@ def main():
                     frames_at(i), ts)
                 return st2, out.bpm
             scan_time("full step", step, state0, clip_len, streams)
+
+        elif v == "render":
+            # Full step + the on-device display rasterization bench.py's
+            # multistream preset times (overlay compose + 3-graph plot per
+            # stream); diff vs 'full' attributes the render cost.
+            from bp_from_video_tpu.render.drawer import Drawer
+            drawer = Drawer(cfg, show=False)
+
+            def step(carry, i):
+                st = carry
+                ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+                frames = frames_at(i)
+                st2, out = eng.batch_step(
+                    ms.params, EngineState(st.signals,
+                                           hold_tracking(st.track)),
+                    frames, ts)
+                nhwc = jnp.transpose(frames, (0, 2, 3, 1))
+                fimg, pimg, packed = jax.vmap(drawer._compose_fn)(nhwc, out)
+                extra = (jnp.sum(fimg, dtype=jnp.float32)
+                         + jnp.sum(pimg, dtype=jnp.float32)
+                         + jnp.sum(jnp.nan_to_num(packed)))
+                return st2, out.bpm + 0.0 * extra
+            scan_time("full step + render", step, state0, clip_len, streams)
 
         elif v == "infer":
             def step(carry, i):
@@ -321,6 +357,9 @@ def main():
                 return st2, out.bpm
             scan_time("full, segmenter off", step, st0, clip_len, streams)
 
+        elif v == "segnet" and "seg_size" not in eng.runner._fns:
+            print("segnet: segmenter not in config (use ABL_PRESET=segmenter_fir)")
+
         elif v == "segnet":
             # Segmenter net alone at model resolution (no frame resize, no
             # full-res upsample) — carry-varied inputs.
@@ -334,6 +373,9 @@ def main():
                         jnp.mean(conf))
             carry0 = jnp.zeros((streams, 3, size, size), jnp.bfloat16)
             scan_time("segmenter net only", step, carry0, clip_len, streams)
+
+        elif v == "segfull" and "seg_size" not in eng.runner._fns:
+            print("segfull: segmenter not in config (use ABL_PRESET=segmenter_fir)")
 
         elif v == "segfull":
             # The whole per-frame segmenter stage as predict_batch runs it
@@ -358,6 +400,9 @@ def main():
                 return carry + 0.0 * jnp.mean(wts), jnp.mean(wts)
             scan_time("seg resize+net+up ch3", step, jnp.float32(0.0),
                       clip_len, streams)
+
+        elif v == "segpost" and "seg_size" not in eng.runner._fns:
+            print("segpost: segmenter not in config (use ABL_PRESET=segmenter_fir)")
 
         elif v == "segpost":
             # The PRODUCTION segmenter stage exactly as predict_batch runs
