@@ -67,3 +67,47 @@ def test_e2e_train_step_runs():
     estate, tstate, loss = e2e(ms.params, estate, tstate, frames, ts, labels)
     assert jnp.isfinite(loss)
     assert int(tstate.step) == 1
+
+
+def test_train_cli_synthetic_checkpoint_resume(tmp_path, capsys):
+    """python -m bp_from_video_tpu.train: synthetic task trains (loss
+    falls), checkpoints, and resumes from the saved step counter — sharded
+    over the virtual 8-device mesh (conftest) via NamedSharding."""
+    from bp_from_video_tpu.train.__main__ import main
+
+    ck = str(tmp_path / "ck")
+    assert main(["--synthetic", "512", "--steps", "60", "--batch", "64",
+                 "--ckpt-every", "30", "--checkpoint", ck]) == 0
+    out = capsys.readouterr().out
+    assert "eval MAE" in out
+
+    assert main(["--synthetic", "512", "--steps", "80", "--batch", "64",
+                 "--checkpoint", ck, "--resume"]) == 0
+    assert "resumed at step 60" in capsys.readouterr().out
+
+
+def test_train_cli_recorded_features(tmp_path, capsys):
+    """The recorded-data path consumes a SignalRecorder npz + labels npz."""
+    import numpy as np
+
+    from bp_from_video_tpu.runtime.recorder import SignalRecorder
+    from bp_from_video_tpu.train.__main__ import main
+
+    class Out:
+        def __init__(self, bpm, ptt, fs):
+            self.bpm, self.ptt, self.curr_fs = bpm, ptt, fs
+
+    rng = np.random.default_rng(0)
+    rec = SignalRecorder(str(tmp_path / "rec.npz"))
+    for t in range(64):
+        rec.add(t / 30.0, Out(rng.uniform(50, 110, (2,)).astype(np.float32),
+                              rng.uniform(10, 60, (1,)).astype(np.float32),
+                              np.float32(30.0)))
+    feats_path = rec.save()
+    labels = rng.uniform(60, 140, (64, 2)).astype(np.float32)
+    labels_path = str(tmp_path / "labels.npz")
+    np.savez(labels_path, labels=labels)
+
+    assert main(["--features", feats_path, "--labels", labels_path,
+                 "--steps", "20", "--batch", "32"]) == 0
+    assert "eval MAE" in capsys.readouterr().out
