@@ -53,8 +53,12 @@ PRESENCE_THRESHOLD = 0.5
 def skin_confidence(seg_conf):
     """The face-skin confidence mask from ``seg_conf`` in either layout:
     [..., 6, H, W] (seg_full_masks=True) or [..., 1, H, W] (skin-only
-    operating point).  Works batched and solo."""
+    operating point).  Works batched and solo.  Any other channel count
+    fails loudly rather than silently picking the wrong mask."""
     c = seg_conf.shape[-3]
+    if c not in (1, SEG_CLASSES):
+        raise ValueError(f"seg_conf has {c} channels; expected 1 "
+                         f"(skin-only) or {SEG_CLASSES} (full masks)")
     return seg_conf[..., min(SEG_SKIN_CLASS, c - 1), :, :]
 
 # Tracking-rect anchor landmarks: face = outer eye corners, hand = wrist ->
@@ -85,8 +89,10 @@ class ModelResults(NamedTuple):
     face_detector: Detections
     face_landmarker: Detections
     hand_landmarker: Detections
-    seg_class: Array   # [H, W] int32 category mask (or [0,0])
-    seg_conf: Array    # [C, H, W] f32 confidence masks (or [0,0,0])
+    seg_class: Array   # int32 category mask: [H, W] frame-res, or model-res
+    #                    when seg_full_masks=False (or [0,0] disabled)
+    seg_conf: Array    # f32 confidence masks [6, H, W]; [1, H, W] skin-only
+    #                    when seg_full_masks=False (or [0,0,0] disabled)
     seg_valid: Array   # bool scalar
 
     def model_outputs(self):

@@ -226,18 +226,20 @@ def resize_bilinear(image: Array, out_h: int, out_w: int,
     return resample_separable(image, ys, xs, dtype=dtype, mode="edge")
 
 
-def resize_bilinear_planar(x: Array, out_h: int, out_w: int,
-                           dtype=None) -> Array:
-    """Half-pixel bilinear resize over the LAST TWO axes ([..., H, W] —
-    the planar activation layout) as two MXU matmuls.
+def _resize_mm(x: Array, out_h: int, out_w: int, h_axis: int, w_axis: int,
+               specs: tuple[str, str], dtype) -> Array:
+    """Shared core of the MXU-matmul bilinear resizes: half-pixel sample
+    coordinates (resize_bilinear's formula), edge-clamped interpolation
+    matrices, two einsum contractions given per-layout subscripts.
 
     ``jax.image.resize(..., "bilinear")`` lowers to gathers, which are
     element-serial on TPU; the triangular-kernel interpolation matrices
     keep the resize on the MXU (same formulation as resample_separable)
     and match TFLite's RESIZE_BILINEAR half-pixel semantics exactly —
     including on DOWNSCALE, where jax.image.resize antialias-filters and
-    TFLite does not.  Accumulates f32, returns ``x.dtype``."""
-    h, w = x.shape[-2], x.shape[-1]
+    TFLite does not.  Accumulates f32, returns ``x.dtype`` (integer inputs
+    are rounded, not truncated, matching jax.image.resize)."""
+    h, w = x.shape[h_axis], x.shape[w_axis]
     if dtype is None:
         dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) \
             else jnp.float32
@@ -245,30 +247,29 @@ def resize_bilinear_planar(x: Array, out_h: int, out_w: int,
     xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
     wy = interp_matrix(ys, h, "edge").astype(dtype)   # [oh, H]
     wx = interp_matrix(xs, w, "edge").astype(dtype)   # [ow, W]
-    t = jnp.einsum("...hw,oh->...ow", x.astype(dtype), wy,
+    spec_h, spec_w = specs
+    t = jnp.einsum(spec_h, x.astype(dtype), wy,
                    preferred_element_type=jnp.float32).astype(dtype)
-    out = jnp.einsum("...hw,pw->...hp", t, wx,
-                     preferred_element_type=jnp.float32)
+    out = jnp.einsum(spec_w, t, wx, preferred_element_type=jnp.float32)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        out = jnp.round(out)
     return out.astype(x.dtype)
+
+
+def resize_bilinear_planar(x: Array, out_h: int, out_w: int,
+                           dtype=None) -> Array:
+    """Half-pixel bilinear resize over the LAST TWO axes ([..., H, W] —
+    the planar activation layout) as two MXU matmuls (see _resize_mm)."""
+    return _resize_mm(x, out_h, out_w, -2, -1,
+                      ("...hw,oh->...ow", "...hw,pw->...hp"), dtype)
 
 
 def resize_bilinear_nhwc(x: Array, out_h: int, out_w: int,
                          dtype=None) -> Array:
     """resize_bilinear_planar for NHWC batches ([B, H, W, C]) — interior
     axes resampled by the same MXU interpolation matmuls, no transpose."""
-    h, w = x.shape[1], x.shape[2]
-    if dtype is None:
-        dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) \
-            else jnp.float32
-    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
-    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
-    wy = interp_matrix(ys, h, "edge").astype(dtype)   # [oh, H]
-    wx = interp_matrix(xs, w, "edge").astype(dtype)   # [ow, W]
-    t = jnp.einsum("bhwc,oh->bowc", x.astype(dtype), wy,
-                   preferred_element_type=jnp.float32).astype(dtype)
-    out = jnp.einsum("bhwc,pw->bhpc", t, wx,
-                     preferred_element_type=jnp.float32)
-    return out.astype(x.dtype)
+    return _resize_mm(x, out_h, out_w, 1, 2,
+                      ("bhwc,oh->bowc", "bhwc,pw->bhpc"), dtype)
 
 
 def unletterbox_points(pts_norm: Array, lb: Letterbox, out_size: int) -> Array:

@@ -32,7 +32,8 @@ import numpy as np
 
 
 def synth_dataset(n: int, num_signals: int = 2, num_pairs: int = 1,
-                  seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+                  seed: int = 0
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Toy physiological task: labels are affine in HR and 1/PTT (PTT is
     inversely related to pulse-wave velocity, the BP proxy the reference
     cites), with measurement noise and occasional NaN dropouts exactly like
@@ -112,6 +113,10 @@ def main(argv=None) -> int:
         jnp.asarray(bpm), jnp.asarray(ptt)))
     tr_x, ev_x = feats[n_eval:], feats[:n_eval]
     tr_y, ev_y = labels[n_eval:], labels[:n_eval]
+    if tr_x.shape[0] == 0:
+        raise SystemExit(f"no training rows left: {n} rows with "
+                         f"--eval-frac {args.eval_frac} leaves an empty "
+                         "training split")
     in_dim = feats.shape[-1]
 
     state, opt = bpr.init_train_state(jax.random.key(args.seed), in_dim,
@@ -133,8 +138,13 @@ def main(argv=None) -> int:
         jnp.abs(bpr.mlp_apply(p, x) - y), axis=0))
 
     loss = float("nan")
+    saved_at = -1
     for i in range(int(state.step), args.steps):
-        idx = rng.integers(0, tr_x.shape[0], (bsz,))
+        # Per-step batch RNG keyed on (seed, step): a resumed run draws the
+        # SAME batches an uninterrupted run would at each step, instead of
+        # replaying the stream from position 0.
+        idx = np.random.default_rng([args.seed, i]).integers(
+            0, tr_x.shape[0], (bsz,))
         x = jax.device_put(tr_x[idx], batch_sharding)
         y = jax.device_put(tr_y[idx], batch_sharding)
         state, loss = step_fn(state, x, y)
@@ -145,8 +155,10 @@ def main(argv=None) -> int:
                   f"DBP {float(mae[1]):6.2f}", flush=True)
         if args.checkpoint and (i + 1) % args.ckpt_every == 0:
             save_state(args.checkpoint, state)
+            saved_at = i + 1
     if args.checkpoint:
-        path = save_state(args.checkpoint, state)
+        path = (save_state(args.checkpoint, state)
+                if saved_at != int(state.step) else args.checkpoint)
         print(f"checkpoint: {path}")
     return 0
 

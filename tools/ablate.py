@@ -113,6 +113,10 @@ def main():
     jax.block_until_ready(models0)
 
     for v in variants:
+        if v.startswith("seg") and "seg_size" not in eng.runner._fns:
+            print(f"{v}: segmenter not in config (use ABL_PRESET=segmenter_fir)")
+            continue
+
         if v == "full":
             def step(carry, i):
                 st = carry
@@ -357,9 +361,6 @@ def main():
                 return st2, out.bpm
             scan_time("full, segmenter off", step, st0, clip_len, streams)
 
-        elif v == "segnet" and "seg_size" not in eng.runner._fns:
-            print("segnet: segmenter not in config (use ABL_PRESET=segmenter_fir)")
-
         elif v == "segnet":
             # Segmenter net alone at model resolution (no frame resize, no
             # full-res upsample) — carry-varied inputs.
@@ -373,9 +374,6 @@ def main():
                         jnp.mean(conf))
             carry0 = jnp.zeros((streams, 3, size, size), jnp.bfloat16)
             scan_time("segmenter net only", step, carry0, clip_len, streams)
-
-        elif v == "segfull" and "seg_size" not in eng.runner._fns:
-            print("segfull: segmenter not in config (use ABL_PRESET=segmenter_fir)")
 
         elif v == "segfull":
             # The whole per-frame segmenter stage as predict_batch runs it
@@ -400,9 +398,6 @@ def main():
                 return carry + 0.0 * jnp.mean(wts), jnp.mean(wts)
             scan_time("seg resize+net+up ch3", step, jnp.float32(0.0),
                       clip_len, streams)
-
-        elif v == "segpost" and "seg_size" not in eng.runner._fns:
-            print("segpost: segmenter not in config (use ABL_PRESET=segmenter_fir)")
 
         elif v == "segpost":
             # The PRODUCTION segmenter stage exactly as predict_batch runs
