@@ -1287,7 +1287,9 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                     x = get(ins[0])
                     shape = (x.shape[0], hw[0], hw[1], x.shape[3])
                 if name == "RESIZE_NEAREST_NEIGHBOR":
-                    put(outs[0], jax.image.resize(x, shape, "nearest"), planar)
+                    put(outs[0], _resize_nearest_mm(
+                        x, hw, o["half_pixel_centers"], o["align_corners"],
+                        planar), planar)
                 elif o["half_pixel_centers"]:
                     # MXU interpolation matmuls, not jax.image.resize:
                     # gathers are element-serial on TPU, and jax.image
@@ -1373,6 +1375,52 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
             "params": {n: f"__stem__:{n}" for n in ("w", "b", "alpha")},
         }
     return fn, params
+
+
+def _nearest_index(out_len: int, in_len: int, half_pixel: bool,
+                   align_corners: bool) -> np.ndarray:
+    """TFLite RESIZE_NEAREST_NEIGHBOR source index per output position
+    (reference kernel semantics for each flag combination)."""
+    o = np.arange(out_len, dtype=np.float64)
+    if align_corners and out_len > 1:
+        # TfLiteRound = half away from zero (np.round is half-to-even, and
+        # o*(in-1)/(out-1) hits exact .5s); indices are >= 0 so +0.5/floor.
+        offset = 0.5 if half_pixel else 0.0
+        idx = np.floor(
+            (o + offset) * (in_len - 1) / (out_len - 1) - offset + 0.5)
+    elif half_pixel:
+        idx = np.floor((o + 0.5) * in_len / out_len)
+    else:
+        idx = np.floor(o * in_len / out_len)
+    return np.clip(idx.astype(np.int64), 0, in_len - 1)
+
+
+def _resize_nearest_mm(x: Array, hw: tuple[int, int], half_pixel: bool,
+                       align_corners: bool, planar: bool) -> Array:
+    """RESIZE_NEAREST_NEIGHBOR as one-hot selection matmuls — the last
+    gather-based resize in the compiler (gathers are element-serial on
+    TPU); exact TFLite index semantics via _nearest_index."""
+    nh, nw = hw
+    if planar:
+        h, w = x.shape[-2], x.shape[-1]
+    else:
+        _, h, w, _ = x.shape
+    if not jnp.issubdtype(x.dtype, jnp.floating):  # pragma: no cover
+        # Integer feature maps: one-hot matmul accumulation would change
+        # dtype semantics; take the (exact) indexed rows instead.
+        iy, ix = _nearest_index(nh, h, half_pixel, align_corners), \
+            _nearest_index(nw, w, half_pixel, align_corners)
+        return (x[..., iy, :][..., ix] if planar
+                else x[:, iy][:, :, ix])
+    wy = jax.nn.one_hot(_nearest_index(nh, h, half_pixel, align_corners),
+                        h, dtype=x.dtype)                      # [oh, H]
+    wx = jax.nn.one_hot(_nearest_index(nw, w, half_pixel, align_corners),
+                        w, dtype=x.dtype)                      # [ow, W]
+    if planar:
+        t = jnp.einsum("...hw,oh->...ow", x, wy)
+        return jnp.einsum("...hw,pw->...hp", t, wx)
+    t = jnp.einsum("bhwc,oh->bowc", x, wy)
+    return jnp.einsum("bhwc,pw->bhpc", t, wx)
 
 
 def _resize_bilinear_legacy(x: Array, hw: tuple[int, int],

@@ -188,3 +188,27 @@ def test_resize_bilinear_compiles_to_interpreter_parity():
     if got_p.shape != want.shape:                             # planar out
         got_p = np.transpose(got_p, (0, 2, 3, 1))
     np.testing.assert_allclose(got_p, want, atol=2e-5)
+
+
+def test_resize_nearest_compiles_to_interpreter_parity():
+    """RESIZE_NEAREST_NEIGHBOR lowers to one-hot selection matmuls with
+    exact per-flag TFLite index semantics (half-pixel, align-corners,
+    legacy) — nearest selection must be BIT-exact vs the interpreter."""
+    from bp_from_video_tpu.models import tflite_compiler as tc
+    from tests.test_tflite_compiler import tflite_reference
+
+    data = fx.build_resize_nearest_net()
+    rng = np.random.RandomState(13)
+    x = rng.uniform(-1, 1, (1, 12, 18, 3)).astype(np.float32)
+    want = tflite_reference(data, [x])
+
+    for layout, planar in (("NHWC", False), ("NCHW", True)):
+        fn, params = tc.compile_tflite(data, layout=layout,
+                                       planar_inputs=planar)
+        xin = (jnp.transpose(jnp.asarray(x), (0, 3, 1, 2)) if planar
+               else jnp.asarray(x))
+        got = [np.asarray(g) for g in fn(params, xin)]
+        for g, w in zip(got, want):
+            if g.shape != w.shape:
+                g = np.transpose(g, (0, 2, 3, 1))
+            np.testing.assert_allclose(g, w, atol=1e-6)

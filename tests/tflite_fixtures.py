@@ -139,6 +139,32 @@ def build_resize_net() -> bytes:
     return _convert(m, m.__call__)
 
 
+def build_resize_nearest_net() -> bytes:
+    """RESIZE_NEAREST_NEIGHBOR in all three flag combinations (half-pixel
+    via tf.image.resize, align-corners and legacy via the v1 op), plus a
+    conv so outputs are input-dependent.  Locks the compiler's one-hot
+    selection matmuls against the interpreter's per-flag index math."""
+    import tensorflow as tf
+
+    rng = np.random.RandomState(7)
+    k = tf.constant(rng.uniform(-0.5, 0.5, (3, 3, 3, 4)).astype(np.float32))
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, 12, 18, 3], tf.float32)])
+        def __call__(self, x):
+            y = tf.nn.relu(tf.nn.conv2d(x, k, 1, "SAME"))
+            hp = tf.image.resize(y, [30, 41], "nearest")
+            ac = tf.compat.v1.image.resize_nearest_neighbor(
+                y, [30, 41], align_corners=True)
+            legacy = tf.compat.v1.image.resize_nearest_neighbor(
+                y, [5, 7], align_corners=False)
+            return hp, ac, legacy
+
+    m = M()
+    return _convert(m, m.__call__)
+
+
 def build_segmenter() -> bytes:
     import tensorflow as tf
 
