@@ -1425,7 +1425,12 @@ def _resize_nearest_mm(x: Array, hw: tuple[int, int], half_pixel: bool,
 
 def _resize_bilinear_legacy(x: Array, hw: tuple[int, int],
                             align_corners: bool) -> Array:
-    """TFLite RESIZE_BILINEAR without half-pixel centers."""
+    """TFLite RESIZE_BILINEAR without half-pixel centers (align-corners or
+    asymmetric coordinates), as the same edge-clamped interpolation-matrix
+    matmuls the half-pixel path uses (warp.interp_matrix): the triangular
+    kernel with clamped sample coordinates reproduces the clamped
+    floor/floor+1 two-tap blend exactly, with no gathers."""
+    from bp_from_video_tpu.models.warp import interp_matrix
     _, h, w, _ = x.shape
     nh, nw = hw
     if align_corners and nh > 1 and nw > 1:
@@ -1434,18 +1439,12 @@ def _resize_bilinear_legacy(x: Array, hw: tuple[int, int],
     else:
         ys = jnp.arange(nh) * (h / nh)
         xs = jnp.arange(nw) * (w / nw)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    fy = (ys - y0).astype(x.dtype)[None, :, None, None]
-    fx = (xs - x0).astype(x.dtype)[None, None, :, None]
-    a = x[:, y0][:, :, x0]
-    b = x[:, y0][:, :, x1]
-    c = x[:, y1][:, :, x0]
-    d = x[:, y1][:, :, x1]
-    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
-            + c * fy * (1 - fx) + d * fy * fx)
+    wy = interp_matrix(ys, h, "edge").astype(x.dtype)   # [oh, H]
+    wx = interp_matrix(xs, w, "edge").astype(x.dtype)   # [ow, W]
+    t = jnp.einsum("bhwc,oh->bowc", x, wy,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("bhwc,pw->bhpc", t, wx,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 # --- asset loading -----------------------------------------------------------

@@ -166,9 +166,10 @@ def test_segmenter_real_blob_contract(seg_tflite):
 
 
 def test_resize_bilinear_compiles_to_interpreter_parity():
-    """RESIZE_BILINEAR (half-pixel, up AND down) lowers to MXU
-    interpolation matmuls (warp.resize_bilinear_planar/_nhwc), which must
-    match the TFLite interpreter's semantics — including the no-antialias
+    """RESIZE_BILINEAR in every coordinate mode — half-pixel (up AND down,
+    warp.resize_bilinear_planar/_nhwc), align-corners and asymmetric
+    (_resize_bilinear_legacy) — lowers to MXU interpolation matmuls that
+    must match the TFLite interpreter, including the no-antialias
     downscale jax.image.resize gets wrong."""
     from bp_from_video_tpu.models import tflite_compiler as tc
     from tests.test_tflite_compiler import tflite_reference
@@ -176,18 +177,18 @@ def test_resize_bilinear_compiles_to_interpreter_parity():
     data = fx.build_resize_net()
     rng = np.random.RandomState(11)
     x = rng.uniform(-1, 1, (1, 16, 20, 3)).astype(np.float32)
-    want = tflite_reference(data, [x])[0]
+    want = tflite_reference(data, [x])
 
-    fn, params = tc.compile_tflite(data)                      # NHWC
-    got = np.asarray(fn(params, jnp.asarray(x))[0])
-    np.testing.assert_allclose(got, want, atol=2e-5)
-
-    fnp, pp = tc.compile_tflite(data, layout="NCHW", planar_inputs=True)
-    xp = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
-    got_p = np.asarray(fnp(pp, xp)[0])
-    if got_p.shape != want.shape:                             # planar out
-        got_p = np.transpose(got_p, (0, 2, 3, 1))
-    np.testing.assert_allclose(got_p, want, atol=2e-5)
+    for layout, planar in (("NHWC", False), ("NCHW", True)):
+        fn, params = tc.compile_tflite(data, layout=layout,
+                                       planar_inputs=planar)
+        xin = (jnp.transpose(jnp.asarray(x), (0, 3, 1, 2)) if planar
+               else jnp.asarray(x))
+        for g, w in zip(fn(params, xin), want):
+            g = np.asarray(g)
+            if g.shape != w.shape:                            # planar out
+                g = np.transpose(g, (0, 2, 3, 1))
+            np.testing.assert_allclose(g, w, atol=2e-5)
 
 
 def test_resize_nearest_compiles_to_interpreter_parity():

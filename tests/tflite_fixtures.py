@@ -133,7 +133,14 @@ def build_resize_net() -> bytes:
         def __call__(self, x):
             y = tf.nn.relu(tf.nn.conv2d(x, k, 1, "SAME"))
             up = tf.image.resize(y, [40, 52], "bilinear")
-            return tf.image.resize(up, [9, 11], "bilinear")
+            down = tf.image.resize(up, [9, 11], "bilinear")
+            # Legacy coordinate modes (no half-pixel): align-corners and
+            # asymmetric, lowered via _resize_bilinear_legacy.
+            ac = tf.compat.v1.image.resize_bilinear(y, [40, 52],
+                                                    align_corners=True)
+            legacy = tf.compat.v1.image.resize_bilinear(y, [9, 11],
+                                                        align_corners=False)
+            return down, ac, legacy
 
     m = M()
     return _convert(m, m.__call__)
