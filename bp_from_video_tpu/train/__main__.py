@@ -8,10 +8,17 @@ driver carries it to completion over the engine's recorded outputs:
     (keys ``bpm [T, num_signals]``, ``ptt [T, num_pairs]``) produced by the
     live CLI's ``--record`` or the offline batch mode, paired with cuff
     labels (``--labels labels.npz``, key ``labels [T, 2]`` = SBP/DBP mmHg).
+  * ``--csv cohort.csv`` — ``hr,ptt,sbp,dbp`` rows (one header line), the
+    tabular-cohort format of PTT–BP studies.
   * ``--synthetic N`` — a self-contained physiological toy task
     (SBP/DBP as affine functions of HR and pulse-wave velocity ~ 1/PTT,
     plus noise) so the full loop — sharding, training, eval, checkpoint,
     resume — runs and is testable without data.
+
+Features and labels are standardized on training-split statistics (the
+validity-indicator columns are 0/1 and pass through); the normalization
+constants ride in the checkpoint next to the params so a restored model
+predicts raw mmHg without the original data.
 
 TPU-native mechanics: one jitted ``train_step`` (pure loss + optax update);
 batches sharded over every available device on the ``dp`` axis via
@@ -69,6 +76,7 @@ def main(argv=None) -> int:
         formatter_class=argparse.RawDescriptionHelpFormatter)
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--features", help="SignalRecorder npz (bpm/ptt rows)")
+    src.add_argument("--csv", help="hr,ptt,sbp,dbp rows (one header line)")
     src.add_argument("--synthetic", type=int, metavar="N",
                      help="generate N synthetic rows instead")
     ap.add_argument("--labels", help="npz with 'labels' [T, 2] (SBP, DBP)")
@@ -98,6 +106,10 @@ def main(argv=None) -> int:
 
     if args.synthetic is not None:
         bpm, ptt, labels = synth_dataset(args.synthetic, seed=args.seed)
+    elif args.csv:
+        rows = np.loadtxt(args.csv, delimiter=",", skiprows=1,
+                          dtype=np.float32)
+        bpm, ptt, labels = rows[:, 0:1], rows[:, 1:2], rows[:, 2:4]
     else:
         if not args.labels:
             ap.error("--features requires --labels")
@@ -119,13 +131,29 @@ def main(argv=None) -> int:
                          "training split")
     in_dim = feats.shape[-1]
 
+    # Standardize on training-split statistics; the validity-indicator
+    # half of the feature vector (0/1 flags) passes through unscaled.
+    f_mu = tr_x.mean(0).astype(np.float32)
+    f_sd = np.maximum(tr_x.std(0), 1e-6).astype(np.float32)
+    f_mu[in_dim // 2:] = 0.0
+    f_sd[in_dim // 2:] = 1.0
+    l_mu = tr_y.mean(0).astype(np.float32)
+    l_sd = np.maximum(tr_y.std(0), 1e-6).astype(np.float32)
+
     state, opt = bpr.init_train_state(jax.random.key(args.seed), in_dim,
                                       tuple(args.hidden), args.lr)
+    norm = {"f_mu": jnp.asarray(f_mu), "f_sd": jnp.asarray(f_sd),
+            "l_mu": jnp.asarray(l_mu), "l_sd": jnp.asarray(l_sd)}
     if args.resume:
         if not args.checkpoint:
             ap.error("--resume requires --checkpoint")
-        state = load_state(args.checkpoint, state)
+        state, norm = load_state(args.checkpoint, (state, norm))
         print(f"resumed at step {int(state.step)}")
+    f_mu, f_sd = np.asarray(norm["f_mu"]), np.asarray(norm["f_sd"])
+    l_mu, l_sd = np.asarray(norm["l_mu"]), np.asarray(norm["l_sd"])
+    tr_x = (tr_x - f_mu) / f_sd
+    ev_x = (ev_x - f_mu) / f_sd
+    tr_y_n = (tr_y - l_mu) / l_sd
 
     # dp: shard batch rows over every device; gradients psum via GSPMD.
     devs = jax.devices()
@@ -134,8 +162,10 @@ def main(argv=None) -> int:
     bsz = max(args.batch // len(devs), 1) * len(devs)
 
     step_fn = jax.jit(lambda s, x, y: bpr.train_step(opt, s, x, y))
+    # Eval in raw mmHg: un-standardize predictions with the label stats.
     eval_fn = jax.jit(lambda p, x, y: jnp.mean(
-        jnp.abs(bpr.mlp_apply(p, x) - y), axis=0))
+        jnp.abs(bpr.mlp_apply(p, x) * norm["l_sd"] + norm["l_mu"] - y),
+        axis=0))
 
     loss = float("nan")
     saved_at = -1
@@ -146,7 +176,7 @@ def main(argv=None) -> int:
         idx = np.random.default_rng([args.seed, i]).integers(
             0, tr_x.shape[0], (bsz,))
         x = jax.device_put(tr_x[idx], batch_sharding)
-        y = jax.device_put(tr_y[idx], batch_sharding)
+        y = jax.device_put(tr_y_n[idx], batch_sharding)
         state, loss = step_fn(state, x, y)
         if (i + 1) % 50 == 0 or i + 1 == args.steps:
             mae = eval_fn(state.params, jnp.asarray(ev_x), jnp.asarray(ev_y))
@@ -154,10 +184,10 @@ def main(argv=None) -> int:
                   f"eval MAE mmHg  SBP {float(mae[0]):6.2f}  "
                   f"DBP {float(mae[1]):6.2f}", flush=True)
         if args.checkpoint and (i + 1) % args.ckpt_every == 0:
-            save_state(args.checkpoint, state)
+            save_state(args.checkpoint, (state, norm))
             saved_at = i + 1
     if args.checkpoint:
-        path = (save_state(args.checkpoint, state)
+        path = (save_state(args.checkpoint, (state, norm))
                 if saved_at != int(state.step) else args.checkpoint)
         print(f"checkpoint: {path}")
     return 0

@@ -111,3 +111,27 @@ def test_train_cli_recorded_features(tmp_path, capsys):
     assert main(["--features", feats_path, "--labels", labels_path,
                  "--steps", "20", "--batch", "32"]) == 0
     assert "eval MAE" in capsys.readouterr().out
+
+
+def test_train_cli_csv_cohort(tmp_path, capsys):
+    """--csv consumes hr,ptt,sbp,dbp cohort rows; standardization makes
+    the near-linear synthetic relation learnable to single-digit MAE."""
+    import numpy as np
+
+    from bp_from_video_tpu.train.__main__ import main
+
+    rng = np.random.default_rng(1)
+    n = 512
+    hr = rng.uniform(50, 110, n)
+    ptt = rng.uniform(15, 60, n)
+    sbp = 150 - 0.9 * ptt + 0.15 * hr + rng.normal(0, 2, n)
+    dbp = 95 - 0.5 * ptt + 0.08 * hr + rng.normal(0, 1.5, n)
+    path = str(tmp_path / "cohort.csv")
+    np.savetxt(path, np.stack([hr, ptt, sbp, dbp], -1), delimiter=",",
+               header="hr,ptt,sbp,dbp")
+
+    assert main(["--csv", path, "--steps", "300", "--batch", "128"]) == 0
+    out = capsys.readouterr().out
+    last = [ln for ln in out.splitlines() if "eval MAE" in ln][-1]
+    mae_sbp = float(last.split("SBP")[1].split()[0])
+    assert mae_sbp < 8.0, last
