@@ -1001,7 +1001,10 @@ class InferenceRunner:
             size = self._fns["seg_size"]
 
             def seg_one(frame):
-                small = warp.resize_bilinear(frame, size, size) / 255.0
+                # Compute-dtype matmul operands (uint8 pixels are exact in
+                # bf16; accumulation stays f32 inside resample_separable).
+                small = warp.resize_bilinear(frame, size, size,
+                                             dtype=self.dtype) / 255.0
                 small = jnp.transpose(small, (2, 0, 1))[None]  # planar
                 conf = self._fns["seg"](params["seg"],
                                         small.astype(self.dtype))

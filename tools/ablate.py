@@ -387,7 +387,8 @@ def main():
 
                 def seg_one(fr):
                     nh = jnp.transpose(fr, (1, 2, 0))
-                    small = warp.resize_bilinear(nh, size, size) / 255.0
+                    small = warp.resize_bilinear(
+                        nh, size, size, dtype=eng.runner.dtype) / 255.0
                     small = jnp.transpose(small, (2, 0, 1))[None]
                     conf = eng.runner._fns["seg"](
                         ms.params["seg"], small.astype(eng.runner.dtype))
@@ -413,7 +414,8 @@ def main():
 
                 def seg_one(fr):
                     nh = jnp.transpose(fr, (1, 2, 0))
-                    small = warp.resize_bilinear(nh, size, size) / 255.0
+                    small = warp.resize_bilinear(
+                        nh, size, size, dtype=eng.runner.dtype) / 255.0
                     small = jnp.transpose(small, (2, 0, 1))[None]
                     conf = eng.runner._fns["seg"](
                         ms.params["seg"], small.astype(eng.runner.dtype))
