@@ -66,9 +66,13 @@ def correlate_pair(x_a: Array, y_a: Array, y_b: Array) -> tuple[Array, Array]:
     full_s = dft.irfft(_shift_spectrum(spec, -(k - 1), nfft),
                            nfft)[: 2 * n - 1]
 
-    aa = jnp.dot(ca.values, ca.values)
-    bb = jnp.dot(cb.values, cb.values)
-    ab = jnp.dot(ca.values, cb.values)
+    # HIGHEST precision: default TPU matmul truncates f32 operands to bf16;
+    # the max-of-three normalization (scalar) is peak-invariant, but keeps
+    # corr magnitudes scipy-comparable.
+    hi = jax.lax.Precision.HIGHEST
+    aa = jnp.dot(ca.values, ca.values, precision=hi)
+    bb = jnp.dot(cb.values, cb.values, precision=hi)
+    ab = jnp.dot(ca.values, cb.values, precision=hi)
     denom = jnp.maximum(jnp.maximum(aa, bb), ab)
     denom = jnp.where(denom == 0, 1.0, denom)
     corr = full_s / denom

@@ -131,13 +131,7 @@ def sample_roi(frame_rgb: Array, sroi: Array,
     samples BGR with the same channel roles, signal_processor.py:180-183).
     """
     means, valid = roi_channel_means(frame_rgb, sroi, weights)
-    if channel is SignalColorChannel.GREEN:
-        value = means[1]
-    elif channel is SignalColorChannel.CHROM_GREEN:
-        value = means[1] / 2.0 - means[2] / 4.0 - means[0] / 4.0 + 0.5
-    else:  # pragma: no cover
-        raise NotImplementedError(channel)
-    return jnp.where(valid, value, jnp.nan)
+    return jnp.where(valid, _mix_channel(means, channel), jnp.nan)
 
 
 def sample_rois(frame_rgb: Array, rois: Array,

@@ -29,14 +29,19 @@ _F32_EPSNEG = float(jnp.finfo(jnp.float32).epsneg)
 
 def _masked_dft(yc: Array, k: Array) -> tuple[Array, Array]:
     """DFT of the first ``k`` entries of compacted ``yc`` at bins 0..N-1 of
-    an implicit length-``k`` transform: X_b = sum_n y_n e^{-2πi b n / k}."""
+    an implicit length-``k`` transform: X_b = sum_n y_n e^{-2πi b n / k}.
+
+    HIGHEST matmul precision: the default TPU precision truncates the f32
+    trig operands to bf16 (the hazard ops/dft.py documents) — near-tie
+    spectral peaks would flip bins TPU-only while CPU tests stay green."""
     n = yc.shape[0]
     i = jnp.arange(n, dtype=jnp.float32)
     ang = (2.0 * jnp.pi / jnp.maximum(k, 1)) * (i[:, None] * i[None, :])
     m = (jnp.arange(n) < k).astype(yc.dtype)
     ym = yc * m
-    re = jnp.cos(ang) @ ym
-    im = -(jnp.sin(ang) @ ym)
+    with jax.default_matmul_precision("highest"):
+        re = jnp.cos(ang) @ ym
+        im = -(jnp.sin(ang) @ ym)
     return re, im
 
 
@@ -165,33 +170,39 @@ def lombscargle(x: Array, y: Array, min_freq: float, max_freq: float
     cos = jnp.cos(ang)
     sin = jnp.sin(ang)
 
-    y_mean = jnp.sum(wt * ys)                  # Eq. 7
-    cc = cos * cos @ wt                        # Eq. 13
-    cs = cos * sin @ wt                        # Eq. 15
-    c1 = cos @ wt                              # Eq. 8
-    s1 = sin @ wt                              # Eq. 9
-    ss = 1.0 - cc - s1 * s1                    # Eq. 14 with floating mean
-    cc = cc - c1 * c1
-    cs = cs - c1 * s1
+    # HIGHEST matmul precision for every contraction below: the default TPU
+    # precision truncates the f32 trig matrices to bf16 (ops/dft.py:60's
+    # documented hazard), and PGRAM_LS is the default BPM path — a ~0.4%
+    # per-entry error flips near-tie peak bins TPU-only.
+    with jax.default_matmul_precision("highest"):
+        y_mean = jnp.sum(wt * ys)                  # Eq. 7
+        cc = cos * cos @ wt                        # Eq. 13
+        cs = cos * sin @ wt                        # Eq. 15
+        c1 = cos @ wt                              # Eq. 8
+        s1 = sin @ wt                              # Eq. 9
+        ss = 1.0 - cc - s1 * s1                    # Eq. 14 with floating mean
+        cc = cc - c1 * c1
+        cs = cs - c1 * s1
 
-    tau = 0.5 * jnp.arctan2(2.0 * cs, cc - ss)  # Eq. 19
-    # Angle subtraction instead of re-evaluating trig over the full (F, N)
-    # grid: halves the transcendental count (cos/sin of tau are length-F).
-    cos_tau = jnp.cos(tau)[:, None]
-    sin_tau = jnp.sin(tau)[:, None]
-    cos_t = cos * cos_tau + sin * sin_tau
-    sin_t = sin * cos_tau - cos * sin_tau
+        tau = 0.5 * jnp.arctan2(2.0 * cs, cc - ss)  # Eq. 19
+        # Angle subtraction instead of re-evaluating trig over the full
+        # (F, N) grid: halves the transcendental count (cos/sin of tau are
+        # length-F).
+        cos_tau = jnp.cos(tau)[:, None]
+        sin_tau = jnp.sin(tau)[:, None]
+        cos_t = cos * cos_tau + sin * sin_tau
+        sin_t = sin * cos_tau - cos * sin_tau
 
-    wy = wt * ys
-    yc_ = cos_t @ wy                           # Eq. 11
-    ys_ = sin_t @ wy                           # Eq. 12
-    cc_t = cos_t * cos_t @ wt
-    c_t = cos_t @ wt
-    s_t = sin_t @ wt
-    ss_t = 1.0 - cc_t - s_t * s_t
-    cc_t = cc_t - c_t * c_t
-    yc_ = yc_ - y_mean * c_t
-    ys_ = ys_ - y_mean * s_t
+        wy = wt * ys
+        yc_ = cos_t @ wy                           # Eq. 11
+        ys_ = sin_t @ wy                           # Eq. 12
+        cc_t = cos_t * cos_t @ wt
+        c_t = cos_t @ wt
+        s_t = sin_t @ wt
+        ss_t = 1.0 - cc_t - s_t * s_t
+        cc_t = cc_t - c_t * c_t
+        yc_ = yc_ - y_mean * c_t
+        ys_ = ys_ - y_mean * s_t
 
     cc_t = jnp.maximum(cc_t, _F32_EPSNEG)
     ss_t = jnp.maximum(ss_t, _F32_EPSNEG)

@@ -157,12 +157,11 @@ class Engine:
         samples = roi_ops.sample_rois(frame_rgb, rois, cfg.color_channel,
                                       weights)
         return self.signal_post(st, roi_x, roi_y, rois, models, samples,
-                                frame_rgb, timestamp)
+                                timestamp)
 
     def signal_post(self, st: SignalState, roi_x: Array, roi_y: Array,
                     rois: Array, models: ModelResults, samples: Array,
-                    frame_rgb: Array, timestamp: Array
-                    ) -> tuple[SignalState, StepOutputs]:
+                    timestamp: Array) -> tuple[SignalState, StepOutputs]:
         """Steps 5-11: rings, DSP chain, spectra, correlation, peaks, plot
         ranges — everything after pixel sampling."""
         cfg = self.config.signal
@@ -261,8 +260,7 @@ class Engine:
             frames_rgb, rois, self.config.signal.color_channel, weights,
             use_pallas=self.config.inference.use_pallas)
         signals, out = jax.vmap(self.signal_post)(
-            state.signals, roi_x, roi_y, rois, models, samples, frames_rgb,
-            timestamps)
+            state.signals, roi_x, roi_y, rois, models, samples, timestamps)
         return EngineState(signals, track), out
 
     def jit_step(self):

@@ -70,9 +70,23 @@ def process_videos(paths: Sequence[str], config: EngineConfig | None = None,
     state = ms.init_states()
     outs = []
     for i in range(0, t_len, chunk):
-        fb = jnp.asarray(frames[i:i + chunk])
-        tb = jnp.asarray(ts[i:i + chunk])
-        state, out = ms.run_clip(ms.params, state, fb, tb)
-        outs.append(jax.tree.map(np.asarray, out))
+        fb = frames[i:i + chunk]
+        tb = ts[i:i + chunk]
+        rem = fb.shape[0]
+        if rem < chunk and i > 0:
+            # Pad the tail block to the static chunk length: a fresh T
+            # shape would recompile run_clip (minutes through the remote
+            # tunnel) to process a few leftover frames.  Pad steps run
+            # AFTER the real ones within the scan, so the [:rem] outputs
+            # kept below come from uncorrupted state; the post-block state
+            # is discarded.  NaN pad timestamps keep the pad rows masked
+            # out of any x-dependent math.
+            pad = chunk - rem
+            fb = np.concatenate([fb, np.repeat(fb[-1:], pad, axis=0)])
+            tb = np.concatenate(
+                [tb, np.full((pad,) + tb.shape[1:], np.nan, np.float32)])
+        state, out = ms.run_clip(ms.params, state, jnp.asarray(fb),
+                                 jnp.asarray(tb))
+        outs.append(jax.tree.map(lambda a: np.asarray(a)[:rem], out))
     return (ClipOutputs(*[np.concatenate([getattr(o, f) for o in outs])
                           for f in ClipOutputs._fields]), ts)

@@ -110,6 +110,14 @@ def test_offline_batch_processing(pulse_video):
     assert out.bpm.shape[0] == 30            # capped by max_frames
     assert out.bpm.shape[1] == 2             # two streams
     assert np.isfinite(out.curr_fs[5:]).all()
+    # The 30-frame clip at chunk=16 runs a PADDED tail block (tail blocks
+    # reuse the compiled chunk shape; pad steps must not leak into kept
+    # outputs): results must equal the single-block run exactly.
+    out1, _ = offline.process_videos(
+        [pulse_video, pulse_video], tiny_engine_config(), max_frames=30,
+        chunk=30)
+    np.testing.assert_allclose(out.bpm, out1.bpm, equal_nan=True, atol=1e-5)
+    np.testing.assert_allclose(out.ptt, out1.ptt, equal_nan=True, atol=1e-5)
 
 
 def test_image_running_mode(pulse_video):
