@@ -203,27 +203,51 @@ def detrend_linear(st: ChainState) -> ChainState:
 
 def make_filter_butter(cfg: SignalConfig, st: ChainState) -> ChainState:
     """Butterworth band-pass, Nyquist-clamped band (reference :159-162,
-    :225-230)."""
+    :225-230).
+
+    At sampling rates too low to fit the clamped band (lo <= 0 or
+    hi <= lo — e.g. a ~2-4 fps stream), the pole math would silently
+    produce a divergent filter where the reference's scipy.butter raises;
+    the samples degrade to NaN instead (the pipeline's pervasive masked
+    degradation, SURVEY §5.3), surfacing as "NaN" vitals on the HUD."""
     fs = _safe(st.fs, 100.0)
     lo = jnp.minimum(cfg.min_freq, fs / 2.0 - 2.0 * cfg.butter_min_bw)
     hi = jnp.minimum(cfg.max_freq, fs / 2.0 - cfg.butter_min_bw)
+    band_ok = (lo > 0.0) & (hi > lo)
+    lo_s = jnp.where(band_ok, lo, 0.1)
+    hi_s = jnp.where(band_ok, hi, 0.2)
+    fs_s = jnp.where(band_ok, fs, 100.0)
     c = sig.compact(st.valid, st.y)
     ext_cap = st.y.shape[0] + 2 * iir.default_padlen(cfg.butter_order)
-    out = iir.sosfiltfilt(cfg.butter_order, lo, hi, fs, c.values,
+    out = iir.sosfiltfilt(cfg.butter_order, lo_s, hi_s, fs_s, c.values,
                           jnp.maximum(c.count, 2), ext_cap)
+    out = jnp.where(band_ok, out, jnp.float32(jnp.nan))
     return st._replace(y=sig.scatter_back(st.valid, out, st.y))
 
 
 def make_filter_fir(cfg: SignalConfig, st: ChainState) -> ChainState:
-    """Least-squares FIR band-pass (reference :163-170, :231-236)."""
+    """Least-squares FIR band-pass (reference :163-170, :231-236).
+
+    When the sampling rate can't hold the reference's band layout
+    (overlapping/non-monotonic edges, e.g. fs < 2*(max_freq + fir_df)),
+    the firls normal equations go singular and scipy would raise; the
+    samples degrade to NaN instead (masked degradation, SURVEY §5.3)."""
     fs = _safe(st.fs, 100.0)
     bands, desired = fir.reference_fir_bands(
         jnp.float32(cfg.min_freq), jnp.float32(cfg.max_freq),
         jnp.float32(cfg.fir_df), fs)
-    h = fir.firls_bandpass(cfg.fir_taps, bands, desired, fs)
+    # Monotone non-overlapping edges: 0 < b1 <= lo < hi <= b4 < fs/2.
+    edges = bands.reshape(-1)
+    band_ok = jnp.all(edges[1:] >= edges[:-1]) & (edges[1] > 0.0)
+    bands_s = jnp.where(band_ok, bands,
+                        jnp.asarray([[0.0, 1.0], [2.0, 3.0], [4.0, 5.0]],
+                                    jnp.float32))
+    fs_s = jnp.where(band_ok, fs, 100.0)
+    h = fir.firls_bandpass(cfg.fir_taps, bands_s, desired, fs_s)
     c = sig.compact(st.valid, st.y)
     ext_cap = st.y.shape[0] + 2 * 3 * cfg.fir_taps + cfg.fir_taps - 1
     out = fir.filtfilt_fir(h, c.values, jnp.maximum(c.count, 2), ext_cap)
+    out = jnp.where(band_ok, out, jnp.float32(jnp.nan))
     return st._replace(y=sig.scatter_back(st.valid, out, st.y))
 
 

@@ -249,3 +249,32 @@ def test_correlation_parity(n_valid, nan_prob):
         np.testing.assert_allclose(ml[:kv], ref_l, atol=1e-4)
         scale = np.abs(ref_c).max() + 1e-12
         np.testing.assert_allclose(mc[:kv], ref_c, atol=1e-3 * scale)
+
+
+@pytest.mark.parametrize("method,fs", [
+    ("filter_butter", 0.3),   # fs/2 - 2*min_bw < 0: no clamped band fits
+    ("filter_fir", 6.0),      # b4 = fs/2 - df < max_freq: bands overlap
+])
+def test_filters_degrade_to_nan_at_too_low_fs(method, fs):
+    """Sampling rates that cannot hold the band layout must degrade to
+    NaN samples (masked out downstream, SURVEY §5.3) — the silent
+    alternative was a divergent filter (butter poles outside the unit
+    circle / singular firls normal equations) emitting garbage vitals
+    where the reference's scipy would raise."""
+    from bp_from_video_tpu.config import SignalConfig, SignalProcessingMethod
+    from bp_from_video_tpu.ops import chain
+
+    n = 64
+    cfg = SignalConfig(
+        processing_methods=(SignalProcessingMethod(method),),
+        signal_max_samples=n)
+    x = jnp.arange(n, dtype=jnp.float32) / fs
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(0.0, 1.0, (n,)).astype(np.float32))
+    _, y_out = chain.process_signal(cfg, x, y)
+    assert np.isnan(np.asarray(y_out)).all()
+
+    # Sanity: a normal rate through the same config stays finite.
+    x_ok = jnp.arange(n, dtype=jnp.float32) / 30.0
+    _, y_ok = chain.process_signal(cfg, x_ok, y)
+    assert np.isfinite(np.asarray(y_ok)).all()
