@@ -45,6 +45,21 @@ def push(x: Array, y: Array, new_x: Array, new_y: Array) -> tuple[Array, Array]:
     return x, y
 
 
+def push_if(cond: Array, x: Array, y: Array, new_x: Array, new_y: Array
+            ) -> tuple[Array, Array]:
+    """``push`` gated on a traced scalar: the ring advances only when
+    ``cond`` is true, else both arrays pass through unchanged.
+
+    Used for duplicate-sample suppression in the multi-stream engine: the
+    latest-wins feeder re-ships a stream's previous (frame, timestamp)
+    whenever another stream was fresh first, and an ungated push would
+    fill the fixed window with repeated rows (halving the spectral window,
+    zeroing dx for the fs estimates).  The reference's per-process loop
+    only ever processes fresh frames (pbp.py:21 blocks on q_in.get())."""
+    px, py = push(x, y, new_x, new_y)
+    return jnp.where(cond, px, x), jnp.where(cond, py, y)
+
+
 def valid_x(x: Array) -> Array:
     """The ``v`` mask: finite timestamps (reference signal_data.py:44)."""
     return jnp.isfinite(x)

@@ -131,8 +131,14 @@ class Engine:
         by_model = {ModelType.FACE_LANDMARKER: models.face_landmarker,
                     ModelType.HAND_LANDMARKER: models.hand_landmarker}
         rois_now = roi_ops.calc_rois(cfg.roi_configs, by_model)
-        roi_x, roi_y = sig.push(st.roi_x, jnp.swapaxes(st.roi_y, 0, 1),
-                                timestamp, rois_now)
+        # Stale-batch suppression: per-stream timestamps strictly increase
+        # (wall clock / POS_FRAMES), so a timestamp equal to the ring tail
+        # IS the feeder's latest-wins re-send of an already-pushed frame —
+        # the ring must not advance (sig.push_if docstring).
+        fresh = jnp.isfinite(timestamp) & (timestamp != st.roi_x[-1])
+        roi_x, roi_y = sig.push_if(fresh, st.roi_x,
+                                   jnp.swapaxes(st.roi_y, 0, 1),
+                                   timestamp, rois_now)
         roi_y = jnp.swapaxes(roi_y, 0, 1)
         rois = jax.vmap(lambda y: sig.masked_mean(y, as_int=True))(roi_y)
         return roi_x, roi_y, rois
@@ -166,9 +172,12 @@ class Engine:
         ranges — everything after pixel sampling."""
         cfg = self.config.signal
 
-        # 5. Raw ring push (reference :307).
-        raw_x, raw_y = sig.push(st.raw_x, jnp.swapaxes(st.raw_y, 0, 1),
-                                timestamp, samples)
+        # 5. Raw ring push (reference :307), gated off for a stale re-send
+        # of the frame already at the ring tail (roi_stage comment).
+        fresh = jnp.isfinite(timestamp) & (timestamp != st.raw_x[-1])
+        raw_x, raw_y = sig.push_if(fresh, st.raw_x,
+                                   jnp.swapaxes(st.raw_y, 0, 1),
+                                   timestamp, samples)
         raw_y = jnp.swapaxes(raw_y, 0, 1)
 
         # 6. DSP chain (reference :308).
@@ -184,8 +193,9 @@ class Engine:
         # SignalGroup constructor clobbers set_range (see sig.peak_auto).
         bpm_now = jax.vmap(
             lambda x, y: sig.peak_auto(x, y)[0] * 60.0)(spec_x, spec_y)
-        bpm_x, bpm_y = sig.push(st.bpm_x, jnp.swapaxes(st.bpm_y, 0, 1),
-                                timestamp, bpm_now)
+        bpm_x, bpm_y = sig.push_if(fresh, st.bpm_x,
+                                   jnp.swapaxes(st.bpm_y, 0, 1),
+                                   timestamp, bpm_now)
         bpm_y = jnp.swapaxes(bpm_y, 0, 1)
 
         # 9. Pairwise correlation -> PTT ring (reference :311-312).
@@ -203,8 +213,9 @@ class Engine:
             corr_x = jnp.full((p_cnt, 2 * n - 1), jnp.nan, jnp.float32)
             corr_y = jnp.full((p_cnt, 2 * n - 1), jnp.nan, jnp.float32)
             ptt_now = jnp.full((p_cnt,), jnp.nan, jnp.float32)
-        ptt_x, ptt_y = sig.push(st.ptt_x, jnp.swapaxes(st.ptt_y, 0, 1),
-                                timestamp, ptt_now)
+        ptt_x, ptt_y = sig.push_if(fresh, st.ptt_x,
+                                   jnp.swapaxes(st.ptt_y, 0, 1),
+                                   timestamp, ptt_now)
         ptt_y = jnp.swapaxes(ptt_y, 0, 1)
 
         # 10. HUD statistics (reference drawer.py:127-150 consumes these).

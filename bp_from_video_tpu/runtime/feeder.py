@@ -42,6 +42,8 @@ class StreamFeed:
         self.slot = FrameSlot(frame_shape)
         self.error: BaseException | None = None
         self.done = threading.Event()
+        self._release_lock = threading.Lock()
+        self._released = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
 
     def start(self):
@@ -60,12 +62,27 @@ class StreamFeed:
             self.error = e
         finally:
             self.done.set()
+            # The reader is released by the thread that reads it:
+            # cv2.VideoCapture is not thread-safe, and releasing from the
+            # feeder's cleanup while this thread sits blocked inside
+            # cap.read() (stalled webcam) is documented UB (segfault/hang).
+            self._release_reader()
+
+    def _release_reader(self):
+        with self._release_lock:
+            if not self._released:
+                self._released = True
+                try:
+                    self.reader.cleanup()
+                except Exception:  # pragma: no cover - release best-effort
+                    pass
 
     def stop(self):
         self.done.set()
 
     def join(self, timeout=None):
         self._thread.join(timeout)
+        return not self._thread.is_alive()
 
 
 class DeviceFeeder:
@@ -162,6 +179,9 @@ class DeviceFeeder:
         for feed in self.feeds:
             feed.stop()
         for feed in self.feeds:
-            feed.join(timeout=2.0)
-        for feed in self.feeds:
-            feed.reader.cleanup()
+            if feed.join(timeout=2.0):
+                # Thread exited; its finally released the reader already
+                # (idempotent).  A thread still blocked in cap.read() keeps
+                # ownership and releases on return — releasing from here
+                # concurrently is the undefined-behavior case.
+                feed._release_reader()

@@ -207,3 +207,35 @@ def test_batch_step_planar_frames_match_nhwc():
     for a, b in zip(jax.tree.leaves((st_a, out_a)),
                     jax.tree.leaves((st_b, out_b))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stale_batch_resend_does_not_advance_rings():
+    """The latest-wins feeder re-ships a stream's previous (frame,
+    timestamp) whenever only other streams were fresh; re-sends must not
+    push duplicate rows (dx=0 -> inf fs, halved spectral window).  A
+    timestamp equal to the ring tail identifies the re-send (per-stream
+    timestamps strictly increase)."""
+    cfg = EngineConfig(
+        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
+        inference=InferenceConfig(
+            face_detector_path=None, face_landmarker_path=None,
+            hand_landmarker_path=None, person_segmenter_path=None),
+        frame_height=32, frame_width=32)
+    eng = Engine(cfg)
+    step = jax.jit(eng.step)
+    state = eng.init_state()
+    rng = np.random.default_rng(3)
+    frame = jnp.asarray(rng.integers(0, 256, (32, 32, 3), np.uint8))
+    for t in range(4):
+        state, out = step(eng.params, state, frame,
+                          jnp.float32((t + 1) / 30.0))
+    raw_x_before = np.asarray(state.signals.raw_x)
+    # Re-send of the SAME timestamp: signal state must not change.
+    state2, out2 = step(eng.params, state, frame, jnp.float32(4 / 30.0))
+    np.testing.assert_array_equal(np.asarray(state2.signals.raw_x),
+                                  raw_x_before)
+    np.testing.assert_array_equal(np.asarray(state2.signals.bpm_x),
+                                  np.asarray(state.signals.bpm_x))
+    # A genuinely fresh timestamp advances again.
+    state3, _ = step(eng.params, state2, frame, jnp.float32(5 / 30.0))
+    assert float(np.asarray(state3.signals.raw_x)[-1]) == np.float32(5 / 30.0)
