@@ -176,6 +176,12 @@ class InferenceConfig:
     hand_landmarker_path: str | None = "models/hand_landmarker.task"
     person_segmenter_path: str | None = "models/selfie_multiclass.tflite"
 
+    # Tracked-face capacity.  Only 1 is supported: the VIDEO-mode face
+    # tracker carries a single rect (largest face, matching the reference's
+    # FaceLandmarker default num_faces=1 and the ROI stage's
+    # take-the-largest selection, signal_processor.py:143) — validated in
+    # __post_init__ so a larger value fails loudly instead of silently
+    # reporting one face in max_faces-shaped outputs.
     max_faces: int = 1
     max_hands: int = 2
 
@@ -241,6 +247,12 @@ class InferenceConfig:
     fuse_dw_pw: bool = False
     pack_s2d: int = 0
 
+    def __post_init__(self):
+        if self.max_faces != 1:
+            raise ValueError(
+                f"max_faces={self.max_faces}: the face tracker is "
+                "single-face (largest; see the max_faces field comment)")
+
     def enabled(self, model_type: ModelType) -> bool:
         return {
             ModelType.FACE_DETECTOR: self.face_detector,
@@ -273,12 +285,21 @@ class DrawConfig:
 
     line_thickness: int = 1
     point_radius: int = 1
+    # Stacked plot rows; at most 3 exist (processed / spectra / correlation,
+    # reference drawer.py:48-50) — validated in __post_init__ because the
+    # packer/unpacker pair would desynchronize past the data row count.
     num_plots: int = 3
     window_size: tuple[int, int] = (640, 720)  # (width, height)
     window_margins: tuple[int, int] = (40, 40)
     graph_default_range: tuple[float, float] = (-1.0, 1.0)
     alpha: float = 0.75
     on_device: bool = True  # rasterize overlays/plots on the TPU
+
+    def __post_init__(self):
+        if not 1 <= self.num_plots <= 3:
+            raise ValueError(
+                f"num_plots={self.num_plots}: only 1..3 plot rows exist "
+                "(processed / spectra / correlation)")
 
 
 # --- Top-level engine config ---------------------------------------------------

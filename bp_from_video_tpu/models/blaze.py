@@ -27,9 +27,8 @@ Array = jax.Array
 
 
 def _conv_init(key, kh, kw, cin, cout):
-    k1, k2 = jax.random.split(key)
     fan_in = kh * kw * cin
-    w = jax.random.normal(k1, (kh, kw, cin, cout), jnp.float32)
+    w = jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
     return {"w": w * np.sqrt(2.0 / fan_in), "b": jnp.zeros((cout,), jnp.float32)}
 
 
@@ -88,7 +87,6 @@ def init_blaze_detector(seed: int, input_size: int, num_anchors: int,
     cell (matching the face/palm anchor layouts)."""
     key = jax.random.PRNGKey(seed)
     ks = jax.random.split(key, 10)
-    c8 = input_size // 8
     box_dim = 4 + 2 * num_kps
     return {
         "stem": _conv_init(ks[0], 5, 5, 3, 24),
@@ -141,7 +139,6 @@ def _pack_stem(stem: dict, k: int, in_size: int) -> dict:
     packing is a true 4x row win (past 128 the zero-padded kernel costs
     K-tiles and cancels it; measured on the face mesh graph).
     """
-    import numpy as np
     from bp_from_video_tpu.models.tflite_compiler import (_pack_conv_weight,
                                                           _tflite_pad)
     w = np.asarray(jnp.asarray(stem["w"], jnp.float32))   # HWIO [k,k,3,O]

@@ -50,6 +50,57 @@ SEG_SKIN_CLASS = 3
 PRESENCE_THRESHOLD = 0.5
 
 
+def _rect_iou_matrix(a: Array, b: Array) -> Array:
+    """Pairwise IoU of (cx, cy, w, h[, rot]) rects, rotation ignored —
+    MediaPipe's association calculator compares norm rects the same way."""
+    ax0, ay0 = a[:, 0] - a[:, 2] / 2, a[:, 1] - a[:, 3] / 2
+    ax1, ay1 = a[:, 0] + a[:, 2] / 2, a[:, 1] + a[:, 3] / 2
+    bx0, by0 = b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2
+    bx1, by1 = b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2
+    ix = jnp.maximum(0.0, jnp.minimum(ax1[:, None], bx1[None, :])
+                     - jnp.maximum(ax0[:, None], bx0[None, :]))
+    iy = jnp.maximum(0.0, jnp.minimum(ay1[:, None], by1[None, :])
+                     - jnp.maximum(ay0[:, None], by0[None, :]))
+    inter = ix * iy
+    area_a = (ax1 - ax0) * (ay1 - ay0)
+    area_b = (bx1 - bx0) * (by1 - by0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-6)
+
+
+def _associate_hand_dets(tracking: Array, t_rects: Array, det_rects: Array,
+                         det_valid: Array, iou_thr: float = 0.5
+                         ) -> tuple[Array, Array]:
+    """Fill LOST hand slots from palm detections with track association.
+
+    MediaPipe's graph suppresses detections overlapping already-tracked
+    rects before refilling (association calculator, min_similarity 0.5);
+    without it, a slot that loses its hand re-acquires the detector's
+    top-score hand — usually the one the OTHER slot still tracks — and
+    both slots track one physical hand forever.  Remaining detections are
+    assigned to lost slots in rank order (r-th lost slot takes the r-th
+    unsuppressed detection).  Returns (rects [nh, 5], slot_ok [nh])."""
+    ious = _rect_iou_matrix(det_rects, t_rects)             # [nd, nt]
+    sup = jnp.any((ious > iou_thr) & tracking[None, :], axis=1)
+    free_det = det_valid & ~sup
+    det_rank = jnp.cumsum(free_det) - 1
+    lost = ~tracking
+    slot_rank = jnp.cumsum(lost) - 1
+    match = (lost[:, None] & free_det[None, :]
+             & (slot_rank[:, None] == det_rank[None, :]))   # [nh, nd]
+    got = jnp.any(match, axis=1)
+    # Zero invalid/unselected det rows BEFORE the select-matmul: unfilled
+    # NMS slots carry NaN rects and 0 * NaN = NaN would poison every sum.
+    det_clean = jnp.where(free_det[:, None], jnp.nan_to_num(det_rects), 0.0)
+    new_rect = match.astype(det_rects.dtype) @ det_clean
+    # Unfilled slots carry NaN rects — _safe_rect's centered default takes
+    # over for the (masked-out) crop, as in the pre-association layout.
+    rects = jnp.where(tracking[:, None], t_rects,
+                      jnp.where(got[:, None], new_rect,
+                                jnp.float32(jnp.nan)))
+    return rects, tracking | got
+
+
 def skin_confidence(seg_conf):
     """The face-skin confidence mask from ``seg_conf`` in either layout:
     [..., 6, H, W] (seg_full_masks=True) or [..., 1, H, W] (skin-only
@@ -350,6 +401,15 @@ class InferenceRunner:
                 mags = {i: float(np.abs(np.asarray(outs[i], np.float32)).mean())
                         for i in cands}
                 lm_idx = max(cands, key=mags.get)
+            # Scalar roles (presence first, then handedness/tongueOut)
+            # follow GRAPH OUTPUT ORDER — the contract of every shipped
+            # MediaPipe bundle (hand: lm, score, handedness, world_lm;
+            # face: lm, presence, tongueOut), locked by the fixture-bundle
+            # tests.  Unlike the landmark tensors (size-disambiguated
+            # above), two size-1 scalars cannot be told apart by probing —
+            # a converter that reordered them would swap presence and
+            # handedness, so the assumption is documented rather than
+            # silently positional.
             scalar_idx = [i for i, n in enumerate(sizes) if n == 1]
 
             def apply(p, x, fn=fn, nl=num_landmarks, li=lm_idx,
@@ -527,8 +587,7 @@ class InferenceRunner:
             x = jnp.transpose(x, (2, 4, 0, 1, 3))
             x = x.reshape(4 * c, sh // 2, sw // 2)
         lm, presence, aux = self._fns[key](params, x[None].astype(self.dtype))
-        pts = lm[0].astype(jnp.float32).reshape(-1, 3)[:, :2] / size
-        pts_px = warp.project_landmarks(pts, rect)
+        pts_px = self._project_lm(key, lm[0], rect)
         return pts_px, presence[0, 0].astype(jnp.float32), aux[0, 0]
 
     def _use_fused_stem(self, key: str) -> bool:
@@ -615,8 +674,7 @@ class InferenceRunner:
                                                       size)
         else:
             lm, presence, _aux = self._fns[key](params, stem_y[None])
-        pts = lm[0].astype(jnp.float32).reshape(-1, 3)[:, :2] / size
-        pts_px = warp.project_landmarks(pts, rect)
+        pts_px = self._project_lm(key, lm[0], rect)
         return pts_px, presence[0, 0].astype(jnp.float32), _aux[0, 0]
 
     # -- bounded re-detection sub-batch -------------------------------------
@@ -819,9 +877,9 @@ class InferenceRunner:
                         jnp.all(state.hand_tracking), reuse_palms,
                         detect_palms, None)
                     new_hand_age = jnp.zeros_like(state.hand_det_age)
-                rects_a = jnp.where(state.hand_tracking[..., None],
-                                    state.hand_rects, det_rects)
-                slot_ok = state.hand_tracking | det_valid
+                rects_a, slot_ok = jax.vmap(_associate_hand_dets)(
+                    state.hand_tracking, state.hand_rects, det_rects,
+                    det_valid)
             else:
                 rects_a, slot_ok = detect_palms(None)
         else:
