@@ -204,6 +204,53 @@ def parse_tflite(data: bytes) -> Graph:
 # --- graph optimization ------------------------------------------------------
 
 
+class _GraphEdit:
+    """Shared graph-pass machinery: the consumers map, DEQUANTIZE-folding
+    constant resolution, and constant/activation tensor appends.  Every
+    rewrite pass (fuse_dw_pw_pairs, fuse_bottlenecks, space_to_depth_pack,
+    _extract_stem) needs some subset; one copy means the passes cannot
+    disagree about which tensors are constant."""
+
+    def __init__(self, graph: Graph):
+        self.graph = graph
+        self.tensors = list(graph.tensors)
+        self.consumers: dict[int, list[int]] = {}
+        for i, op in enumerate(graph.ops):
+            for t in op.inputs:
+                if t >= 0:
+                    self.consumers.setdefault(t, []).append(i)
+        self.dequant_of = {op.outputs[0]: op.inputs[0] for op in graph.ops
+                           if op.opcode == "DEQUANTIZE"
+                           and graph.tensors[op.inputs[0]].data is not None}
+
+    def const(self, idx: int) -> np.ndarray | None:
+        if idx < 0:
+            return None
+        src = self.dequant_of.get(idx)
+        if src is not None:
+            info = self.graph.tensors[src]
+            return _dequant(info, info.data)
+        info = self.tensors[idx]
+        return None if info.data is None else _dequant(info, info.data)
+
+    def add_const(self, name: str, arr: np.ndarray) -> int:
+        self.tensors.append(TensorInfo(name, tuple(arr.shape), arr.dtype,
+                                       np.ascontiguousarray(arr), None))
+        return len(self.tensors) - 1
+
+    def add_tensor(self, name: str, shape, data=None) -> int:
+        self.tensors.append(TensorInfo(
+            name, tuple(int(x) for x in shape), np.float32,
+            None if data is None else np.ascontiguousarray(data), None))
+        return len(self.tensors) - 1
+
+    def sole_consumer(self, t: int) -> tuple[int, "OpNode | None"]:
+        cons = self.consumers.get(t, [])
+        if len(cons) == 1 and t not in self.graph.outputs:
+            return cons[0], self.graph.ops[cons[0]]
+        return -1, None
+
+
 def fuse_dw_pw_pairs(graph: Graph) -> Graph:
     """Fold DEPTHWISE_CONV_2D -> 1x1 CONV_2D pairs into single dense convs.
 
@@ -225,33 +272,9 @@ def fuse_dw_pw_pairs(graph: Graph) -> Graph:
     Returns a new Graph sharing tensor storage; composed weights are
     appended as new constant tensors.
     """
-    consumers: dict[int, list[int]] = {}
-    for i, op in enumerate(graph.ops):
-        for t in op.inputs:
-            if t >= 0:
-                consumers.setdefault(t, []).append(i)
-
-    # Constant resolution incl. folded DEQUANTIZE chains (weights are stored
-    # f16 behind DEQUANTIZE ops in the MediaPipe bundles).
-    dequant_of = {op.outputs[0]: op.inputs[0] for op in graph.ops
-                  if op.opcode == "DEQUANTIZE"
-                  and graph.tensors[op.inputs[0]].data is not None}
-
-    def const(idx: int) -> np.ndarray | None:
-        if idx < 0:
-            return None
-        if idx in dequant_of:
-            src = dequant_of[idx]
-            return _dequant(graph.tensors[src], graph.tensors[src].data)
-        info = graph.tensors[idx]
-        return None if info.data is None else _dequant(info, info.data)
-
-    tensors = list(graph.tensors)
-
-    def add_const(name: str, arr: np.ndarray) -> int:
-        tensors.append(TensorInfo(name, tuple(arr.shape), arr.dtype,
-                                  np.ascontiguousarray(arr), None))
-        return len(tensors) - 1
+    ge = _GraphEdit(graph)
+    consumers, tensors = ge.consumers, ge.tensors
+    const, add_const = ge.const, ge.add_const
 
     new_ops: list[OpNode] = []
     skip: set[int] = set()
@@ -326,36 +349,10 @@ def fuse_bottlenecks(graph: Graph, min_hw: int = 0) -> Graph:
     """
     from bp_from_video_tpu.pallas import block_kernel as bk
 
-    consumers: dict[int, list[int]] = {}
-    for i, op in enumerate(graph.ops):
-        for t in op.inputs:
-            if t >= 0:
-                consumers.setdefault(t, []).append(i)
-    dequant_of = {op.outputs[0]: op.inputs[0] for op in graph.ops
-                  if op.opcode == "DEQUANTIZE"
-                  and graph.tensors[op.inputs[0]].data is not None}
-
-    def const(idx: int) -> np.ndarray | None:
-        if idx < 0:
-            return None
-        if idx in dequant_of:
-            src = dequant_of[idx]
-            return _dequant(graph.tensors[src], graph.tensors[src].data)
-        info = graph.tensors[idx]
-        return None if info.data is None else _dequant(info, info.data)
-
-    tensors = list(graph.tensors)
-
-    def add_const(name: str, arr: np.ndarray) -> int:
-        tensors.append(TensorInfo(name, tuple(arr.shape), arr.dtype,
-                                  np.ascontiguousarray(arr), None))
-        return len(tensors) - 1
-
-    def sole_consumer(t: int) -> tuple[int, OpNode | None]:
-        cons = consumers.get(t, [])
-        if len(cons) == 1 and t not in graph.outputs:
-            return cons[0], graph.ops[cons[0]]
-        return -1, None
+    ge = _GraphEdit(graph)
+    consumers, tensors = ge.consumers, ge.tensors
+    const, add_const = ge.const, ge.add_const
+    sole_consumer = ge.sole_consumer
 
     new_ops: list[OpNode] = []
     skip: set[int] = set()
@@ -620,26 +617,9 @@ def space_to_depth_pack(graph: Graph, min_hw: int = 64,
     Ops without a packed rewrite fall back automatically: a DEPTH_TO_SPACE
     materializes the unpacked tensor on demand.
     """
-    tensors = list(graph.tensors)
-    dequant_of = {op.outputs[0]: op.inputs[0] for op in graph.ops
-                  if op.opcode == "DEQUANTIZE"
-                  and graph.tensors[op.inputs[0]].data is not None}
-
-    def const(idx: int) -> np.ndarray | None:
-        if idx < 0:
-            return None
-        if idx in dequant_of:
-            src = dequant_of[idx]
-            return _dequant(graph.tensors[src], graph.tensors[src].data)
-        info = tensors[idx]
-        return None if info.data is None else _dequant(info, info.data)
-
-    def add_tensor(name: str, shape, data=None) -> int:
-        tensors.append(TensorInfo(name, tuple(int(x) for x in shape),
-                                  np.float32,
-                                  None if data is None
-                                  else np.ascontiguousarray(data), None))
-        return len(tensors) - 1
+    ge = _GraphEdit(graph)
+    tensors = ge.tensors
+    const, add_tensor = ge.const, ge.add_tensor
 
     new_ops: list[OpNode] = []
     packed_of: dict[int, int] = {}    # orig idx -> packed-rep tensor idx
@@ -692,7 +672,7 @@ def space_to_depth_pack(graph: Graph, min_hw: int = 64,
     for idx, info in enumerate(tensors):
         if info.data is not None:
             produced.add(idx)
-    produced.update(dequant_of.keys())
+    produced.update(ge.dequant_of.keys())
 
     for op in graph.ops:
         name, ins, outs = op.opcode, op.inputs, op.outputs
@@ -879,17 +859,7 @@ def _extract_stem(graph: Graph) -> tuple[Graph, dict | None]:
             or ishape[1] % 2:
         return graph, None
 
-    dequant_of = {op.outputs[0]: op.inputs[0] for op in graph.ops
-                  if op.opcode == "DEQUANTIZE"
-                  and graph.tensors[op.inputs[0]].data is not None}
-
-    def const(idx):
-        src = dequant_of.get(idx)
-        if src is not None:
-            info = graph.tensors[src]
-            return _dequant(info, info.data)
-        info = graph.tensors[idx]
-        return None if info.data is None else _dequant(info, info.data)
+    const = _GraphEdit(graph).const
 
     conv = next((op for op in graph.ops if op.opcode == "CONV_2D"
                  and op.inputs[0] == inp), None)
