@@ -199,7 +199,9 @@ def main(argv=None) -> int:
             raise SystemExit("--offline requires video files, not cameras")
         out, clip_ts = offline.process_videos(
             paths, cfg, asset_dir=args.asset_dir,
-            max_frames=args.max_frames, target_res=captures[0].target_res)
+            max_frames=args.max_frames, target_res=captures[0].target_res,
+            crop_portrait=captures[0].crop_portrait,
+            flip_horizontally=captures[0].flip_horizontally)
         if recorder is not None:
             recorder.add_clip(clip_ts[:, 0], out)
             print(f"recorded clip -> {recorder.save()}")

@@ -73,7 +73,10 @@ def run(config: EngineConfig | None = None,
             key = draw(jnp.transpose(frames[s], (1, 2, 0)),
                        jax.tree.map(lambda a: a[s], out),
                        bool(cal[s]))
-            readers[s].prop_control(key)
+            # Through the feeder, not readers[s] directly: the capture
+            # thread owns the cv2.VideoCapture, and prop sets concurrent
+            # with its cap.read() are undefined behavior.
+            feeder.prop_control(s, key)
             if recorder is not None:
                 recorder.add(ts, out)
             n += 1

@@ -52,6 +52,16 @@ def _kernel(rois_ref, frame_ref, *rest, num_rois, weighted):
     def put(tile, row, col, scalar):
         return jnp.where((ri == row) & (ci == col), scalar, tile)
 
+    # Cast each channel plane (and fold the weight map) ONCE, outside the
+    # per-ROI loop — the loop would otherwise repeat the full-frame
+    # uint8->f32 cast and multiply up to 8x per stream (warp_kernel hoists
+    # its plane casts the same way).
+    wmap = w_ref[0] if weighted else None            # [H, W] f32
+    planes = []
+    for ch in range(frame_ref.shape[1]):
+        f = frame_ref[0, ch].astype(jnp.int32).astype(jnp.float32)
+        planes.append(f * wmap if weighted else f)
+
     vals = jnp.zeros((8, 128), jnp.float32)
     for r in range(num_rois):
         # Integral ROI layout (x, y, x0, y0, x1, y1); NaNs arrive as the
@@ -63,16 +73,12 @@ def _kernel(rois_ref, frame_ref, *rest, num_rois, weighted):
         rm = _span(y0, y1, h)                       # [1, H]
         cm = _span(x0, x1, w)                       # [1, W]
         if weighted:
-            wmap = w_ref[0]                         # [H, W] f32
             den = jnp.dot(jnp.dot(rm, wmap, preferred_element_type=jnp.float32),
                           cm.T, preferred_element_type=jnp.float32)[0, 0]
         else:
             den = jnp.sum(rm) * jnp.sum(cm)
         vals = put(vals, r, 3, den)
-        for ch in range(frame_ref.shape[1]):
-            f = frame_ref[0, ch].astype(jnp.int32).astype(jnp.float32)
-            if weighted:
-                f = f * wmap
+        for ch, f in enumerate(planes):
             row = jnp.dot(rm, f, preferred_element_type=jnp.float32)  # [1, W]
             vals = put(vals, r, ch,
                        jnp.dot(row, cm.T,

@@ -14,6 +14,7 @@ first on-device matmul).
 
 from __future__ import annotations
 
+import queue
 import threading
 from typing import Sequence
 
@@ -44,15 +45,24 @@ class StreamFeed:
         self.done = threading.Event()
         self._release_lock = threading.Lock()
         self._released = False
+        self._prop_keys: queue.SimpleQueue[int] = queue.SimpleQueue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
 
     def start(self):
         self._thread.start()
         return self
 
+    def request_prop(self, key: int) -> None:
+        """Queue a camera-property keypress for the CAPTURE thread to apply
+        between reads: cv2.VideoCapture is not thread-safe, so the driver
+        must not call prop_control concurrently with cap.read()."""
+        self._prop_keys.put(key)
+
     def _loop(self):
         try:
             while not self.done.is_set():
+                while not self._prop_keys.empty():
+                    self.reader.prop_control(self._prop_keys.get_nowait())
                 fd = self.reader.read_frame()
                 self.slot.put(fd.frame, fd.timestamp, fd.sampling_freq,
                               fd.calibrating)
@@ -174,6 +184,13 @@ class DeviceFeeder:
         frames = jax.device_put(self._frames, self.device)
         return (_to_rgb(frames), jnp.asarray(ts),
                 jnp.asarray(self._fs), jnp.asarray(self._cal))
+
+    def prop_control(self, stream: int, key: int) -> None:
+        """Thread-safe camera prop adjustment: routes the keypress to the
+        stream's capture thread (StreamFeed.request_prop)."""
+        if key is None or key < 0:
+            return  # no key pressed this frame
+        self.feeds[stream].request_prop(key)
 
     def cleanup(self):
         for feed in self.feeds:

@@ -24,11 +24,17 @@ from bp_from_video_tpu.runtime.capture import VideoReader
 
 
 def decode_clip(path: str, max_frames: int | None = None,
-                target_res: tuple[int, int] | None = None
+                target_res: tuple[int, int] | None = None,
+                crop_portrait: bool = False,
+                flip_horizontally: bool | None = None
                 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode a video file into (frames_rgb uint8 [T, H, W, 3],
-    timestamps [T])."""
-    reader = VideoReader(path, target_res=target_res)
+    timestamps [T]).  ``crop_portrait``/``flip_horizontally`` apply the
+    same geometry the live capture path would (offline results must match
+    a live run with identical flags)."""
+    reader = VideoReader(path, target_res=target_res,
+                         crop_portrait=crop_portrait,
+                         flip_horizontally=flip_horizontally)
     frames, ts = [], []
     try:
         while max_frames is None or len(frames) < max_frames:
@@ -47,7 +53,9 @@ def decode_clip(path: str, max_frames: int | None = None,
 def process_videos(paths: Sequence[str], config: EngineConfig | None = None,
                    *, asset_dir: str | None = None,
                    max_frames: int | None = None, chunk: int = 256,
-                   target_res: tuple[int, int] | None = None
+                   target_res: tuple[int, int] | None = None,
+                   crop_portrait: bool = False,
+                   flip_horizontally: bool | None = None
                    ) -> tuple[ClipOutputs, np.ndarray]:
     """Run the full pipeline over recorded videos in batch.
 
@@ -57,7 +65,9 @@ def process_videos(paths: Sequence[str], config: EngineConfig | None = None,
     ``chunk``-frame device blocks.  Returns (time-major ClipOutputs
     [T, S, ...], timestamps [T, S] seconds)."""
     config = config or EngineConfig()
-    decoded = [decode_clip(p, max_frames=max_frames, target_res=target_res)
+    decoded = [decode_clip(p, max_frames=max_frames, target_res=target_res,
+                           crop_portrait=crop_portrait,
+                           flip_horizontally=flip_horizontally)
                for p in paths]
     t_len = min(f.shape[0] for f, _ in decoded)
     frames = np.stack([f[:t_len] for f, _ in decoded], axis=1)  # [T, S, ...]

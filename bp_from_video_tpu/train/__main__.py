@@ -64,9 +64,23 @@ def load_recorded(features_path: str, labels_path: str):
     bpm = rec["bpm"].astype(np.float32)
     ptt = rec["ptt"].astype(np.float32)
     labels = np.load(labels_path)["labels"].astype(np.float32)
+    if bpm.ndim == 3:
+        # Pipelined/offline recordings carry a stream axis ([T, S, R]):
+        # each (step, stream) pair is one training sample.  Labels may be
+        # per-step ([T, 2] — broadcast across streams) or per-sample
+        # ([T, S, 2] / [T*S, 2]).
+        t, s = bpm.shape[:2]
+        if labels.ndim == 2 and labels.shape[0] == t:
+            labels = np.repeat(labels[:, None, :], s, axis=1)
+        bpm = bpm.reshape(t * s, -1)
+        ptt = ptt.reshape(t * s, -1)
+        labels = labels.reshape(-1, labels.shape[-1])
     if labels.shape[0] != bpm.shape[0]:
         raise SystemExit(f"labels rows {labels.shape[0]} != feature rows "
                          f"{bpm.shape[0]}")
+    if labels.ndim != 2 or labels.shape[-1] != 2:
+        raise SystemExit(f"labels must be [rows, 2] (SBP, DBP); got "
+                         f"{labels.shape}")
     return bpm, ptt, labels
 
 
@@ -86,7 +100,8 @@ def main(argv=None) -> int:
     ap.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
     ap.add_argument("--eval-frac", type=float, default=0.2)
     ap.add_argument("--checkpoint", default=None, metavar="DIR")
-    ap.add_argument("--ckpt-every", type=int, default=200)
+    ap.add_argument("--ckpt-every", type=int, default=200,
+                    help="save every N steps; 0 = only at the end")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None,
@@ -108,7 +123,7 @@ def main(argv=None) -> int:
         bpm, ptt, labels = synth_dataset(args.synthetic, seed=args.seed)
     elif args.csv:
         rows = np.loadtxt(args.csv, delimiter=",", skiprows=1,
-                          dtype=np.float32)
+                          dtype=np.float32, ndmin=2)
         bpm, ptt, labels = rows[:, 0:1], rows[:, 1:2], rows[:, 2:4]
     else:
         if not args.labels:
@@ -183,7 +198,8 @@ def main(argv=None) -> int:
             print(f"step {i + 1:6d}  huber {float(loss):8.3f}  "
                   f"eval MAE mmHg  SBP {float(mae[0]):6.2f}  "
                   f"DBP {float(mae[1]):6.2f}", flush=True)
-        if args.checkpoint and (i + 1) % args.ckpt_every == 0:
+        if (args.checkpoint and args.ckpt_every > 0
+                and (i + 1) % args.ckpt_every == 0):
             save_state(args.checkpoint, (state, norm))
             saved_at = i + 1
     if args.checkpoint:

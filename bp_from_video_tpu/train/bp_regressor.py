@@ -63,8 +63,12 @@ def features_from_outputs(bpm: Array, ptt: Array) -> Array:
     learn to discount unsettled windows.
     """
     feats = jnp.concatenate([bpm, ptt], axis=-1)
-    valid = jnp.isfinite(feats).astype(jnp.float32)
-    return jnp.concatenate([jnp.nan_to_num(feats), valid], axis=-1)
+    valid = jnp.isfinite(feats)
+    # where(), not bare nan_to_num: +/-inf features (e.g. fs = 1/dt with a
+    # zero timestamp delta) must become 0 like NaN does, not +/-3.4e38 —
+    # the validity flag already marks them invalid either way.
+    return jnp.concatenate([jnp.where(valid, feats, 0.0),
+                            valid.astype(jnp.float32)], axis=-1)
 
 
 def loss_fn(params: MLPParams, feats: Array, labels: Array) -> Array:
