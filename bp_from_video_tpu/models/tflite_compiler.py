@@ -45,8 +45,12 @@ def _schema_fb():
 
 
 _TENSOR_DTYPES = {
+    # TFLite schema TensorType numbering (verified against the installed
+    # schema): ... 15 = UINT32, 16 = UINT16, 17 = INT4 (packed nibbles —
+    # unsupported, must not silently .view() as a wider dtype).
     0: np.float32, 1: np.float16, 2: np.int32, 3: np.uint8, 4: np.int64,
-    6: np.bool_, 7: np.int16, 9: np.int8, 10: np.float64, 17: np.uint32,
+    6: np.bool_, 7: np.int16, 9: np.int8, 10: np.float64, 15: np.uint32,
+    16: np.uint16,
 }
 
 
@@ -176,17 +180,34 @@ def parse_tflite(data: bytes) -> Graph:
     for i in range(sg.TensorsLength()):
         t = sg.Tensors(i)
         shape = tuple(t.ShapeAsNumpy().tolist()) if t.ShapeLength() else ()
-        dtype = _TENSOR_DTYPES.get(t.Type(), np.float32)
+        dtype = _TENSOR_DTYPES.get(t.Type())
         buf = model.Buffers(t.Buffer())
+        if dtype is None:
+            if buf.DataLength() > 0:
+                # Silently .view()-ing an unknown type (e.g. INT4 packed
+                # nibbles) would yield garbage constants; fail loudly.
+                raise NotImplementedError(
+                    f"tensor type {t.Type()} with constant data")
+            dtype = np.float32
         arr = None
         if buf.DataLength() > 0:
             raw = buf.DataAsNumpy().view(dtype)
             arr = raw.reshape(shape) if shape else raw
         quant = None
         q = t.Quantization()
-        if q is not None and q.ScaleLength() > 0:
+        if q is not None and q.ScaleLength() == 1:
             quant = (float(q.Scale(0)),
                      int(q.ZeroPoint(0)) if q.ZeroPointLength() else 0)
+        elif q is not None and q.ScaleLength() > 1:
+            # Per-channel (per-axis) quantization: full scale/zero-point
+            # vectors plus the quantized dimension — collapsing to
+            # Scale(0) would dequantize every channel with channel 0's
+            # scale (silent garbage weights).
+            quant = (q.ScaleAsNumpy().astype(np.float32),
+                     (q.ZeroPointAsNumpy().astype(np.int64)
+                      if q.ZeroPointLength() else
+                      np.zeros(q.ScaleLength(), np.int64)),
+                     int(q.QuantizedDimension()))
         name = t.Name().decode() if t.Name() else f"t{i}"
         tensors.append(TensorInfo(name, shape, dtype, arr, quant))
     ops: list[OpNode] = []
@@ -353,6 +374,7 @@ def fuse_bottlenecks(graph: Graph, min_hw: int = 0) -> Graph:
     consumers, tensors = ge.consumers, ge.tensors
     const, add_const = ge.const, ge.add_const
     sole_consumer = ge.sole_consumer
+    _producer = {t: j for j, o in enumerate(graph.ops) for t in o.outputs}
 
     new_ops: list[OpNode] = []
     skip: set[int] = set()
@@ -404,6 +426,13 @@ def fuse_bottlenecks(graph: Graph, min_hw: int = 0) -> Graph:
             continue
         resid = [t for t in addo.inputs if t != upo.outputs[0]]
         if len(resid) != 1 or const(resid[0]) is not None:
+            new_ops.append(op)
+            continue
+        if _producer.get(resid[0], -1) > i:
+            # The fused op lands at the down-conv's position but consumes
+            # the ADD's residual input; a residual produced AFTER the
+            # down-conv (legal topological order) would be read before it
+            # exists.  Leave such units unfused.
             new_ops.append(op)
             continue
         last_i, last = sole_consumer(addo.outputs[0])
@@ -478,26 +507,19 @@ def chain_bottlenecks(graph: Graph) -> Graph:
     Chain inputs: [x, wd, bd, ad, wu, bu, au] with the per-unit packed
     weights stacked on a leading U axis; options {"cmid", "last_act"}.
     """
-    consumers: dict[int, set[int]] = {}
-    for i, op in enumerate(graph.ops):
-        for t in op.inputs:
-            if t >= 0:
-                consumers.setdefault(t, set()).add(i)
-
-    tensors = list(graph.tensors)
-
-    def add_const(name: str, arr: np.ndarray) -> int:
-        tensors.append(TensorInfo(name, tuple(arr.shape), arr.dtype,
-                                  np.ascontiguousarray(arr), None))
-        return len(tensors) - 1
+    ge = _GraphEdit(graph)
+    consumers, tensors, add_const = ge.consumers, ge.tensors, ge.add_const
 
     def chainable(op: OpNode) -> bool:
         return (op.opcode == "PALLAS_BN" and op.inputs[0] == op.inputs[1])
 
     def follows(a: OpNode, ai: int, b: OpNode) -> bool:
+        # set(): a self-residual PALLAS_BN consumes its input at BOTH
+        # operand slots, so the list-valued consumers map holds the op
+        # index twice.
         return (b.inputs[0] == a.outputs[0] and b.inputs[1] == a.outputs[0]
                 and b.options == a.options
-                and consumers.get(a.outputs[0]) == {ai + 1}
+                and set(consumers.get(a.outputs[0], ())) == {ai + 1}
                 and a.outputs[0] not in graph.outputs)
 
     new_ops: list[OpNode] = []
@@ -811,6 +833,14 @@ def _dequant(info: TensorInfo, arr: np.ndarray) -> np.ndarray:
     if arr.dtype in (np.float16,):
         return arr.astype(np.float32)
     if arr.dtype in (np.int8, np.uint8) and info.quant is not None:
+        if len(info.quant) == 3:
+            # Per-channel: broadcast each channel's (scale, zero_point)
+            # along the quantized dimension.
+            scales, zps, dim = info.quant
+            bshape = [1] * arr.ndim
+            bshape[dim] = -1
+            return ((arr.astype(np.float32) - zps.reshape(bshape))
+                    * scales.reshape(bshape))
         scale, zp = info.quant
         return (arr.astype(np.float32) - zp) * scale
     return arr
@@ -1108,14 +1138,39 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
                 out_shape = np_const(ins[0])
                 w = get(ins[1])
                 x = get_planar(ins[2]) if nchw else get(ins[2])
-                # TFLite weights: [out, kh, kw, in]; lax transpose conv via
-                # conv_transpose with HWIO of the forward conv.
+                # TFLite weights: [out, kh, kw, in] -> gradient-conv HWIO.
                 wt = jnp.transpose(w, (1, 2, 3, 0))  # H W I O
                 dn = ("NCHW", "HWIO", "NCHW") if nchw else ("NHWC", "HWIO", "NHWC")
-                y = jax.lax.conv_transpose(
-                    x, wt, strides=o["stride"], padding=o["padding"],
+                # The op's EXPLICIT output shape is authoritative: SAME
+                # with stride > 1 admits several legal sizes, and TFLite
+                # derives the padding from the declared one (lax.
+                # conv_transpose would silently substitute in*stride).
+                # Gradient-of-conv form: dilate the input by the stride,
+                # pad (k-1-before, k-1-after), correlate with the
+                # spatially-flipped kernel.
+                sh, sw = o["stride"]
+                kh, kw = int(wt.shape[0]), int(wt.shape[1])
+                oh, ow = int(out_shape[1]), int(out_shape[2])
+                in_h = x.shape[2] if nchw else x.shape[1]
+                in_w = x.shape[3] if nchw else x.shape[2]
+                pads = []
+                for in_sz, out_sz, k, st in ((in_h, oh, kh, sh),
+                                             (in_w, ow, kw, sw)):
+                    total = (max((in_sz - 1) * st + k - out_sz, 0)
+                             if o["padding"] == "SAME" else 0)
+                    before = total // 2
+                    pads.append((k - 1 - before, k - 1 - (total - before)))
+                y = jax.lax.conv_general_dilated(
+                    x, jnp.flip(wt, (0, 1)), window_strides=(1, 1),
+                    padding=pads, lhs_dilation=o["stride"],
                     dimension_numbers=dn,
-                    transpose_kernel=True).astype(dtype)
+                    preferred_element_type=jnp.float32).astype(dtype)
+                got_hw = ((y.shape[2], y.shape[3]) if nchw
+                          else (y.shape[1], y.shape[2]))
+                if got_hw != (oh, ow):
+                    raise ValueError(
+                        f"TRANSPOSE_CONV output {got_hw} != declared "
+                        f"({oh}, {ow})")
                 if len(ins) > 3 and ins[3] >= 0:
                     b = get(ins[3])
                     y = y + (b.reshape(-1, 1, 1) if nchw else b)

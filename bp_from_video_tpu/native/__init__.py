@@ -28,10 +28,15 @@ def _build() -> str | None:
     try:
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            # Compile to a per-PID temp name and os.replace (atomic on
+            # POSIX): a concurrent process must never CDLL a half-written
+            # .so (truncated ELF -> OSError with no fallback engaged).
+            tmp = f"{_LIB}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                 "-o", _LIB, _SRC],
+                 "-o", tmp, _SRC],
                 check=True, capture_output=True)
+            os.replace(tmp, _LIB)
         return _LIB
     except (OSError, subprocess.CalledProcessError):  # pragma: no cover
         return None
@@ -48,7 +53,13 @@ def _load():
             path = _build()
             if path is None:  # pragma: no cover
                 return None
-            lib = ctypes.CDLL(path)
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:  # pragma: no cover - stale/foreign .so
+                # A leftover library from another machine/ABI (the working
+                # tree migrates) must degrade to the Python fallback, not
+                # kill FrameSlot construction.
+                return None
             lib.fq_create.restype = ctypes.c_void_p
             lib.fq_create.argtypes = [ctypes.c_size_t]
             lib.fq_destroy.argtypes = [ctypes.c_void_p]
@@ -76,11 +87,15 @@ class FrameSlot:
         self.frame_shape = tuple(frame_shape)
         self.frame_bytes = int(np.prod(frame_shape))
         self._lib = _load()
-        if self._lib is not None:
-            self._q = ctypes.c_void_p(self._lib.fq_create(self.frame_bytes))
+        q = (ctypes.c_void_p(self._lib.fq_create(self.frame_bytes))
+             if self._lib is not None else None)
+        if q is not None and q.value:
+            self._q = q
             self.native = True
             self._consumed = 0
-        else:  # pragma: no cover - toolchain-less fallback
+        else:  # pragma: no cover - toolchain-less / allocation-failure
+            # fq_create returns NULL on allocation failure; dereferencing
+            # it in fq_put would segfault the process.
             self._lock = threading.Lock()
             self._item = None
             self._seq = 0

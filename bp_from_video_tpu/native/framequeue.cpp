@@ -45,13 +45,21 @@ constexpr int IDX_MASK = 3;
 
 extern "C" {
 
+void fq_destroy(FrameQueue* q);
+
 FrameQueue* fq_create(size_t frame_bytes) {
     auto* q = new (std::nothrow) FrameQueue();
     if (!q) return nullptr;
     q->frame_bytes = frame_bytes;
+    for (int i = 0; i < 3; ++i) q->slots[i].data = nullptr;
     for (int i = 0; i < 3; ++i) {
         q->slots[i].data = new (std::nothrow) uint8_t[frame_bytes];
-        if (!q->slots[i].data) return nullptr;
+        if (!q->slots[i].data) {
+            // Free the queue and earlier buffers before reporting failure
+            // (fq_destroy tolerates null slot pointers).
+            fq_destroy(q);
+            return nullptr;
+        }
         q->slots[i].seq = 0;
     }
     q->ready.store(0, std::memory_order_relaxed);

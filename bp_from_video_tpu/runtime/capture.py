@@ -116,6 +116,15 @@ class VideoReader:
         (resolution probes must not eat frame 0 — see the rewind above)."""
         h = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
         w = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        if not self.is_camera:
+            # FRAME_WIDTH/HEIGHT report the container's CODED dims; with
+            # CAP_PROP_ORIENTATION_AUTO on (set above for files), a 90/270
+            # rotation tag (phone portrait videos) swaps the delivered
+            # frame's axes — advertise the post-rotation shape or every
+            # fixed-size consumer (FrameSlot) rejects frame 0.
+            rot = int(self.cap.get(cv2.CAP_PROP_ORIENTATION_META) or 0)
+            if rot % 180 == 90:
+                h, w = w, h
         if not self.is_camera and self.target_res is not None:
             h, w = self.target_res
         if self.crop_portrait and h < w:
@@ -173,7 +182,10 @@ class VideoReader:
         if self.calibrating and timestamp >= self.calibration_time:
             self.set_prop_calibration(False)
             self.calibrating = False
-        fs = 1.0 / (timestamp - self.timestamp_prev)
+        dt = timestamp - self.timestamp_prev
+        # Coarse clocks / buffered bursts can repeat a timestamp; NaN fs
+        # (masked downstream) instead of ZeroDivisionError killing capture.
+        fs = 1.0 / dt if dt != 0.0 else float("nan")
         self.timestamp_prev = timestamp
         return FrameData(np.ascontiguousarray(frame), timestamp, fs,
                          self.calibrating)

@@ -62,7 +62,10 @@ class SignalRecorder:
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
         arrays = {k: np.stack(v) for k, v in self._rows.items() if v}
         np.savez_compressed(self.path, **arrays)
-        return self.path
+        # np.savez appends '.npz' when the suffix is missing; return the
+        # path of the file that actually exists.
+        return (self.path if self.path.endswith(".npz")
+                else self.path + ".npz")
 
 
 def _flatten(tree: Any):

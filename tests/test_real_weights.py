@@ -263,3 +263,47 @@ def test_associate_hand_dets_unit():
                                      det, jnp.asarray([True, True]))
     assert list(np.asarray(ok)) == [True, True]
     np.testing.assert_allclose(np.asarray(rects), np.asarray(det))
+
+
+def test_transpose_conv_declared_output_shape_parity():
+    """TRANSPOSE_CONV honors the op's explicit output_shape (SAME with
+    stride 2 admits both 2*in and 2*in-1; TFLite derives padding from the
+    declared size) — parity vs the interpreter in both layouts."""
+    from bp_from_video_tpu.models import tflite_compiler as tc
+    from tests.test_tflite_compiler import tflite_reference
+
+    data = fx.build_transpose_conv_net()
+    rng = np.random.RandomState(17)
+    x = rng.uniform(-1, 1, (1, 10, 14, 3)).astype(np.float32)
+    want = tflite_reference(data, [x])[0]
+    assert want.shape == (1, 39, 55, 2)
+
+    for layout, planar in (("NHWC", False), ("NCHW", True)):
+        fn, params = tc.compile_tflite(data, layout=layout,
+                                       planar_inputs=planar)
+        xin = (jnp.transpose(jnp.asarray(x), (0, 3, 1, 2)) if planar
+               else jnp.asarray(x))
+        got = np.asarray(fn(params, xin)[0])
+        if got.shape != want.shape:
+            got = np.transpose(got, (0, 2, 3, 1))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_per_channel_int8_quantization_parity():
+    """Per-channel int8 conv weights must dequantize with each channel's
+    own scale — collapsing to Scale(0) is off by orders of magnitude on
+    this fixture (channel scales span 0.01..10)."""
+    from bp_from_video_tpu.models import tflite_compiler as tc
+    from tests.test_tflite_compiler import tflite_reference
+
+    data = fx.build_per_channel_int8_net()
+    rng = np.random.RandomState(19)
+    x = rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+    want = tflite_reference(data, [x])[0]
+
+    fn, params = tc.compile_tflite(data)
+    got = np.asarray(fn(params, jnp.asarray(x))[0])
+    # Quantized reference: activation-grid tolerance, not fp exactness.
+    scale = float(np.abs(want).max()) or 1.0
+    assert np.abs(got - want).max() / scale < 0.05, (
+        np.abs(got - want).max(), scale)

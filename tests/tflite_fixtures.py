@@ -172,6 +172,60 @@ def build_resize_nearest_net() -> bytes:
     return _convert(m, m.__call__)
 
 
+def build_transpose_conv_net() -> bytes:
+    """TRANSPOSE_CONV with explicit output shapes: the usual in*stride
+    SAME case AND an odd 2*in-1 declared size (legal TFLite — the op's
+    output_shape input is authoritative and determines the padding)."""
+    import tensorflow as tf
+
+    rng = np.random.RandomState(9)
+    k1 = tf.constant(rng.uniform(-0.5, 0.5, (3, 3, 4, 3)).astype(np.float32))
+    k2 = tf.constant(rng.uniform(-0.5, 0.5, (2, 2, 2, 4)).astype(np.float32))
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, 10, 14, 3], tf.float32)])
+        def __call__(self, x):
+            even = tf.nn.conv2d_transpose(
+                x, k1, [1, 20, 28, 4], strides=2, padding="SAME")
+            odd = tf.nn.conv2d_transpose(
+                tf.nn.relu(even), k2, [1, 39, 55, 2], strides=2,
+                padding="SAME")
+            return odd
+
+    m = M()
+    return _convert(m, m.__call__)
+
+
+def build_per_channel_int8_net() -> bytes:
+    """Fully-integer-quantized conv net (per-CHANNEL weight scales — the
+    TFLite default for int8 convs): channel k's weights live at scale
+    2^k-ish, so collapsing to Scale(0) is off by orders of magnitude."""
+    import tensorflow as tf
+
+    rng = np.random.RandomState(4)
+    # Per-channel magnitudes spanning 3 orders of magnitude.
+    k = (rng.uniform(-1, 1, (3, 3, 3, 4))
+         * np.asarray([0.01, 0.1, 1.0, 10.0])).astype(np.float32)
+    kc = tf.constant(k)
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, 16, 16, 3], tf.float32)])
+        def __call__(self, x):
+            return tf.nn.relu(tf.nn.conv2d(x, kc, 1, "SAME"))
+
+    m = M()
+    # Dynamic-range quantization: per-channel int8 WEIGHTS with float
+    # activations — the weight path the per-channel _dequant fix covers
+    # (full-integer graphs additionally need QUANTIZE activation ops,
+    # which the float-executing compiler does not simulate).
+    conv = tf.lite.TFLiteConverter.from_concrete_functions(
+        [m.__call__.get_concrete_function()], m)
+    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    return conv.convert()
+
+
 def build_segmenter() -> bytes:
     import tensorflow as tf
 
