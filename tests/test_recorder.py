@@ -74,3 +74,14 @@ def test_signal_recorder_mixed_live_and_clip_rows(tmp_path):
     assert data["bpm"].shape == (4, 2)
     np.testing.assert_allclose(data["timestamp"],
                                np.arange(4, dtype=np.float32) / 30.0)
+
+
+def test_save_returns_existing_path_without_suffix(tmp_path):
+    """np.savez appends '.npz' when missing; save() must return the path
+    of the file that actually exists."""
+    import os
+
+    r = rec.SignalRecorder(str(tmp_path / "out"))
+    r.add(0.1, FakeOut([60.0], [20.0], 30.0))
+    path = r.save()
+    assert path.endswith(".npz") and os.path.exists(path)
