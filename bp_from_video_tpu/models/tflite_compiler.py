@@ -11,6 +11,13 @@ Covers the op set of the MediaPipe face/hand/segmentation model family
 (conv/dwconv/pool/pad/prelu/resize/transpose-conv/... ); unsupported ops
 raise with the op name so coverage gaps are explicit.
 
+Quantization support boundary: f32, f16-behind-DEQUANTIZE (the shipped
+MediaPipe format), and dynamic-range int8 weights incl. per-channel scales
+all compile (weights dequantize at load; execution is float).  FULL-integer
+graphs (QUANTIZE activation ops, int8 graph I/O) are out of scope — this
+compiler executes in float and does not simulate integer kernels; the
+QUANTIZE op raises like any unsupported op.
+
 Parsing uses TensorFlow's generated flatbuffer schema bindings (the .tflite
 schema is public); execution is plain jax.numpy / lax.
 """
