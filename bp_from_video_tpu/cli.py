@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory containing the models/ TFLite assets")
     p.add_argument("--record", default=None, metavar="OUT.npz",
                    help="record per-frame BPM/PTT/fs to an npz file")
+    p.add_argument("--bp", default=None, metavar="PREDICTOR.npz",
+                   help="trained BP head (python -m bp_from_video_tpu.train "
+                        "... --checkpoint d writes d_predictor.npz): adds a "
+                        "live SBP/DBP mmHg estimate to the HUD/outputs — "
+                        "the reference's abandoned end goal")
 
     cap = p.add_argument_group("capture (reference video_reader.py)")
     cap.add_argument("--target-res", type=int, nargs=2, metavar=("H", "W"))
@@ -191,6 +196,11 @@ def main(argv=None) -> int:
         from bp_from_video_tpu.runtime.recorder import SignalRecorder
         recorder = SignalRecorder(args.record)
 
+    bp_predictor = None
+    if args.bp:
+        from bp_from_video_tpu.train.bp_regressor import load_predictor
+        bp_predictor = load_predictor(args.bp)
+
     if args.offline:
         import numpy as np
         from bp_from_video_tpu.runtime import offline
@@ -206,6 +216,7 @@ def main(argv=None) -> int:
             recorder.add_clip(clip_ts[:, 0], out)
             print(f"recorded clip -> {recorder.save()}")
         settled = np.asarray(out.bpm)[out.bpm.shape[0] // 2:]
+        settled_ptt = np.asarray(out.ptt)[out.ptt.shape[0] // 2:]
         for s in range(settled.shape[1]):
             vals = settled[:, s, :]
             with np.errstate(all="ignore"):
@@ -216,18 +227,31 @@ def main(argv=None) -> int:
             print(f"stream {s}: settled mean BPM per ROI:",
                   [round(float(v), 1) if np.isfinite(v) else None
                    for v in means])
+            if bp_predictor is not None:
+                # Per-step predictions over the settled half, then a NaN-safe
+                # mean — matches how the live HUD smooths vitals.
+                bp = bp_predictor(vals, settled_ptt[:, s, :])
+                with np.errstate(all="ignore"):
+                    import warnings
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore")
+                        sbp, dbp = np.nanmean(bp, axis=0)
+                print(f"stream {s}: settled mean BP: "
+                      + (f"{sbp:.0f}/{dbp:.0f} mmHg"
+                         if np.isfinite(sbp) and np.isfinite(dbp)
+                         else "NaN"))
         return 0
 
     if args.pipelined or len(captures) > 1:
         from bp_from_video_tpu.drivers import pipelined
         out = pipelined.run(cfg, captures, asset_dir=args.asset_dir,
                             show=show, max_frames=args.max_frames,
-                            recorder=recorder)
+                            recorder=recorder, bp_predictor=bp_predictor)
     else:
         from bp_from_video_tpu.drivers import sequential
         out = sequential.run(cfg, captures[0], asset_dir=args.asset_dir,
                              show=show, max_frames=args.max_frames,
-                             recorder=recorder)
+                             recorder=recorder, bp_predictor=bp_predictor)
     if recorder is not None and len(recorder):
         print(f"recorded {len(recorder)} frames -> {recorder.save()}")
     if out is not None and args.headless:
@@ -236,6 +260,14 @@ def main(argv=None) -> int:
         ptt = np.asarray(out.ptt).reshape(-1)
         print("mean BPM per ROI:", [round(float(b), 1) for b in bpm])
         print("mean PTT per pair (ms):", [round(float(t), 1) for t in ptt])
+        if bp_predictor is not None:
+            # Final-frame vitals -> mmHg (multi-stream outputs keep their
+            # leading stream axis; predict per stream).
+            bp = bp_predictor(np.asarray(out.bpm), np.asarray(out.ptt))
+            for row in np.atleast_2d(bp):
+                print("BP estimate:",
+                      f"{row[0]:.0f}/{row[1]:.0f} mmHg"
+                      if np.isfinite(row).all() else "NaN")
     return 0
 
 

@@ -34,7 +34,7 @@ def run(config: EngineConfig | None = None,
         captures: Sequence[CaptureConfig] | None = None, *,
         asset_dir: str | None = None, mesh=None, show: bool = True,
         display_stream: int = 0, max_frames: int | None = None,
-        print_profile: bool = True, recorder=None):
+        print_profile: bool = True, recorder=None, bp_predictor=None):
     """Pipelined capture → batched fused step → display. Returns the last
     per-stream outputs."""
     config = config or EngineConfig()
@@ -59,7 +59,7 @@ def run(config: EngineConfig | None = None,
     states = ms.shard_state(ms.init_states())
     step = profiler.timeit(ms.step, name="fused_step", fence=True)
     feeder = DeviceFeeder(readers, (h, w, 3))
-    drawer = Drawer(config, show=show)
+    drawer = Drawer(config, show=show, bp_predictor=bp_predictor)
     draw = profiler.timeit(drawer.draw_and_plot, name="draw_and_plot")
 
     out = None

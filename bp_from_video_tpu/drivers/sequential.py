@@ -29,7 +29,7 @@ def run(config: EngineConfig | None = None,
         capture: CaptureConfig | None = None, *,
         asset_dir: str | None = None, show: bool = True,
         max_frames: int | None = None, print_profile: bool = True,
-        recorder=None):
+        recorder=None, bp_predictor=None):
     """The reference main loop (bp.py:9-37). Returns the last StepOutputs."""
     import dataclasses
 
@@ -49,7 +49,7 @@ def run(config: EngineConfig | None = None,
     engine = Engine(config, asset_dir=asset_dir)
     step = profiler.timeit(jax.jit(engine.step), name="engine_step",
                            fence=True)
-    drawer = Drawer(config, show=show)
+    drawer = Drawer(config, show=show, bp_predictor=bp_predictor)
     draw = profiler.timeit(drawer.draw_and_plot, name="draw_and_plot")
     read = profiler.timeit(reader.read_frame, name="read_frame")
 

@@ -32,9 +32,14 @@ class Drawer:
     """Per-stream display shell around the on-device renderers."""
 
     def __init__(self, config: EngineConfig, *, show: bool = True,
-                 window_pos: tuple[int, int] = (1080, 0)):
+                 window_pos: tuple[int, int] = (1080, 0), bp_predictor=None):
         self.config = config
         self.draw_cfg = config.draw
+        # Optional trained BP head (train.bp_regressor.BPPredictor): maps
+        # the HUD vitals to SBP/DBP mmHg — the reference's abandoned end
+        # goal (reference README.md:38) surfaced live.
+        self.bp_predictor = bp_predictor
+        self.last_bp: np.ndarray | None = None
         self.show = show and cv2 is not None
         self.window_pos = window_pos
         self.sig_colors = [C.signal_colormap(config.signal.num_signals)[i]
@@ -136,6 +141,12 @@ class Drawer:
             put(f"mean_ptt_{p}: {int(ptt)} ms" if np.isfinite(ptt)
                 else "NaN", C.GREEN)
         line += 1
+        if self.bp_predictor is not None:
+            sbp, dbp = np.asarray(self.last_bp).reshape(-1)[:2]
+            put(f"bp: {int(sbp)}/{int(dbp)} mmHg"
+                if np.isfinite(sbp) and np.isfinite(dbp) else "bp: NaN",
+                C.MAGENTA)
+            line += 1
         if calibrating:
             put("calibrating camera", C.RED)
 
@@ -169,6 +180,8 @@ class Drawer:
         frame_bgr = np.asarray(frame_img)[..., ::-1].copy()
         plot_bgr = np.asarray(plot_img)[..., ::-1].copy()
         hud, ticks = self._unpack(np.asarray(packed))
+        if self.bp_predictor is not None:
+            self.last_bp = self.bp_predictor(hud["bpm"], hud["ptt"])
         if cv2 is not None:
             self._write_info(frame_bgr, hud, calibrating)
             self._label_plot(plot_bgr, ticks)

@@ -100,6 +100,11 @@ def main(argv=None) -> int:
     ap.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
     ap.add_argument("--eval-frac", type=float, default=0.2)
     ap.add_argument("--checkpoint", default=None, metavar="DIR")
+    ap.add_argument("--predictor", default=None, metavar="OUT.npz",
+                    help="export a standalone inference head (weights + "
+                         "normalization) for the live CLI's --bp flag "
+                         "(default: <checkpoint>_predictor.npz when "
+                         "--checkpoint is given)")
     ap.add_argument("--ckpt-every", type=int, default=200,
                     help="save every N steps; 0 = only at the end")
     ap.add_argument("--resume", action="store_true")
@@ -206,6 +211,12 @@ def main(argv=None) -> int:
         path = (save_state(args.checkpoint, (state, norm))
                 if saved_at != int(state.step) else args.checkpoint)
         print(f"checkpoint: {path}")
+    predictor_path = args.predictor or (
+        args.checkpoint + "_predictor.npz" if args.checkpoint else None)
+    if predictor_path:
+        p = bpr.save_predictor(predictor_path, state.params, norm)
+        print(f"predictor: {p}  (live HUD: python -m bp_from_video_tpu "
+              f"--source 0 --bp {p})")
     return 0
 
 

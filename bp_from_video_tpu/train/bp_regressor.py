@@ -106,6 +106,91 @@ def train_step(opt: optax.GradientTransformation, state: TrainState,
     return TrainState(params, opt_state, state.step + 1), loss
 
 
+def save_predictor(path: str, params: MLPParams, norm: dict) -> str:
+    """Export a self-describing inference-only checkpoint: the MLP layers
+    plus the feature/label standardization constants, under explicit names
+    (``w_0/b_0/...``, ``f_mu/f_sd/l_mu/l_sd``) so :func:`load_predictor`
+    can rebuild the head without knowing the training hyperparameters.
+    Unlike the full training checkpoint (recorder.save_state: params +
+    optimizer state + step, template-shaped), this file stands alone."""
+    import os
+
+    import numpy as np
+
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    arrays = {f"w_{i}": np.asarray(w) for i, w in enumerate(params.weights)}
+    arrays |= {f"b_{i}": np.asarray(b) for i, b in enumerate(params.biases)}
+    arrays |= {k: np.asarray(v) for k, v in norm.items()}
+    np.savez(path, **arrays)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+class BPPredictor:
+    """Host-side blood-pressure inference head over the engine's HUD vitals.
+
+    Runs the trained MLP in plain numpy: the per-frame inputs (mean BPM per
+    ROI, mean PTT per pair) are scalars the display path has ALREADY
+    downloaded from the device, and the head is a [in,64,64,2] matmul chain —
+    host math is faster than another device round-trip per frame.
+
+    Returns raw mmHg ``[..., 2]`` (SBP, DBP).  When every feature in a row is
+    invalid (no detection settled yet) the prediction is NaN — the same
+    graceful-degradation contract as the rest of the HUD (reference
+    drawer.py:141: unsettled vitals render as "NaN", never as a guess).
+    """
+
+    def __init__(self, weights, biases, f_mu, f_sd, l_mu, l_sd):
+        import numpy as np
+
+        self.weights = [np.asarray(w, np.float32) for w in weights]
+        self.biases = [np.asarray(b, np.float32) for b in biases]
+        self.f_mu = np.asarray(f_mu, np.float32)
+        self.f_sd = np.asarray(f_sd, np.float32)
+        self.l_mu = np.asarray(l_mu, np.float32)
+        self.l_sd = np.asarray(l_sd, np.float32)
+        self.in_dim = self.weights[0].shape[0]
+
+    def __call__(self, bpm, ptt):
+        import numpy as np
+
+        bpm = np.atleast_1d(np.asarray(bpm, np.float32))
+        ptt = np.atleast_1d(np.asarray(ptt, np.float32))
+        feats = np.concatenate([bpm, ptt], axis=-1)
+        valid = np.isfinite(feats)
+        x = np.concatenate([np.where(valid, feats, 0.0),
+                            valid.astype(np.float32)], axis=-1)
+        if x.shape[-1] != self.in_dim:
+            raise ValueError(
+                f"predictor expects {self.in_dim // 2} vitals "
+                f"(trained on that many BPM+PTT columns), got {x.shape[-1] // 2}")
+        h = (x - self.f_mu) / self.f_sd
+        n = len(self.weights)
+        for i, (w, b) in enumerate(zip(self.weights, self.biases)):
+            h = h @ w + b
+            if i < n - 1:
+                # jax.nn.gelu's default tanh approximation, for parity with
+                # the jitted training-time forward (mlp_apply).
+                h = 0.5 * h * (1.0 + np.tanh(
+                    np.sqrt(2.0 / np.pi) * (h + 0.044715 * h ** 3)))
+        pred = h * self.l_sd + self.l_mu
+        # All-invalid rows (nothing settled) degrade to NaN, not a guess.
+        none_valid = ~valid.any(axis=-1, keepdims=True)
+        return np.where(none_valid, np.nan, pred)
+
+
+def load_predictor(path: str) -> BPPredictor:
+    """Load a :func:`save_predictor` file into a host-side inference head."""
+    import numpy as np
+
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    n_layers = sum(1 for k in data.files if k.startswith("w_"))
+    ws = [data[f"w_{i}"] for i in range(n_layers)]
+    bs = [data[f"b_{i}"] for i in range(n_layers)]
+    return BPPredictor(ws, bs, data["f_mu"], data["f_sd"],
+                       data["l_mu"], data["l_sd"])
+
+
 def make_e2e_train_step(engine_vstep: Callable, opt: optax.GradientTransformation
                         ) -> Callable:
     """End-to-end training step: frames -> fused engine (vision models + DSP

@@ -168,3 +168,25 @@ def test_cli_offline_mode(pulse_video, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "settled mean BPM" in out
+
+
+@pytest.mark.slow
+def test_cli_bp_estimation_offline(pulse_video, tmp_path, capsys):
+    """Train a BP head on the synthetic task, then --bp through the offline
+    CLI: the settled report carries a per-stream BP estimate (or NaN when
+    the head's vitals never settle — the graceful-degradation contract)."""
+    from bp_from_video_tpu.cli import main
+    from bp_from_video_tpu.train.__main__ import main as train_main
+
+    pred_path = str(tmp_path / "pred.npz")
+    # 2 BPM columns + 1 PTT pair matches the default dual-ROI config.
+    assert train_main(["--synthetic", "256", "--steps", "30", "--batch",
+                       "64", "--predictor", pred_path]) == 0
+    capsys.readouterr()
+
+    rc = main(["--source", pulse_video, "--offline", "--headless",
+               "--signal-samples", "48", "--peak-samples", "8",
+               "--no-pallas", "--max-frames", "30", "--bp", pred_path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "settled mean BP:" in out

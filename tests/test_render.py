@@ -181,3 +181,42 @@ def test_drawer_hud_unpack_values():
     assert len(ticks) == 3
     for tk in ticks:
         assert np.isfinite(tk["range_x"]).all()
+
+
+def test_drawer_bp_hud():
+    """With a trained BP head attached, the drawer computes a per-frame
+    SBP/DBP estimate from the HUD vitals and stamps it (reference's
+    abandoned end goal surfaced live)."""
+    import jax as _jax
+    from bp_from_video_tpu.runtime.engine import Engine
+    from bp_from_video_tpu.train import bp_regressor as bpr
+
+    cfg = EngineConfig(
+        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
+        inference=InferenceConfig(
+            face_detector_path=None, face_landmarker_path=None,
+            hand_landmarker_path=None, person_segmenter_path=None),
+        frame_height=48, frame_width=64)
+    sig = cfg.signal
+    in_dim = 2 * (sig.num_signals + sig.num_pairs)
+    state0, _ = bpr.init_train_state(_jax.random.key(0), in_dim)
+    pred = bpr.BPPredictor(state0.params.weights, state0.params.biases,
+                           np.zeros(in_dim), np.ones(in_dim),
+                           np.array([100.0, 70.0]), np.array([15.0, 10.0]))
+
+    eng = Engine(cfg)
+    state = eng.init_state()
+    step = jax.jit(eng.step)
+    rng = np.random.default_rng(0)
+    drawer = Drawer(cfg, show=False, bp_predictor=pred)
+    for t in range(3):
+        frame = jnp.asarray(rng.integers(0, 256, (48, 64, 3), np.uint8))
+        state, out = step(eng.params, state, frame, jnp.float32((t + 1) / 30))
+        drawer.draw_and_plot(frame, out)
+    assert drawer.last_bp is not None and drawer.last_bp.shape == (2,)
+    # Stand-in models on noise frames: NO detection -> NaN vitals -> the
+    # BP line degrades to NaN exactly like BPM/PTT do.
+    hud_bpm = np.asarray(out.bpm)
+    if not np.isfinite(hud_bpm).any():
+        assert np.isnan(drawer.last_bp).all()
+    drawer.cleanup()

@@ -135,3 +135,61 @@ def test_train_cli_csv_cohort(tmp_path, capsys):
     last = [ln for ln in out.splitlines() if "eval MAE" in ln][-1]
     mae_sbp = float(last.split("SBP")[1].split()[0])
     assert mae_sbp < 8.0, last
+
+
+def test_predictor_roundtrip_and_parity(tmp_path):
+    """save_predictor/load_predictor: the host-side numpy head reproduces
+    the jitted training-time forward (standardize -> mlp_apply ->
+    un-standardize) and degrades to NaN when no vital is valid."""
+    import numpy as np
+
+    in_dim = 6  # 2 BPM + 1 PTT columns, doubled by validity indicators
+    state, _ = bpr.init_train_state(jax.random.key(3), in_dim, hidden=(16, 8))
+    norm = {"f_mu": jnp.arange(in_dim, dtype=jnp.float32) * 0.1,
+            "f_sd": jnp.full((in_dim,), 2.0, jnp.float32),
+            "l_mu": jnp.array([100.0, 70.0], jnp.float32),
+            "l_sd": jnp.array([15.0, 10.0], jnp.float32)}
+    path = bpr.save_predictor(str(tmp_path / "pred"), state.params, norm)
+    assert path.endswith(".npz")
+    pred = bpr.load_predictor(path)
+
+    bpm = np.array([72.0, np.nan], np.float32)
+    ptt = np.array([32.0], np.float32)
+    feats = bpr.features_from_outputs(jnp.asarray(bpm), jnp.asarray(ptt))
+    x = (feats - norm["f_mu"]) / norm["f_sd"]
+    want = np.asarray(bpr.mlp_apply(state.params, x)
+                      * norm["l_sd"] + norm["l_mu"])
+    got = pred(bpm, ptt)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # All vitals invalid (nothing settled) -> NaN, never a guess.
+    assert np.isnan(pred(np.array([np.nan, np.nan]),
+                         np.array([np.nan]))).all()
+    # Batched rows keep their leading axes.
+    got2 = pred(np.tile(bpm, (5, 1)), np.tile(ptt, (5, 1)))
+    assert got2.shape == (5, 2)
+    np.testing.assert_allclose(got2[0], want, rtol=1e-5, atol=1e-4)
+    # Wrong vital count is a loud error, not a silent mis-prediction.
+    with pytest.raises(ValueError):
+        pred(np.array([70.0]), np.array([30.0]))
+
+
+def test_train_cli_exports_predictor(tmp_path, capsys):
+    """--checkpoint also emits <dir>_predictor.npz; the loaded head predicts
+    plausible mmHg on the synthetic physiological task it was trained on."""
+    import numpy as np
+
+    from bp_from_video_tpu.train.__main__ import main
+
+    ck = str(tmp_path / "ck")
+    assert main(["--synthetic", "512", "--steps", "120", "--batch", "128",
+                 "--checkpoint", ck]) == 0
+    out = capsys.readouterr().out
+    assert "predictor:" in out
+    pred = bpr.load_predictor(ck + "_predictor.npz")
+    bp = pred(np.array([70.0, 75.0], np.float32),
+              np.array([30.0], np.float32))
+    assert bp.shape == (2,) and np.isfinite(bp).all()
+    # synth_dataset's law at these vitals sits near 120/65; a briefly
+    # trained head lands in the physiological ballpark.
+    assert 60.0 < bp[0] < 220.0 and 30.0 < bp[1] < 140.0
