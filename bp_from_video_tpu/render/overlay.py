@@ -79,6 +79,23 @@ def paint(frame_f: Array, mask: Array, color: tuple[int, int, int]) -> Array:
     return frame_f * (1.0 - mask[..., None]) + mask[..., None] * c
 
 
+def composite(base_f: Array, layers) -> Array:
+    """Apply ``[(mask [H, W], color)]`` in order (later wins) as ONE nested
+    select chain over the float base.
+
+    Exactly equals folding :func:`paint` over the layers when every mask is
+    {0, 1} (all masks here are clipped one-hots/spans) — but where the paint
+    fold materializes a full [H, W, 3] float canvas per layer, the select
+    chain is a single fused elementwise pass: per-layer HBM round-trips
+    disappear, which is most of the on-device render cost at 480×640+
+    (multistream preset: one canvas re-write per model layer per stream)."""
+    out = base_f
+    for mask, color in layers:
+        c = jnp.asarray(color, jnp.float32)
+        out = jnp.where((mask > 0.5)[..., None], c, out)
+    return out
+
+
 def compose_overlay(frame_rgb: Array, model_layers, roi_rois: Array,
                     roi_colors, seg_conf_skin: Array | None,
                     alpha: float = 0.75) -> Array:
@@ -96,15 +113,17 @@ def compose_overlay(frame_rgb: Array, model_layers, roi_rois: Array,
     if seg_conf_skin is not None:
         # reference drawer.py:99: frame *= conf_masks[3]
         drawn = drawn * seg_conf_skin[..., None]
+    layers = []
     for bboxes, points, color in model_layers:
         m = jnp.clip(rect_mask(bboxes, h, w) + points_mask(points, h, w),
                      0.0, 1.0)
-        drawn = paint(drawn, m, color)
+        layers.append((m, color))
     for s in range(roi_rois.shape[0]):
         xy = roi_rois[s, :2]
         box = roi_rois[s, 2:6]
         m = jnp.clip(rect_mask(box[None], h, w) + cross_mask(xy[None], h, w),
                      0.0, 1.0)
-        drawn = paint(drawn, m, roi_colors[s])
+        layers.append((m, roi_colors[s]))
+    drawn = composite(drawn, layers)
     out = alpha * drawn + (1.0 - alpha) * base
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)

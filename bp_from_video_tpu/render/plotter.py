@@ -126,30 +126,62 @@ def _trace_cols(x: Array, y: Array, min_x: Array, max_x: Array,
     """Interpolate the (x, y) series at each of gw graph columns.
 
     Returns (vals [gw], col_ok [gw]).  Columns outside the data's x-extent,
-    or bridging a NaN gap in the original series, are masked out."""
+    or bridging a NaN gap in the original series, are masked out.
+
+    Gather-free: searchsorted + fancy-indexing are element-serial on TPU
+    (measured: the column math was ~95% of the whole on-device plot cost).
+    Each column's bracketing segment is a one-hot row of the [gw, n]
+    bracket matrix M[c, i] = (x_i <= g_c < x_{i+1}), so every per-column
+    quantity is one masked contraction ``M @ v`` — VPU/MXU work instead of
+    serial address math."""
     n = x.shape[0]
     w = sig.valid_x(x) & sig.valid_y(y)
-    cx = sig.compact(w, x)
-    cyv = sig.compact(w, jnp.stack([y, jnp.arange(n, dtype=jnp.float32)], 1))
-    cy, cidx = cyv.values[:, 0], cyv.values[:, 1]
+    # One 3-column compaction sort instead of separate x / (y, idx) sorts.
+    cols3 = sig.compact(w, jnp.stack(
+        [x, y, jnp.arange(n, dtype=jnp.float32)], 1))
+    cx = sig.Compacted(cols3.values[:, 0], cols3.count)
+    cy, cidx = cols3.values[:, 1], cols3.values[:, 2]
     k = cx.count
     grid = min_x + (jnp.arange(gw, dtype=jnp.float32) + 0.5) / gw \
         * (max_x - min_x)
-    pad = jnp.where(jnp.arange(n) < k, cx.values, jnp.inf)
-    j = jnp.clip(jnp.searchsorted(pad, grid, side="right") - 1, 0,
-                 jnp.maximum(k - 2, 0))
-    x0 = pad[j]
-    x1 = pad[j + 1]
-    y0 = cy[j]
-    y1 = cy[j + 1]
+    # Segment endpoints (compacted order): segment i spans [x0s_i, x1s_i).
+    inf = jnp.float32(jnp.inf)
+    x0s = jnp.where(jnp.arange(n) < k, cx.values, inf)
+    x1s = jnp.concatenate([x0s[1:], jnp.full((1,), inf)])
+    y1s = jnp.concatenate([cy[1:], cy[-1:]])
+    gap_s = (jnp.concatenate([cidx[1:], cidx[-1:]]) - cidx) > 1.5
+    seg_ok = jnp.arange(n) < jnp.maximum(k - 1, 0)
+    # Bracket matrix: column c hits segment i iff x0s_i <= g_c < x1s_i
+    # (exactly searchsorted(side='right') - 1).  At most one segment per
+    # column, so M-contractions are exact selections.
+    m = (seg_ok[None, :] & (x0s[None, :] <= grid[:, None])
+         & (grid[:, None] < x1s[None, :]))
+    mf = m.astype(jnp.float32)
+    x0 = mf @ _zero_infs(x0s)
+    x1 = mf @ _zero_infs(x1s)
+    y0 = mf @ cy
+    y1 = mf @ y1s
+    gap_c = (mf @ gap_s.astype(jnp.float32)) > 0.5
     t = jnp.clip((grid - x0) / jnp.where(x1 == x0, 1.0, x1 - x0), 0.0, 1.0)
     vals = y0 + t * (y1 - y0)
-    gap = (cidx[j + 1] - cidx[j]) > 1.5   # NaN gap between the brackets
-    first = sig.take_at(cx.values, 0, k)
+    first = x0s[0]
     last = sig.take_at(cx.values, -1, k)
-    col_ok = ((grid >= first) & (grid <= last) & ~gap & (k >= 2)
+    y_last = sig.take_at(cy, -1, k)
+    # grid == last hits no segment (half-open brackets): clamp to the last
+    # sample — the searchsorted formulation's j = k-2, t -> 1 path, which
+    # also inherits the FINAL segment's gap flag there.
+    at_end = grid >= last
+    gap_end = sig.take_at(gap_s, -2, k) & (k >= 2)
+    vals = jnp.where(at_end, y_last, vals)
+    gap_c = jnp.where(at_end, gap_end, gap_c)
+    col_ok = ((grid >= first) & (grid <= last) & ~gap_c & (k >= 2)
               & jnp.isfinite(vals))
     return vals, col_ok
+
+
+def _zero_infs(v: Array) -> Array:
+    """inf sentinels -> 0 before a selection contraction (0 * inf = NaN)."""
+    return jnp.where(jnp.isfinite(v), v, 0.0)
 
 
 def trace_mask(gl: GraphLayout, x: Array, y: Array, min_x: Array,
@@ -167,11 +199,14 @@ def trace_mask(gl: GraphLayout, x: Array, y: Array, min_x: Array,
     lo = jnp.where(prev_ok, jnp.minimum(rows, prev), rows)
     hi = jnp.where(prev_ok, jnp.maximum(rows, prev), rows)
     i = jnp.arange(h, dtype=jnp.float32)[:, None]
-    cols = jnp.arange(w) - gl.origin_x
-    inside = (cols >= 0) & (cols < gl.width)
-    ci = jnp.clip(cols, 0, gl.width - 1)
-    stroke = ((i >= jnp.floor(lo[ci])) & (i <= jnp.ceil(hi[ci]))
-              & col_ok[ci][None, :] & inside[None, :])
+    # Graph-column vectors placed at their STATIC canvas offset (origin_x
+    # is a Python int) — a pad, not the element-serial gather `lo[ci]`.
+    place = lambda v, fill: jnp.full((w,), fill, v.dtype) \
+        .at[gl.origin_x:gl.origin_x + gl.width].set(v)
+    lo_row = place(jnp.floor(lo), 0.0)
+    hi_row = place(jnp.ceil(hi), -1.0)
+    ok_row = place(col_ok, False)
+    stroke = (i >= lo_row) & (i <= hi_row) & ok_row[None, :]
     return stroke.astype(jnp.float32)
 
 
@@ -184,8 +219,16 @@ def rasterize_plots(cfg: DrawConfig, groups, sig_colors) -> tuple[Array, list]:
     """
     w, h = cfg.window_size
     layouts = graph_layouts(cfg)
-    canvas = jnp.full((h, w, 3), 255.0, jnp.float32)
     ticks = []
+    # Collect one UNION mask per color across all graphs (the graphs are
+    # disjoint canvas regions, so unioning is exact), then composite the
+    # whole canvas in one fused select pass — sequential full-canvas paints
+    # re-write [H, W, 3] floats once per layer per graph, which dominates
+    # the per-stream render cost (overlay.composite docstring).
+    grid_m = jnp.zeros((h, w), jnp.float32)
+    axes_m = jnp.zeros((h, w), jnp.float32)
+    trace_ms = [jnp.zeros((h, w), jnp.float32)
+                for _ in range(len(sig_colors))]
     for gl, (xs, ys, rng4) in zip(layouts, groups):
         min_x, max_x, min_y, max_y = _resolve_range(
             rng4, cfg.graph_default_range)
@@ -193,8 +236,7 @@ def rasterize_plots(cfg: DrawConfig, groups, sig_colors) -> tuple[Array, list]:
         vvals, vn = _vlines(min_x, max_x)
         vcols = (vvals - min_x) / (max_x - min_x) * gl.width + gl.origin_x
         vok = jnp.arange(MAX_VLINES) < vn
-        canvas = _paint(canvas, _vline_mask(gl, vcols, vok, h, w),
-                        C.LIGHT_GRAY)
+        grid_m = jnp.maximum(grid_m, _vline_mask(gl, vcols, vok, h, w))
         # Border + zero axes (black).
         axes = _border(gl, h, w)
         # x is NOT screen-inverted (unlike y below): col(v) = (v - min_x).
@@ -204,18 +246,19 @@ def rasterize_plots(cfg: DrawConfig, groups, sig_colors) -> tuple[Array, list]:
         zero_row = max_y / (max_y - min_y) * gl.height + gl.origin_y
         on_y = (min_y <= 0.0) & (0.0 <= max_y)
         axes = axes + _hline_mask(gl, zero_row, on_y, h, w)
-        canvas = _paint(canvas, jnp.clip(axes, 0.0, 1.0), C.BLACK)
+        axes_m = jnp.maximum(axes_m, jnp.clip(axes, 0.0, 1.0))
         # Traces.
         for s in range(xs.shape[0]):
             m = trace_mask(gl, xs[s], ys[s], min_x, max_x, min_y, max_y,
                            h, w)
-            canvas = _paint(canvas, m, sig_colors[s % len(sig_colors)])
+            i = s % len(sig_colors)
+            trace_ms[i] = jnp.maximum(trace_ms[i], m)
         ticks.append(PlotTicks(vcols, vvals, vn,
                                jnp.stack([min_x, max_x]),
                                jnp.stack([min_y, max_y])))
+    from bp_from_video_tpu.render.overlay import composite
+    canvas = jnp.full((h, w, 3), 255.0, jnp.float32)
+    layers = ([(grid_m, C.LIGHT_GRAY), (axes_m, C.BLACK)]
+              + list(zip(trace_ms, sig_colors)))
+    canvas = composite(canvas, layers)
     return jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8), ticks
-
-
-def _paint(canvas: Array, mask: Array, color) -> Array:
-    c = jnp.asarray(color, jnp.float32)
-    return canvas * (1.0 - mask[..., None]) + mask[..., None] * c

@@ -220,3 +220,56 @@ def test_drawer_bp_hud():
     if not np.isfinite(hud_bpm).any():
         assert np.isnan(drawer.last_bp).all()
     drawer.cleanup()
+
+
+def test_trace_cols_matches_searchsorted_oracle():
+    """The gather-free bracket-matrix column interpolation must reproduce
+    the direct searchsorted formulation (the pre-optimization
+    implementation, kept here as a numpy oracle) over random NaN-gapped
+    series — including the grid==last clamp and final-segment gap flag."""
+    from bp_from_video_tpu.render import plotter
+
+    rng = np.random.default_rng(7)
+    gw = 57
+    for trial in range(30):
+        n = 40
+        x = np.cumsum(rng.uniform(0.02, 0.1, n)).astype(np.float32)
+        y = rng.normal(0, 1, n).astype(np.float32)
+        y[rng.random(n) < 0.25] = np.nan
+        if trial % 5 == 0:
+            x[: rng.integers(1, n - 2)] = np.nan  # NaN-prefill prefix
+        if trial % 7 == 0:
+            y[:] = np.nan
+        w = np.isfinite(x) & np.isfinite(y)
+        min_x, max_x = (float(np.nanmin(x[w])) if w.any() else 0.0,
+                        float(np.nanmax(x[w])) if w.any() else 1.0)
+        vals, ok = plotter._trace_cols(jnp.asarray(x), jnp.asarray(y),
+                                       jnp.float32(min_x),
+                                       jnp.float32(max_x), gw)
+        vals, ok = np.asarray(vals), np.asarray(ok)
+
+        # numpy oracle = the old searchsorted implementation.
+        cx = x[w]
+        cy = y[w]
+        cidx = np.arange(n, dtype=np.float32)[w]
+        k = int(w.sum())
+        grid = min_x + (np.arange(gw) + 0.5) / gw * (max_x - min_x)
+        grid = grid.astype(np.float32)
+        if k < 2:
+            assert not ok.any()
+            continue
+        j = np.clip(np.searchsorted(cx, grid, side="right") - 1, 0,
+                    max(k - 2, 0))
+        x0, x1 = cx[j], cx[np.clip(j + 1, 0, k - 1)]
+        y0, y1 = cy[j], cy[np.clip(j + 1, 0, k - 1)]
+        t = np.clip((grid - x0) / np.where(x1 == x0, 1.0, x1 - x0), 0.0, 1.0)
+        want = (y0 + t * (y1 - y0)).astype(np.float32)
+        gap = (cidx[np.clip(j + 1, 0, k - 1)] - cidx[j]) > 1.5
+        want_ok = ((grid >= cx[0]) & (grid <= cx[k - 1]) & ~gap
+                   & np.isfinite(want))
+        np.testing.assert_array_equal(ok, want_ok, err_msg=f"trial {trial}")
+        # atol 1e-3: the oracle's f64-intermediate grid differs from the
+        # jitted f32 grid by ~1 ulp, amplified ~100x through the segment
+        # interpolation — far below the half-pixel the rasterizer resolves.
+        np.testing.assert_allclose(vals[ok], want[want_ok], rtol=1e-4,
+                                   atol=1e-3, err_msg=f"trial {trial}")

@@ -151,6 +151,89 @@ def main():
                 return st2, out.bpm + 0.0 * extra
             scan_time("full step + render", step, state0, clip_len, streams)
 
+        elif v == "rendcols":
+            # Plot cost split: per-trace column interpolation only
+            # (_trace_cols: compact sorts + searchsorted + gathers), no
+            # [H, W] stroke build, no composite.  rendcols ≈ rendplot ⇒ the
+            # cost is the column math; rendcols ≈ full ⇒ it's the raster.
+            from bp_from_video_tpu.render import plotter
+
+            def cols_only(out1):
+                acc = jnp.float32(0.0)
+                groups = [(out1.proc_x, out1.proc_y, out1.proc_range),
+                          (out1.spec_x, out1.spec_y, out1.spec_range),
+                          (out1.corr_x, out1.corr_y, out1.corr_range)]
+                for gl, (xs, ys, rng4) in zip(
+                        plotter.graph_layouts(cfg.draw), groups):
+                    mnx, mxx, _, _ = plotter._resolve_range(
+                        rng4, cfg.draw.graph_default_range)
+                    for s in range(xs.shape[0]):
+                        vals, ok = plotter._trace_cols(xs[s], ys[s], mnx,
+                                                       mxx, gl.width)
+                        acc += (jnp.nansum(vals)
+                                + jnp.sum(ok.astype(jnp.float32)))
+                return acc
+
+            def step(carry, i):
+                st = carry
+                ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+                st2, out = eng.batch_step(
+                    ms.params, EngineState(st.signals,
+                                           hold_tracking(st.track)),
+                    frames_at(i), ts)
+                extra = jnp.sum(jax.vmap(cols_only)(out))
+                return st2, out.bpm + 0.0 * extra
+            scan_time("full step + rendcols", step, state0, clip_len,
+                      streams)
+
+        elif v in ("rendover", "rendplot"):
+            # Split the render cost: overlay compose only ('rendover') vs
+            # 3-graph plot rasterization only ('rendplot'), each per stream
+            # on top of the full step — diff vs 'full' attributes each half.
+            from bp_from_video_tpu.render import overlay, plotter
+            from bp_from_video_tpu.render.drawer import Drawer
+            drawer = Drawer(cfg, show=False)
+
+            def compose_overlay_only(nhwc1, out1):
+                seg = None
+                if cfg.inference.person_segmenter:
+                    from bp_from_video_tpu.models.runner import skin_confidence
+                    seg = skin_confidence(out1.models.seg_conf)
+                layers = [(out1.models.face_landmarker.bbox,
+                           out1.models.face_landmarker.points, (0, 255, 0)),
+                          (out1.models.hand_landmarker.bbox,
+                           out1.models.hand_landmarker.points, (255, 0, 0))]
+                return overlay.compose_overlay(nhwc1, layers, out1.rois,
+                                               drawer.sig_colors, seg, 0.75)
+
+            def compose_plot_only(out1):
+                groups = [(out1.proc_x, out1.proc_y, out1.proc_range),
+                          (out1.spec_x, out1.spec_y, out1.spec_range),
+                          (out1.corr_x, out1.corr_y, out1.corr_range)]
+                img, _ = plotter.rasterize_plots(cfg.draw, groups,
+                                                 drawer.sig_colors)
+                return img
+
+            which = v
+
+            def step(carry, i):
+                st = carry
+                ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+                frames = frames_at(i)
+                st2, out = eng.batch_step(
+                    ms.params, EngineState(st.signals,
+                                           hold_tracking(st.track)),
+                    frames, ts)
+                if which == "rendover":
+                    nhwc = jnp.transpose(frames, (0, 2, 3, 1))
+                    img = jax.vmap(compose_overlay_only)(nhwc, out)
+                else:
+                    img = jax.vmap(compose_plot_only)(out)
+                extra = jnp.sum(img, dtype=jnp.float32)
+                return st2, out.bpm + 0.0 * extra
+            scan_time(f"full step + {which}", step, state0, clip_len,
+                      streams)
+
         elif v == "infer":
             def step(carry, i):
                 track = carry
