@@ -73,27 +73,32 @@ def _block_grid(st: ChainState) -> tuple[Array, Array, Array]:
     return grid, ts, kb
 
 
-def _masked_searchsorted(xs: Array, count: Array, queries: Array) -> Array:
-    """searchsorted over the first ``count`` entries of compacted ``xs``."""
-    padded = jnp.where(jnp.arange(xs.shape[0]) < count, xs, jnp.inf)
-    return jnp.searchsorted(padded, queries, side="right") - 1
+def _zero_infs(v: Array) -> Array:
+    """inf sentinels -> 0 before a selection contraction (0 * inf = NaN)."""
+    return jnp.where(jnp.isfinite(v), v, 0.0)
 
 
 def interp_linear(st: ChainState) -> ChainState:
     """np.interp of valid samples onto the uniform block grid; valid:=block,
-    fs:=1/step (reference signal_processor.py:206-211)."""
+    fs:=1/step (reference signal_processor.py:206-211).
+
+    Gather-free: per-query segment selection is a bracket-matrix
+    contraction (sig.bracket_matrix) instead of searchsorted + fancy
+    indexing — both element-serial on TPU."""
     grid, ts, kb = _block_grid(st)
     cx = sig.compact(st.valid, st.x)
     cy = sig.compact(st.valid, st.y)
     k = cx.count
-    j = jnp.clip(_masked_searchsorted(cx.values, k, grid), 0, jnp.maximum(k - 2, 0))
-    x_j = cx.values[j]
-    x_j1 = cx.values[jnp.clip(j + 1, 0, cx.values.shape[0] - 1)]
-    y_j = cy.values[j]
-    y_j1 = cy.values[jnp.clip(j + 1, 0, cy.values.shape[0] - 1)]
+    mf, x0s, x1s = sig.bracket_matrix(cx.values, k, grid)
+    y1s = jnp.concatenate([cy.values[1:], cy.values[-1:]])
+    x_j = mf @ _zero_infs(x0s)
+    x_j1 = mf @ _zero_infs(x1s)
+    y_j = mf @ cy.values
+    y_j1 = mf @ y1s
     t = (grid - x_j) / jnp.where(x_j1 == x_j, 1.0, x_j1 - x_j)
     y_new = y_j + jnp.clip(t, 0.0, 1.0) * (y_j1 - y_j)  # np.interp clamps
-    # Clamp outside the valid x-range to the endpoint values.
+    # Clamp outside the valid x-range to the endpoint values (this also
+    # covers grid == x_last, which the half-open brackets don't hit).
     y_new = jnp.where(grid <= cx.values[0], cy.values[0], y_new)
     y_last = sig.take_at(cy.values, -1, k)
     x_last = sig.take_at(cx.values, -1, k)
@@ -148,16 +153,38 @@ def _notaknot_m(xc: Array, yc: Array, k: Array) -> Array:
 
 def _spline_eval(xc: Array, yc: Array, m2: Array, k: Array, t: Array) -> Array:
     """Evaluate the cubic with second derivatives ``m2`` at points ``t``
-    (extrapolates with the end polynomials, like scipy CubicSpline)."""
+    (extrapolates with the end polynomials, like scipy CubicSpline).
+
+    Segment selection is a bracket-matrix contraction extended with the
+    two extrapolation rows: queries left of the data use segment 0,
+    queries at/right of the last knot use segment k-2 (the old
+    ``clip(searchsorted - 1, 0, k-2)`` behavior, gather-free)."""
     n = xc.shape[0]
-    j = jnp.clip(_masked_searchsorted(xc, k, t), 0, jnp.maximum(k - 2, 0))
-    j1 = jnp.clip(j + 1, 0, n - 1)
-    h = jnp.where(xc[j1] == xc[j], 1.0, xc[j1] - xc[j])
-    dr = xc[j1] - t
-    dl = t - xc[j]
-    return (m2[j] * dr**3 / (6.0 * h) + m2[j1] * dl**3 / (6.0 * h)
-            + (yc[j] / h - m2[j] * h / 6.0) * dr
-            + (yc[j1] / h - m2[j1] * h / 6.0) * dl)
+    mf, x0s, x1s = sig.bracket_matrix(xc, k, t)
+    first = jnp.arange(n) == 0
+    last_seg = jnp.arange(n) == jnp.maximum(k - 2, 0)
+    x_last = sig.take_at(xc, -1, k)
+    mf = (mf
+          + jnp.outer((t < x0s[0]).astype(mf.dtype), first.astype(mf.dtype))
+          + jnp.outer((t >= x_last).astype(mf.dtype),
+                      last_seg.astype(mf.dtype)))
+    y1s = jnp.concatenate([yc[1:], yc[-1:]])
+    m2n = jnp.concatenate([m2[1:], m2[-1:]])
+    xj = mf @ _zero_infs(x0s)
+    xj1 = mf @ _zero_infs(x1s)
+    # The k-2 extrapolation segment's right knot is x_last itself (x1s has
+    # the inf sentinel at and beyond count-1): rebuild it from the data.
+    xj1 = jnp.where(t >= x_last, x_last, xj1)
+    yj = mf @ yc
+    yj1 = mf @ y1s
+    m2j = mf @ m2
+    m2j1 = mf @ m2n
+    h = jnp.where(xj1 == xj, 1.0, xj1 - xj)
+    dr = xj1 - t
+    dl = t - xj
+    return (m2j * dr**3 / (6.0 * h) + m2j1 * dl**3 / (6.0 * h)
+            + (yj / h - m2j * h / 6.0) * dr
+            + (yj1 / h - m2j1 * h / 6.0) * dl)
 
 
 def interp_cubic(st: ChainState) -> ChainState:

@@ -46,9 +46,17 @@ def firls_bandpass(numtaps: int, bands: Array, desired: Array, fs: Array) -> Arr
     n_all = jnp.arange(numtaps, dtype=jnp.float32)[:, None, None]
     q = jnp.sum(jnp.diff(_sinc(f * n_all) * f, axis=2)[:, :, 0], axis=1)
 
-    # Q = Toeplitz(q[:M+1]) + Hankel(q[:M+1], q[M:]).
+    # Q = Toeplitz(q[:M+1]) + Hankel(q[:M+1], q[M:]), selected by a STATIC
+    # one-hot [M+1, M+1, numtaps] matrix (constant-folded at compile) —
+    # q[|i-j|] + q[i+j] as a runtime gather of the traced q lowers
+    # element-serially on TPU.
     idx = jnp.arange(m_half + 1)
-    q_mat = q[jnp.abs(idx[:, None] - idx[None, :])] + q[idx[:, None] + idx[None, :]]
+    n_idx = jnp.arange(numtaps)
+    sel = ((jnp.abs(idx[:, None] - idx[None, :])[..., None] == n_idx)
+           .astype(jnp.float32)
+           + ((idx[:, None] + idx[None, :])[..., None] == n_idx)
+           .astype(jnp.float32))
+    q_mat = sel @ q
 
     # b(n) with linear desired D(f) = m f + c on each band.
     n = n_all[: m_half + 1]

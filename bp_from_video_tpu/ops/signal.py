@@ -229,6 +229,33 @@ def arange_mask(n: int, count: Array) -> Array:
     return jnp.arange(n) < count
 
 
+def bracket_matrix(cxv: Array, count: Array, queries: Array
+                   ) -> tuple[Array, Array, Array]:
+    """One-hot segment-bracket matrix over a compacted sorted axis.
+
+    ``m[q, i] = 1`` iff ``cxv[i] <= queries[q] < cxv[i+1]`` with
+    ``i < count - 1`` — exactly ``searchsorted(side='right') - 1`` for
+    in-range queries, but as a dense [Q, n] compare instead of serial
+    binary search + fancy indexing (gathers/searchsorted are
+    element-serial on TPU; this pattern removed ~95% of the on-device
+    plot-rasterization cost, render/plotter._trace_cols).
+
+    Returns ``(m float32 [Q, n], x0s, x1s)`` where x0s/x1s are the segment
+    endpoints with ``inf`` beyond ``count`` (zero them with
+    ``jnp.where(jnp.isfinite(v), v, 0)`` before contracting against m).
+    Selected quantities are then single contractions, e.g.
+    ``x_lo = m @ where(isfinite(x0s), x0s, 0)``.
+    """
+    n = cxv.shape[0]
+    inf = jnp.asarray(jnp.inf, cxv.dtype)
+    x0s = jnp.where(jnp.arange(n) < count, cxv, inf)
+    x1s = jnp.concatenate([x0s[1:], jnp.full((1,), inf, cxv.dtype)])
+    seg_ok = jnp.arange(n) < jnp.maximum(count - 1, 0)
+    m = (seg_ok[None, :] & (x0s[None, :] <= queries[:, None])
+         & (queries[:, None] < x1s[None, :]))
+    return m.astype(cxv.dtype), x0s, x1s
+
+
 def take_at(values: Array, i: Array, count: Array) -> Array:
     """``values[i]`` with negative-from-count semantics: ``i=-1`` is the last
     valid entry of a compacted array."""

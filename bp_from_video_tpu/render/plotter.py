@@ -145,18 +145,10 @@ def _trace_cols(x: Array, y: Array, min_x: Array, max_x: Array,
     grid = min_x + (jnp.arange(gw, dtype=jnp.float32) + 0.5) / gw \
         * (max_x - min_x)
     # Segment endpoints (compacted order): segment i spans [x0s_i, x1s_i).
-    inf = jnp.float32(jnp.inf)
-    x0s = jnp.where(jnp.arange(n) < k, cx.values, inf)
-    x1s = jnp.concatenate([x0s[1:], jnp.full((1,), inf)])
+    # At most one segment per column, so M-contractions are exact selections.
+    mf, x0s, x1s = sig.bracket_matrix(cx.values, k, grid)
     y1s = jnp.concatenate([cy[1:], cy[-1:]])
     gap_s = (jnp.concatenate([cidx[1:], cidx[-1:]]) - cidx) > 1.5
-    seg_ok = jnp.arange(n) < jnp.maximum(k - 1, 0)
-    # Bracket matrix: column c hits segment i iff x0s_i <= g_c < x1s_i
-    # (exactly searchsorted(side='right') - 1).  At most one segment per
-    # column, so M-contractions are exact selections.
-    m = (seg_ok[None, :] & (x0s[None, :] <= grid[:, None])
-         & (grid[:, None] < x1s[None, :]))
-    mf = m.astype(jnp.float32)
     x0 = mf @ _zero_infs(x0s)
     x1 = mf @ _zero_infs(x1s)
     y0 = mf @ cy
