@@ -148,3 +148,28 @@ def test_group_range():
     lo, hi = sig.group_range(jnp.asarray([1.0, jnp.nan]),
                              jnp.asarray([2.0, jnp.nan]))
     assert np.isnan(float(lo)) and np.isnan(float(hi))
+
+
+def test_bracket_matrix_matches_searchsorted():
+    """sig.bracket_matrix == searchsorted(side='right')-1 segment selection
+    for in-range queries; out-of-range and beyond-count rows are all-zero."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for k in [0, 1, 2, 5, 17]:
+        n = 20
+        xv = np.sort(rng.uniform(0, 10, n)).astype(np.float32)
+        q = rng.uniform(-1, 12, 31).astype(np.float32)
+        m, x0s, x1s = sig.bracket_matrix(jnp.asarray(xv), jnp.int32(k),
+                                         jnp.asarray(q))
+        m = np.asarray(m)
+        assert (m.sum(axis=1) <= 1).all()
+        for c, g in enumerate(q):
+            hits = np.where(m[c] > 0)[0]
+            if k >= 2 and xv[0] <= g < xv[k - 1]:
+                j = np.searchsorted(xv[:k], g, side="right") - 1
+                assert hits.tolist() == [j], (k, c, g)
+            else:
+                assert hits.size == 0, (k, c, g)
+        # Sentinel layout: x0s finite exactly on the first k slots.
+        assert np.isfinite(np.asarray(x0s)).sum() == k
