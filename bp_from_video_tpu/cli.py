@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     inf.add_argument("--exact-rotation", action="store_true",
                      help="exact rotated crops (slower; default uses the "
                           "axis-aligned MXU fast path)")
+    inf.add_argument("--rotation-mode", choices=["cover", "exact", "shear"],
+                     default=None,
+                     help="landmark crop strategy: axis-aligned cover "
+                          "(fastest), exact rotated gather, or gather-free "
+                          "FFT-shear rotation (rotated view at matmul+FFT "
+                          "speed); overrides --exact-rotation")
     inf.add_argument("--pallas", dest="pallas", action="store_true",
                      default=None, help="force the fused Pallas crop kernel")
     inf.add_argument("--no-pallas", dest="pallas", action="store_false",
@@ -161,6 +167,8 @@ def config_from_args(args) -> tuple[EngineConfig, list[CaptureConfig]]:
         inf_kw["max_hands"] = args.max_hands
     if args.exact_rotation:
         inf_kw["exact_rotation"] = True
+    if args.rotation_mode is not None:
+        inf_kw["rotation_mode"] = args.rotation_mode
     if args.pallas is not None:
         inf_kw["use_pallas"] = args.pallas
     else:

@@ -211,6 +211,19 @@ class InferenceConfig:
     # nets just see an unrotated view (equivalent for near-upright subjects).
     exact_rotation: bool = False
 
+    # Rotated-crop strategy for the landmark nets; "" derives from
+    # ``exact_rotation`` (True → "exact", False → "cover").
+    #   "cover": axis-aligned cover of the tracking rect, two MXU matmuls
+    #            (fastest; nets see an unrotated view — fine near upright).
+    #   "exact": rotated affine gather (bit-level MediaPipe semantics;
+    #            element-serial gathers, slow on TPU).
+    #   "shear": rotated crop with ZERO gathers — cover resample at rect
+    #            pitch + 3 FFT-phase-ramp shear passes
+    #            (warp.crop_rect_shear); matches "exact" up to
+    #            interpolation kernel (sinc vs bilinear, sub-px landmark
+    #            agreement) at matmul+FFT speed.
+    rotation_mode: str = ""
+
     # Fused Pallas multi-crop kernel for the batch landmark path: one
     # VMEM-resident pass over each frame produces every landmark crop.
     # TPU-only (Mosaic); leave False on CPU/interpret platforms.
@@ -252,6 +265,16 @@ class InferenceConfig:
             raise ValueError(
                 f"max_faces={self.max_faces}: the face tracker is "
                 "single-face (largest; see the max_faces field comment)")
+        if self.rotation_mode not in ("", "cover", "exact", "shear"):
+            raise ValueError(
+                f"rotation_mode={self.rotation_mode!r}: expected one of "
+                "'', 'cover', 'exact', 'shear'")
+
+    def resolved_rotation_mode(self) -> str:
+        """The effective crop strategy ('cover' | 'exact' | 'shear'):
+        ``rotation_mode`` when set, else derived from ``exact_rotation``."""
+        return self.rotation_mode or ("exact" if self.exact_rotation
+                                      else "cover")
 
     def enabled(self, model_type: ModelType) -> bool:
         return {

@@ -544,10 +544,17 @@ class InferenceRunner:
     def _run_landmarker(self, key: str, params, frame: Array,
                         rect: warp.Rect) -> tuple[Array, Array, Array]:
         size = self._fns[key + "_size"]
-        if not self.cfg.exact_rotation:
+        mode = self.cfg.resolved_rotation_mode()
+        if mode == "cover":
             rect = warp.axis_aligned_cover(rect)
-        crop = warp.crop_rect(frame, rect, size,
-                              exact_rotation=self.cfg.exact_rotation)
+            crop = warp.crop_rect(frame, rect, size, exact_rotation=False)
+        elif mode == "shear":
+            # Gather-free rotated crop: the net sees the SAME rotated view
+            # as the exact path (sinc vs bilinear interpolation), and
+            # projection uses the original rotated rect.
+            crop = warp.crop_rect_shear(frame, rect, size)
+        else:
+            crop = warp.crop_rect(frame, rect, size, exact_rotation=True)
         return self._landmark_from_crop(key, params,
                                         jnp.transpose(crop, (2, 0, 1)), rect)
 
@@ -887,7 +894,8 @@ class InferenceRunner:
 
         # --- crop stage: optionally ONE fused Pallas pass over each frame
         # for every landmark crop (face + all hands) ---------------------------
-        use_pallas = (self.cfg.use_pallas and not self.cfg.exact_rotation
+        use_pallas = (self.cfg.use_pallas
+                      and self.cfg.resolved_rotation_mode() == "cover"
                       and frames_rgb.dtype == jnp.uint8)
         face_crops = hand_crops = None
         face_cover = hand_cover = None

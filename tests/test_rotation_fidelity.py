@@ -27,12 +27,15 @@ def runners():
     from bp_from_video_tpu.config import InferenceConfig, RunningMode
     from bp_from_video_tpu.models.runner import InferenceRunner
     out = {}
-    for exact in (True, False):
+    for mode in ("exact", "cover", "shear"):
         cfg = InferenceConfig(face_landmarker=True, hand_landmarker=False,
                               running_mode=RunningMode.IMAGE,
-                              exact_rotation=exact)
-        out[exact] = InferenceRunner(cfg, 256, 256,
-                                     asset_dir="/root/reference")
+                              rotation_mode=mode)
+        out[mode] = InferenceRunner(cfg, 256, 256,
+                                    asset_dir="/root/reference")
+    # Legacy keys used by the original bound tests.
+    out[True] = out["exact"]
+    out[False] = out["cover"]
     return out
 
 
@@ -62,3 +65,17 @@ def test_exact_path_is_rotation_stable(runners):
     pts = _landmarks(runners[True], rotate_image(img0, 15))
     err = np.linalg.norm(unrotate_points(pts, 15) - base, axis=-1)
     assert err.mean() < 3.0, err.mean()
+
+
+def test_shear_path_tracks_exact_path(runners):
+    """The gather-free FFT-shear rotated crop must stay within ~a pixel of
+    the exact rotated-gather path at every tested tilt (it feeds the nets
+    the SAME rotated view, sinc- instead of bilinear-interpolated)."""
+    img0 = synth_face()
+    for theta in (0, 15, 30):
+        img = rotate_image(img0, theta) if theta else img0
+        pe = _landmarks(runners["exact"], img)
+        ps = _landmarks(runners["shear"], img)
+        d = np.linalg.norm(pe - ps, axis=-1)
+        assert d.mean() < 2.0, (theta, d.mean())
+        assert np.percentile(d, 95) < 4.0, (theta, np.percentile(d, 95))

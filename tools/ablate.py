@@ -457,6 +457,30 @@ def main():
                 return st2, out.bpm
             scan_time("full, segmenter off", step, st0, clip_len, streams)
 
+        elif v in ("rot_cover", "rot_shear", "rot_exact"):
+            # Full step under each landmark-crop rotation strategy
+            # (config.rotation_mode).  cover keeps the Pallas multi-crop
+            # kernel; shear/exact fall back to the vmapped per-stream crop
+            # path (shear = cover resample + 3 FFT shears, exact = affine
+            # gather) — diff vs 'full' prices rotated-view fidelity.
+            import dataclasses as dc
+            mode = v.split("_", 1)[1]
+            cfg2 = dc.replace(cfg, inference=dc.replace(
+                cfg.inference, rotation_mode=mode))
+            ms2 = MultiStreamEngine(cfg2, asset_dir=_asset_dir())
+            st0 = ms2.init_states()
+
+            def step(carry, i):
+                st = carry
+                ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+                st2, out = ms2.engine.batch_step(
+                    ms2.params, EngineState(st.signals,
+                                            hold_tracking(st.track)),
+                    frames_at(i), ts)
+                return st2, out.bpm
+            scan_time(f"full, rotation={mode}", step, st0, clip_len,
+                      streams)
+
         elif v == "segnet":
             # Segmenter net alone at model resolution (no frame resize, no
             # full-res upsample) — carry-varied inputs.

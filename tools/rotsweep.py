@@ -76,12 +76,12 @@ def run_sweep(thetas=(0, 5, 10, 15, 20, 25, 30)):
     from bp_from_video_tpu.models.runner import InferenceRunner
 
     runners = {}
-    for exact in (True, False):
+    for mode in ("exact", "cover", "shear"):
         cfg = InferenceConfig(face_landmarker=True, hand_landmarker=False,
                               running_mode=RunningMode.IMAGE,
-                              exact_rotation=exact)
-        runners[exact] = InferenceRunner(cfg, 256, 256,
-                                         asset_dir="/root/reference")
+                              rotation_mode=mode)
+        runners[mode] = InferenceRunner(cfg, 256, 256,
+                                        asset_dir="/root/reference")
 
     img0 = synth_face()
 
@@ -92,22 +92,20 @@ def run_sweep(thetas=(0, 5, 10, 15, 20, 25, 30)):
             return None
         return np.asarray(res.face_landmarker.points[0], np.float64)
 
-    base = landmarks(runners[True], img0)
+    base = landmarks(runners["exact"], img0)
     assert base is not None, "baseline detection failed"
 
     results = []
     for theta in thetas:
         img = rotate_image(img0, theta) if theta else img0
-        for exact in (True, False):
-            pts = landmarks(runners[exact], img)
+        for mode in ("exact", "cover", "shear"):
+            pts = landmarks(runners[mode], img)
             if pts is None:
-                rec = {"theta_deg": theta, "exact_rotation": exact,
-                       "detected": False}
+                rec = {"theta_deg": theta, "mode": mode, "detected": False}
             else:
                 up = unrotate_points(pts, theta)
                 err = np.linalg.norm(up - base, axis=-1)
-                rec = {"theta_deg": theta, "exact_rotation": exact,
-                       "detected": True,
+                rec = {"theta_deg": theta, "mode": mode, "detected": True,
                        "mean_err_px": round(float(err.mean()), 2),
                        "p95_err_px": round(float(np.percentile(err, 95)), 2),
                        "max_err_px": round(float(err.max()), 2)}
