@@ -91,6 +91,12 @@ def build_config(preset: str | None, streams: int, h: int, w: int,
         # channel the pipeline consumes) instead of all 6 full-res masks
         # + full-res argmax (config.InferenceConfig.seg_full_masks).
         seg_full_masks=not bool(int(os.environ.get("BENCH_SEGSKIN", "0"))))
+    if os.environ.get("BENCH_ROT"):
+        # BENCH_ROT=shear|exact|cover: landmark-crop rotation strategy
+        # (config.InferenceConfig.rotation_mode; non-cover modes bypass
+        # the Pallas crop/stem/trunk pipeline — they price rotated-view
+        # fidelity, see tools/ablate.py rot_* variants).
+        infer_over["rotation_mode"] = os.environ["BENCH_ROT"]
     if preset:
         base = preset_configs()[preset]
         cfg = dataclasses.replace(

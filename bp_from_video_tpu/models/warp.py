@@ -184,12 +184,17 @@ def fract_shift(img: Array, shifts: Array, axis: int) -> Array:
     primitive: a data-dependent, per-row translation costs one rFFT, one
     complex multiply, and one irFFT — no element-serial gathers (the same
     phase-ramp trick ops/correlate.py uses for data-dependent lag shifts)."""
-    n = img.shape[axis]
+    ax = axis if axis >= 0 else axis + img.ndim
+    x = jnp.moveaxis(img.astype(jnp.float32), ax, -1)
+    n = x.shape[-1]
     k = jnp.fft.rfftfreq(n)  # cycles/sample
-    spec = jnp.fft.rfft(img.astype(jnp.float32), axis=axis)
+    # Always FFT along the MINOR axis: TPU FFTs on non-minor axes (e.g.
+    # axis 0/1 of an [H, W, C] image, C=3 minor) lower catastrophically
+    # (measured ~70x slower than the moveaxis + minor-axis form).
+    spec = jnp.fft.rfft(x, axis=-1)
     ph = jnp.exp(2j * jnp.pi * k * shifts[..., None].astype(jnp.float32))
-    ph = jnp.moveaxis(ph, -1, axis if axis >= 0 else axis + img.ndim)
-    return jnp.fft.irfft(spec * ph, n=n, axis=axis)
+    out = jnp.fft.irfft(spec * ph, n=n, axis=-1)
+    return jnp.moveaxis(out, -1, ax)
 
 
 def rotate_shear(img: Array, theta: Array, r: Array | float = 1.0) -> Array:
@@ -240,10 +245,32 @@ def crop_rect_shear(frame: Array, r: Rect, out_size: int,
     ys = r.cy + u * r.h - 0.5
     xs = r.cx + u * r.w - 0.5
     g = resample_separable(frame, ys, xs, dtype)   # [t, t, C] at rect pitch
-    rot = rotate_shear(g, r.rotation, r=r.h / r.w)
+    # Fold quarter turns out of the rotation: the shear decomposition's
+    # tan(θ/2) factors explode toward ±180°, but quarter turns of the
+    # square canvas are exact index permutations (rot90 = transpose +
+    # reverse — still zero gathers).  The residual |θr| ≤ 45° keeps every
+    # shear shift inside the wrap margin.  Quarter-turn folding is exact
+    # for square rects (the runner's tracking rects are square_long); a
+    # no-op for |θ| < 45°.  Anisotropic rects are supported for |θ| ≤ 45°
+    # (beyond that a quarter turn of an anisotropic grid is a rescale,
+    # not a permutation — and strong anisotropy also shrinks the shear
+    # wrap margin by max(r, 1/r); keep w/h within ~[2/3, 3/2]).
+    rot = normalize_radians(r.rotation)
+    nq = jnp.round(rot / (jnp.pi / 2))
+    theta_r = rot - nq * (jnp.pi / 2)
+    n4 = jnp.mod(nq.astype(jnp.int32), 4)
+    g = jax.lax.switch(n4, [
+        lambda im: im,
+        lambda im: jnp.rot90(im, 1, axes=(0, 1)),
+        lambda im: jnp.rot90(im, 2, axes=(0, 1)),
+        lambda im: jnp.rot90(im, 3, axes=(0, 1)),
+    ], g)
+    ratio = jnp.where(n4 % 2 == 1, r.w / r.h, r.h / r.w)
+    rot_img = rotate_shear(g, theta_r, r=ratio)
     o0 = (tdim - s) // 2
     return jax.lax.slice_in_dim(
-        jax.lax.slice_in_dim(rot, o0, o0 + s, axis=0), o0, o0 + s, axis=1)
+        jax.lax.slice_in_dim(rot_img, o0, o0 + s, axis=0),
+        o0, o0 + s, axis=1)
 
 
 def project_landmarks(norm_pts: Array, r: Rect) -> Array:

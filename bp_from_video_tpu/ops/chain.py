@@ -73,11 +73,6 @@ def _block_grid(st: ChainState) -> tuple[Array, Array, Array]:
     return grid, ts, kb
 
 
-def _zero_infs(v: Array) -> Array:
-    """inf sentinels -> 0 before a selection contraction (0 * inf = NaN)."""
-    return jnp.where(jnp.isfinite(v), v, 0.0)
-
-
 def interp_linear(st: ChainState) -> ChainState:
     """np.interp of valid samples onto the uniform block grid; valid:=block,
     fs:=1/step (reference signal_processor.py:206-211).
@@ -91,10 +86,10 @@ def interp_linear(st: ChainState) -> ChainState:
     k = cx.count
     mf, x0s, x1s = sig.bracket_matrix(cx.values, k, grid)
     y1s = jnp.concatenate([cy.values[1:], cy.values[-1:]])
-    x_j = mf @ _zero_infs(x0s)
-    x_j1 = mf @ _zero_infs(x1s)
-    y_j = mf @ cy.values
-    y_j1 = mf @ y1s
+    x_j = sig.selmm(mf, sig.zero_infs(x0s))
+    x_j1 = sig.selmm(mf, sig.zero_infs(x1s))
+    y_j = sig.selmm(mf, cy.values)
+    y_j1 = sig.selmm(mf, y1s)
     t = (grid - x_j) / jnp.where(x_j1 == x_j, 1.0, x_j1 - x_j)
     y_new = y_j + jnp.clip(t, 0.0, 1.0) * (y_j1 - y_j)  # np.interp clamps
     # Clamp outside the valid x-range to the endpoint values (this also
@@ -170,15 +165,15 @@ def _spline_eval(xc: Array, yc: Array, m2: Array, k: Array, t: Array) -> Array:
                       last_seg.astype(mf.dtype)))
     y1s = jnp.concatenate([yc[1:], yc[-1:]])
     m2n = jnp.concatenate([m2[1:], m2[-1:]])
-    xj = mf @ _zero_infs(x0s)
-    xj1 = mf @ _zero_infs(x1s)
+    xj = sig.selmm(mf, sig.zero_infs(x0s))
+    xj1 = sig.selmm(mf, sig.zero_infs(x1s))
     # The k-2 extrapolation segment's right knot is x_last itself (x1s has
     # the inf sentinel at and beyond count-1): rebuild it from the data.
     xj1 = jnp.where(t >= x_last, x_last, xj1)
-    yj = mf @ yc
-    yj1 = mf @ y1s
-    m2j = mf @ m2
-    m2j1 = mf @ m2n
+    yj = sig.selmm(mf, yc)
+    yj1 = sig.selmm(mf, y1s)
+    m2j = sig.selmm(mf, m2)
+    m2j1 = sig.selmm(mf, m2n)
     h = jnp.where(xj1 == xj, 1.0, xj1 - xj)
     dr = xj1 - t
     dl = t - xj

@@ -56,7 +56,9 @@ def firls_bandpass(numtaps: int, bands: Array, desired: Array, fs: Array) -> Arr
            .astype(jnp.float32)
            + ((idx[:, None] + idx[None, :])[..., None] == n_idx)
            .astype(jnp.float32))
-    q_mat = sel @ q
+    # HIGHEST: the selection must reproduce q exactly (default TPU matmul
+    # would truncate the f32 operand to bf16; see ops/signal.selmm).
+    q_mat = jnp.matmul(sel, q, precision=jax.lax.Precision.HIGHEST)
 
     # b(n) with linear desired D(f) = m f + c on each band.
     n = n_all[: m_half + 1]

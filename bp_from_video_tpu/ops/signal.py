@@ -256,6 +256,24 @@ def bracket_matrix(cxv: Array, count: Array, queries: Array
     return m.astype(cxv.dtype), x0s, x1s
 
 
+def zero_infs(v: Array) -> Array:
+    """inf sentinels -> 0 before a selection contraction (0 * inf = NaN)."""
+    return jnp.where(jnp.isfinite(v), v, 0.0)
+
+
+def selmm(m: Array, v: Array) -> Array:
+    """Selection contraction ``m @ v`` at HIGHEST matmul precision.
+
+    The default TPU matmul truncates f32 operands to bf16; a one-hot
+    selection must reproduce the selected values exactly (ring timestamps
+    are seconds since capture start — bf16 granularity at t=60 s is
+    0.25 s, ~8 frame intervals; tools/compactprobe.py documents the same
+    hazard for the compaction sorts).  Use for every ``bracket_matrix``
+    contraction; CPU (where the parity suite runs) is unaffected either
+    way, which is exactly why the precision must be forced here."""
+    return jnp.matmul(m, v, precision=jax.lax.Precision.HIGHEST)
+
+
 def take_at(values: Array, i: Array, count: Array) -> Array:
     """``values[i]`` with negative-from-count semantics: ``i=-1`` is the last
     valid entry of a compacted array."""

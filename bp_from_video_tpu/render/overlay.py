@@ -73,19 +73,14 @@ def cross_mask(centers: Array, h: int, w: int, arm: int = 5) -> Array:
     return jnp.clip(horiz + vert, 0.0, 1.0)
 
 
-def paint(frame_f: Array, mask: Array, color: tuple[int, int, int]) -> Array:
-    """Paint ``color`` where mask=1 (frame float RGB [H, W, 3])."""
-    c = jnp.asarray(color, jnp.float32)
-    return frame_f * (1.0 - mask[..., None]) + mask[..., None] * c
-
-
 def composite(base_f: Array, layers) -> Array:
     """Apply ``[(mask [H, W], color)]`` in order (later wins) as ONE nested
     select chain over the float base.
 
-    Exactly equals folding :func:`paint` over the layers when every mask is
-    {0, 1} (all masks here are clipped one-hots/spans) — but where the paint
-    fold materializes a full [H, W, 3] float canvas per layer, the select
+    Exactly equals painting each layer onto a fresh canvas
+    (``frame*(1-mask) + mask*color``) when every mask is {0, 1} — all
+    masks here are clipped one-hots/spans — but where that fold
+    materializes a full [H, W, 3] float canvas per layer, the select
     chain is a single fused elementwise pass: per-layer HBM round-trips
     disappear, which is most of the on-device render cost at 480×640+
     (multistream preset: one canvas re-write per model layer per stream)."""

@@ -149,11 +149,11 @@ def _trace_cols(x: Array, y: Array, min_x: Array, max_x: Array,
     mf, x0s, x1s = sig.bracket_matrix(cx.values, k, grid)
     y1s = jnp.concatenate([cy[1:], cy[-1:]])
     gap_s = (jnp.concatenate([cidx[1:], cidx[-1:]]) - cidx) > 1.5
-    x0 = mf @ _zero_infs(x0s)
-    x1 = mf @ _zero_infs(x1s)
-    y0 = mf @ cy
-    y1 = mf @ y1s
-    gap_c = (mf @ gap_s.astype(jnp.float32)) > 0.5
+    x0 = sig.selmm(mf, sig.zero_infs(x0s))
+    x1 = sig.selmm(mf, sig.zero_infs(x1s))
+    y0 = sig.selmm(mf, cy)
+    y1 = sig.selmm(mf, y1s)
+    gap_c = sig.selmm(mf, gap_s.astype(jnp.float32)) > 0.5
     t = jnp.clip((grid - x0) / jnp.where(x1 == x0, 1.0, x1 - x0), 0.0, 1.0)
     vals = y0 + t * (y1 - y0)
     first = x0s[0]
@@ -169,11 +169,6 @@ def _trace_cols(x: Array, y: Array, min_x: Array, max_x: Array,
     col_ok = ((grid >= first) & (grid <= last) & ~gap_c & (k >= 2)
               & jnp.isfinite(vals))
     return vals, col_ok
-
-
-def _zero_infs(v: Array) -> Array:
-    """inf sentinels -> 0 before a selection contraction (0 * inf = NaN)."""
-    return jnp.where(jnp.isfinite(v), v, 0.0)
 
 
 def trace_mask(gl: GraphLayout, x: Array, y: Array, min_x: Array,

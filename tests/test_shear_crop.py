@@ -46,7 +46,7 @@ def test_fract_shift_half_sample_on_sinusoid():
     np.testing.assert_allclose(out[0], ref, atol=1e-5)
 
 
-@pytest.mark.parametrize("deg", [15, 30, -25])
+@pytest.mark.parametrize("deg", [15, 30, -25, 60, 100, 135, 179, -135, -179])
 def test_crop_rect_shear_matches_exact_centered(deg):
     frame = _smooth_frame()
     r = warp.Rect(jnp.float32(320.0), jnp.float32(240.0), jnp.float32(200.0),
@@ -56,6 +56,20 @@ def test_crop_rect_shear_matches_exact_centered(deg):
     d = np.abs(exact - fast)[8:-8, 8:-8]
     assert d.mean() < 0.5, d.mean()            # measured ≈ 0.07
     assert np.percentile(d, 99) < 2.0          # measured ≈ 0.4
+
+
+@pytest.mark.parametrize("deg", [90, -90, 180])
+def test_crop_rect_shear_quarter_turns_exact(deg):
+    """Quarter turns fold into index permutations of the canvas — the
+    shear residual is 0 and the result must match the gather path to
+    resample tolerance (identical bilinear cover sampling)."""
+    frame = _smooth_frame()
+    r = warp.Rect(jnp.float32(320.0), jnp.float32(240.0), jnp.float32(200.0),
+                  jnp.float32(200.0), jnp.float32(np.deg2rad(deg)))
+    exact = np.asarray(warp.crop_rect(frame, r, 256, exact_rotation=True))
+    fast = np.asarray(warp.crop_rect_shear(frame, r, 256))
+    np.testing.assert_allclose(fast[8:-8, 8:-8], exact[8:-8, 8:-8],
+                               atol=1e-2)
 
 
 def test_crop_rect_shear_anisotropic_rect():
