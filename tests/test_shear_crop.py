@@ -36,6 +36,23 @@ def test_fract_shift_integer_matches_roll():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_fract_shift_dft_matches_fft():
+    """The MXU matmul real-DFT backend (auto-selected on TPU, where the
+    FFT lowering is ~20x slower at crop-canvas sizes) must agree with the
+    jnp.fft path to float precision on both axes."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 255, (5, 3, 64)).astype(np.float32))
+    sh = jnp.asarray(rng.uniform(-5, 5, (5, 3)).astype(np.float32))
+    a = warp.fract_shift(x, sh, axis=2, method="fft")
+    b = warp.fract_shift(x, sh, axis=2, method="dft")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    x2 = jnp.asarray(rng.uniform(0, 255, (48, 7)).astype(np.float32))
+    sh2 = jnp.asarray(rng.uniform(-3, 3, (7,)).astype(np.float32))
+    a2 = warp.fract_shift(x2, sh2, axis=0, method="fft")
+    b2 = warp.fract_shift(x2, sh2, axis=0, method="dft")
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=2e-3)
+
+
 def test_fract_shift_half_sample_on_sinusoid():
     """Fractional shifts are exact for band-limited content."""
     n = 64
