@@ -1066,33 +1066,43 @@ class InferenceRunner:
         if self.cfg.person_segmenter:
             size = self._fns["seg_size"]
 
-            def seg_one(frame):
-                # Compute-dtype matmul operands (uint8 pixels are exact in
-                # bf16; accumulation stays f32 inside resample_separable).
-                small = warp.resize_bilinear(frame, size, size,
-                                             dtype=self.dtype) / 255.0
-                small = jnp.transpose(small, (2, 0, 1))[None]  # planar
+            def seg_one(frame_planar):
+                # Planar [3, H, W] end to end: every resample keeps W on
+                # the lane axis (the HWC formulation put C=6 there — 6 of
+                # 128 lanes live — and paid a full-res transpose at the
+                # end).  Compute-dtype matmul operands (uint8 pixels are
+                # exact in bf16); f32 accumulation emitted directly
+                # (out_dtype) as before.
+                small = warp.resize_bilinear_planar(
+                    frame_planar.astype(self.dtype), size, size,
+                    dtype=self.dtype, out_dtype=jnp.float32) / 255.0
                 conf = self._fns["seg"](params["seg"],
-                                        small.astype(self.dtype))
+                                        small[None].astype(self.dtype))
+                # Net emits HWC; go planar at MODEL res (6*size² elements —
+                # the transpose this replaces moved 6*frame_h*frame_w f32).
+                conf_p = jnp.transpose(conf[0], (2, 0, 1))
                 if self.cfg.seg_full_masks:
                     # Reference parity: all 6 confidence channels + argmax
                     # at frame resolution (inference_runner.py:164-165).
                     # Mask-grade data: upsample in bf16 (halves the
                     # full-res traffic), emit f32.
-                    conf_full = warp.resize_bilinear(
-                        conf[0], self.h, self.w,
-                        dtype=jnp.bfloat16).astype(jnp.float32)
-                    return (jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
-                            jnp.transpose(conf_full, (2, 0, 1)))
+                    conf_full = warp.resize_bilinear_planar(
+                        conf_p, self.h, self.w,
+                        dtype=jnp.bfloat16, out_dtype=jnp.float32)
+                    return (jnp.argmax(conf_full, axis=0).astype(jnp.int32),
+                            conf_full)
                 # Skin-only operating point: upsample the one channel the
                 # pipeline consumes; category mask stays at model res.
                 sk = SEG_SKIN_CLASS
-                skin_full = warp.resize_bilinear(
-                    conf[0][..., sk:sk + 1], self.h, self.w,
-                    dtype=jnp.bfloat16).astype(jnp.float32)
-                cls_small = jnp.argmax(conf[0], axis=-1).astype(jnp.int32)
-                return cls_small, jnp.transpose(skin_full, (2, 0, 1))
-            seg_class, seg_conf = jax.vmap(seg_one)(as_nhwc())
+                skin_full = warp.resize_bilinear_planar(
+                    conf_p[sk:sk + 1], self.h, self.w,
+                    dtype=jnp.bfloat16, out_dtype=jnp.float32)
+                cls_small = jnp.argmax(conf_p, axis=0).astype(jnp.int32)
+                return cls_small, skin_full
+
+            frames_seg = (frames_rgb if planar_in else
+                          jnp.transpose(frames_rgb, (0, 3, 1, 2)))
+            seg_class, seg_conf = jax.vmap(seg_one)(frames_seg)
             res = res._replace(seg_class=seg_class, seg_conf=seg_conf,
                                seg_valid=jnp.ones((s,), bool))
 

@@ -175,25 +175,27 @@ def bilinear_sample(frame: Array, xs: Array, ys: Array) -> Array:
 
 
 def _rdft_mats(n: int):
-    """Static real-DFT analysis/synthesis matrices for length ``n``:
-    ``x @ F`` gives [Re | Im] of the rFFT (nf = n//2+1 each half), and
-    ``[Re' | Im'] @ I`` synthesizes the shifted signal.  Compile-time
-    constants (numpy), concatenated so each direction is ONE matmul."""
-    import numpy as np
-    kk = np.fft.rfftfreq(n)
-    x_idx = np.arange(n)
-    ang = 2.0 * np.pi * np.outer(x_idx, kk)
-    f = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)    # [n, 2nf]
-    wts = np.ones(len(kk))
-    wts[1:] = 2.0
+    """Real-DFT analysis/synthesis matrices for length ``n``: ``x @ F``
+    gives [Re | Im] of the rFFT (nf = n//2+1 each half), and
+    ``[Re' | Im'] @ I`` synthesizes the shifted signal; concatenated so
+    each direction is ONE matmul.  Built IN-GRAPH (exact int32 mod-n
+    angle reduction, see ops/dft.py) — numpy bases embedded multi-MB
+    constants per instance into the HLO and inflated remote-compile
+    payloads; as traced ops they CSE and hoist out of scans."""
+    from bp_from_video_tpu.ops.dft import _angles
+    nf = n // 2 + 1
+    ang = _angles(n, nf, n)
+    f = jnp.concatenate([jnp.cos(ang), -jnp.sin(ang)], axis=1)  # [n, 2nf]
+    wts = jnp.full((nf, 1), 2.0, jnp.float32)
+    wts = wts.at[0].set(1.0)
     if n % 2 == 0:
-        wts[-1] = 1.0
-    angt = 2.0 * np.pi * np.outer(kk, x_idx)
-    i_c = np.cos(angt) * wts[:, None] / n                      # [nf, n]
-    i_s = np.sin(angt) * wts[:, None] / n
-    i_mat = np.concatenate([i_c, -i_s], axis=0)                # [2nf, n]
-    return (jnp.asarray(f, jnp.float32), jnp.asarray(i_mat, jnp.float32),
-            jnp.asarray(kk, jnp.float32))
+        wts = wts.at[-1].set(1.0)
+    angt = ang.T
+    i_c = jnp.cos(angt) * wts / n                               # [nf, n]
+    i_s = jnp.sin(angt) * wts / n
+    i_mat = jnp.concatenate([i_c, -i_s], axis=0)                # [2nf, n]
+    kk = jnp.arange(nf, dtype=jnp.float32) / n                  # rfftfreq
+    return f, i_mat, kk
 
 
 def fract_shift(img: Array, shifts: Array, axis: int,
@@ -373,7 +375,7 @@ def resize_bilinear(image: Array, out_h: int, out_w: int,
 
 
 def _resize_mm(x: Array, out_h: int, out_w: int, h_axis: int, w_axis: int,
-               specs: tuple[str, str], dtype) -> Array:
+               specs: tuple[str, str], dtype, out_dtype=None) -> Array:
     """Shared core of the MXU-matmul bilinear resizes: half-pixel sample
     coordinates (resize_bilinear's formula), edge-clamped interpolation
     matrices, two einsum contractions given per-layout subscripts.
@@ -399,23 +401,27 @@ def _resize_mm(x: Array, out_h: int, out_w: int, h_axis: int, w_axis: int,
     out = jnp.einsum(spec_w, t, wx, preferred_element_type=jnp.float32)
     if not jnp.issubdtype(x.dtype, jnp.floating):
         out = jnp.round(out)
-    return out.astype(x.dtype)
+    return out.astype(x.dtype if out_dtype is None else out_dtype)
 
 
 def resize_bilinear_planar(x: Array, out_h: int, out_w: int,
-                           dtype=None) -> Array:
+                           dtype=None, out_dtype=None) -> Array:
     """Half-pixel bilinear resize over the LAST TWO axes ([..., H, W] —
-    the planar activation layout) as two MXU matmuls (see _resize_mm)."""
+    the planar activation layout) as two MXU matmuls (see _resize_mm).
+    ``out_dtype`` keeps the f32 accumulation on output (skips the
+    round-trip through ``x.dtype``)."""
     return _resize_mm(x, out_h, out_w, -2, -1,
-                      ("...hw,oh->...ow", "...hw,pw->...hp"), dtype)
+                      ("...hw,oh->...ow", "...hw,pw->...hp"), dtype,
+                      out_dtype)
 
 
 def resize_bilinear_nhwc(x: Array, out_h: int, out_w: int,
-                         dtype=None) -> Array:
+                         dtype=None, out_dtype=None) -> Array:
     """resize_bilinear_planar for NHWC batches ([B, H, W, C]) — interior
     axes resampled by the same MXU interpolation matmuls, no transpose."""
     return _resize_mm(x, out_h, out_w, 1, 2,
-                      ("bhwc,oh->bowc", "bhwc,pw->bhpc"), dtype)
+                      ("bhwc,oh->bowc", "bhwc,pw->bhpc"), dtype,
+                      out_dtype)
 
 
 def unletterbox_points(pts_norm: Array, lb: Letterbox, out_size: int) -> Array:

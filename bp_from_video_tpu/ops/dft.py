@@ -7,13 +7,15 @@ free, versus milliseconds of poorly-shaped FFT kernels (measured: the
 Butterworth chain's rfft/irfft pair dominated the whole DSP stage).
 
 Drop-in signatures mirror ``jnp.fft.rfft`` / ``jnp.fft.irfft`` for real
-inputs over the LAST axis, with the basis matrices built once per ``n`` on
-the host and closed over as constants (f32, ~4 MB at n=1024).
+inputs over the LAST axis.  The basis matrices are built IN-GRAPH (iota
+outer product, angle reduced mod n in int32 so f32 sin/cos never sees a
+large argument): numpy-built bases became 8 MB embedded HLO constants per
+instance (a dozen per program at nfft=2048), which blew past the remote-
+compile request limit; as traced computations they are a few ops that XLA
+CSEs across call sites and hoists out of the per-frame scan.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,29 +23,37 @@ import numpy as np
 
 Array = jax.Array
 
-
-@functools.lru_cache(maxsize=None)
-def _rfft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
-    k = np.arange(n)[:, None].astype(np.float64)
-    f = np.arange(n // 2 + 1)[None, :].astype(np.float64)
-    ang = 2.0 * np.pi * k * f / n
-    return (np.cos(ang).astype(np.float32),
-            -np.sin(ang).astype(np.float32))
+# (r*c) must stay exact in int32: r < n, c <= n//2 -> product < n^2/2.
+_MAX_N = 46340
 
 
-@functools.lru_cache(maxsize=None)
-def _irfft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+def _angles(rows: int, cols: int, n: int) -> Array:
+    """2*pi*(r*c mod n)/n as an [rows, cols] f32 array.  The mod-n
+    reduction happens on exact int32 products, so the f32 angle is in
+    [0, 2*pi) with ~1 ulp error — matching f64-built-then-cast bases
+    (a raw f32 k*f angle would carry ~1e-4 rad of reduction error)."""
+    assert n <= _MAX_N, f"DFT size {n} overflows int32 angle reduction"
+    r = jax.lax.iota(jnp.int32, rows)[:, None]
+    c = jax.lax.iota(jnp.int32, cols)[None, :]
+    m = (r * c) % n
+    return jnp.float32(2.0 * np.pi / n) * m.astype(jnp.float32)
+
+
+def _rfft_mats(n: int) -> tuple[Array, Array]:
+    ang = _angles(n, n // 2 + 1, n)
+    return jnp.cos(ang), -jnp.sin(ang)
+
+
+def _irfft_mats(n: int) -> tuple[Array, Array]:
     # x[k] = (1/n) * sum_f w_f * (Re Y_f cos(2pi f k / n) - Im Y_f sin(...)),
     # w_f = 1 for f in {0, n/2}, else 2 (conjugate-symmetric completion).
-    f = np.arange(n // 2 + 1)[:, None].astype(np.float64)
-    k = np.arange(n)[None, :].astype(np.float64)
-    ang = 2.0 * np.pi * f * k / n
-    w = np.full((n // 2 + 1, 1), 2.0)
-    w[0] = 1.0
+    nf = n // 2 + 1
+    ang = _angles(nf, n, n)
+    w = jnp.full((nf, 1), 2.0, jnp.float32)
+    w = w.at[0].set(1.0)
     if n % 2 == 0:
-        w[-1] = 1.0
-    return ((w * np.cos(ang) / n).astype(np.float32),
-            (-w * np.sin(ang) / n).astype(np.float32))
+        w = w.at[-1].set(1.0)
+    return (w * jnp.cos(ang) / n), (-w * jnp.sin(ang) / n)
 
 
 def rfft(x: Array, n: int) -> Array:
@@ -61,8 +71,8 @@ def rfft(x: Array, n: int) -> Array:
     # before the MXU — an FFT replacement must keep f32 accuracy (the MACs
     # here are microseconds either way).
     hp = jax.lax.Precision.HIGHEST
-    re = jnp.matmul(x, jnp.asarray(c), precision=hp)
-    im = jnp.matmul(x, jnp.asarray(s), precision=hp)
+    re = jnp.matmul(x, c, precision=hp)
+    im = jnp.matmul(x, s, precision=hp)
     return jax.lax.complex(re, im)
 
 
@@ -73,5 +83,5 @@ def irfft(y: Array, n: int) -> Array:
     re = jnp.real(y).astype(jnp.float32)
     im = jnp.imag(y).astype(jnp.float32)
     hp = jax.lax.Precision.HIGHEST
-    return (jnp.matmul(re, jnp.asarray(c), precision=hp)
-            + jnp.matmul(im, jnp.asarray(s), precision=hp))
+    return (jnp.matmul(re, c, precision=hp)
+            + jnp.matmul(im, s, precision=hp))

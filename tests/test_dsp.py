@@ -3,6 +3,7 @@
 signals."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 import scipy.signal
@@ -278,3 +279,42 @@ def test_filters_degrade_to_nan_at_too_low_fs(method, fs):
     x_ok = jnp.arange(n, dtype=jnp.float32) / 30.0
     _, y_ok = chain.process_signal(cfg, x_ok, y)
     assert np.isfinite(np.asarray(y_ok)).all()
+
+
+@pytest.mark.parametrize("n", [197, 250, 256, 1024, 2048])
+def test_in_graph_dft_bases_match_f64_numpy(n):
+    """The in-graph basis construction (ops/dft.py:_angles — int32 (r*c)
+    mod n reduction feeding f32 sin/cos) must match f64-built-then-cast
+    numpy bases to ~1 ulp, at every size the engine instantiates
+    (nfft=2048 is the largest: correlate.py).  Guards the round-2 rewrite
+    that moved the bases in-graph to stop embedding them as multi-MB HLO
+    constants (remote-compile payload: 37.7 MB -> 4.15 MB)."""
+    from bp_from_video_tpu.ops import dft
+
+    nf = n // 2 + 1
+    k = np.arange(n)[:, None].astype(np.float64)
+    f = np.arange(nf)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * f / n
+    c_ref = np.cos(ang).astype(np.float32)
+    s_ref = -np.sin(ang).astype(np.float32)
+
+    c, s = jax.jit(dft._rfft_mats, static_argnums=0)(n)
+    # A few f32 ulp: the angle is exact post-reduction but carries one
+    # f32 rounding, and sin/cos add ~1 ulp each (bound is 8e-7 ≈ 7 ulp
+    # at magnitude 1 — vs the ~1e-4 error of unreduced k*f angles).
+    np.testing.assert_allclose(np.asarray(c), c_ref, rtol=0, atol=8e-7)
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=0, atol=8e-7)
+
+    # Round-trip through the synthesis bases: irfft(rfft(x)) == x.
+    rng = np.random.default_rng(1)
+    x = rng.normal(0.0, 1.0, (3, n)).astype(np.float32)
+    y = dft.irfft(dft.rfft(jnp.asarray(x), n), n)
+    np.testing.assert_allclose(np.asarray(y), x, atol=2e-5)
+
+
+def test_in_graph_dft_rejects_overflowing_n():
+    """(r*c) must stay exact in int32 — sizes past _MAX_N must refuse
+    rather than silently wrap."""
+    from bp_from_video_tpu.ops import dft
+    with pytest.raises(AssertionError):
+        dft._rfft_mats(dft._MAX_N + 2)
