@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from bp_from_video_tpu.config import SignalConfig, SignalProcessingMethod as M
-from bp_from_video_tpu.ops import fir, iir
+from bp_from_video_tpu.ops import fir, iir, tridiag
 from bp_from_video_tpu.ops import signal as sig
 
 Array = jax.Array
@@ -105,45 +105,92 @@ def interp_linear(st: ChainState) -> ChainState:
 
 def _notaknot_m(xc: Array, yc: Array, k: Array) -> Array:
     """Second derivatives of the not-a-knot cubic spline through the first
-    ``k`` points of (xc, yc), via a dense masked solve (the N×N system is
-    tiny — MXU food). Handles k==2 (line) and k==3 (parabola) like scipy."""
+    ``k`` points of (xc, yc).  Handles k==2 (line) and k==3 (parabola)
+    like scipy.
+
+    Solved in scipy's SLOPE (first-derivative) formulation
+    (scipy/interpolate/_cubic.py): there the not-a-knot boundary rows are
+    themselves tridiagonal, so the whole system is a strict tridiagonal
+    solved by log-depth cyclic reduction (ops/tridiag.pcr_solve) — the
+    second-derivative formulation needed corner entries outside the band
+    and went through ``jnp.linalg.solve``'s dense pivoted LU, which
+    dominated the whole chain stage on TPU (column-serial factorization
+    + pivot gathers).  Interior rows are strictly diagonally dominant
+    (factor 2), boundary rows weakly — PCR is stable here.  Slopes
+    convert back to knot second derivatives so _spline_eval is unchanged:
+    on segment j, y''(x_j) = (6·slope_j − 4·s_j − 2·s_{j+1})/h_j, and the
+    last knot takes segment k−2's right end."""
     n = xc.shape[0]
-    hs = jnp.where(jnp.arange(n - 1) < k - 1, xc[1:] - xc[:-1], 1.0)
+    seg = jnp.arange(n - 1) < k - 1
+    hs = jnp.where(seg, xc[1:] - xc[:-1], 1.0)
     hs = jnp.where(hs == 0, 1.0, hs)
-    slope = (yc[1:] - yc[:-1]) / hs
-    r = jnp.arange(n)[:, None]
-    c = jnp.arange(n)[None, :]
-    h_rm1 = hs[jnp.clip(r - 1, 0, n - 2)]
-    h_r = hs[jnp.clip(r, 0, n - 2)]
-    interior = (r >= 1) & (r <= k - 2)
-    a_int = (jnp.where(c == r - 1, h_rm1, 0.0)
-             + jnp.where(c == r, 2.0 * (h_rm1 + h_r), 0.0)
-             + jnp.where(c == r + 1, h_r, 0.0))
-    s_r = slope[jnp.clip(r[:, 0], 0, n - 2)]
-    s_rm1 = slope[jnp.clip(r[:, 0] - 1, 0, n - 2)]
-    rhs_int = 6.0 * (s_r - s_rm1)
+    slope = jnp.where(seg, (yc[1:] - yc[:-1]) / hs, 0.0)
+    # Per-knot views: h_j/s_j = segment starting at knot j; h_jm1/s_jm1 =
+    # segment ending at knot j (identity/zero pad at the ends).
+    one = jnp.ones((1,), xc.dtype)
+    zero = jnp.zeros((1,), xc.dtype)
+    h_j = jnp.concatenate([hs, one])
+    h_jm1 = jnp.concatenate([one, hs])
+    s_j = jnp.concatenate([slope, zero])
+    s_jm1 = jnp.concatenate([zero, slope])
+    idx = jnp.arange(n)
+    interior = (idx >= 1) & (idx <= k - 2)
+
+    # Interior rows (scipy's i=1..k-2): h_i·s_{i-1} + 2(h_{i-1}+h_i)·s_i
+    # + h_{i-1}·s_{i+1} = 3(h_i·slope_{i-1} + h_{i-1}·slope_i).
+    a = jnp.where(interior, h_j, 0.0)
+    b = jnp.where(interior, 2.0 * (h_jm1 + h_j), 1.0)
+    c = jnp.where(interior, h_jm1, 0.0)
+    d = jnp.where(interior, 3.0 * (h_j * s_jm1 + h_jm1 * s_j), 0.0)
 
     h0, h1 = hs[0], hs[1]
-    hk3 = hs[jnp.clip(k - 3, 0, n - 2)]
-    hk2 = hs[jnp.clip(k - 2, 0, n - 2)]
-    # Not-a-knot rows (third-derivative continuity at x1 and x_{k-2}).
-    row0 = (jnp.where(c == 0, h1, 0.0) + jnp.where(c == 1, -(h0 + h1), 0.0)
-            + jnp.where(c == 2, h0, 0.0))
-    row_last = (jnp.where(c == k - 3, hk2, 0.0)
-                + jnp.where(c == k - 2, -(hk3 + hk2), 0.0)
-                + jnp.where(c == k - 1, hk3, 0.0))
-    # k==3: both not-a-knot rows coincide; use M0-M1=0 and M1-M2=0 instead.
-    row0_k3 = jnp.where(c == 0, 1.0, 0.0) + jnp.where(c == 1, -1.0, 0.0)
-    rowl_k3 = jnp.where(c == 1, 1.0, 0.0) + jnp.where(c == 2, -1.0, 0.0)
-    ident = jnp.where(c == r, 1.0, 0.0)
+    s0, s1 = slope[0], slope[1]
+    hk2 = sig.take_at(hs, -1, k - 1)      # h_{k-2} (last segment)
+    hk3 = sig.take_at(hs, -2, k - 1)
+    sk2 = sig.take_at(slope, -1, k - 1)
+    sk3 = sig.take_at(slope, -2, k - 1)
 
-    is3 = k == 3
-    first = jnp.where(k <= 2, ident, jnp.where(is3, row0_k3, row0))
-    last = jnp.where(k <= 2, ident, jnp.where(is3, rowl_k3, row_last))
-    a = jnp.where(interior, a_int,
-                  jnp.where(r == 0, first, jnp.where(r == k - 1, last, ident)))
-    rhs = jnp.where(interior[:, 0], rhs_int, 0.0)
-    return jnp.linalg.solve(a, rhs)
+    big = k > 3
+    # k>3 not-a-knot rows; k==3 collapses to scipy's parabola rows
+    # (s0 + s1 = 2·slope0 and s_{k-2} + s_{k-1} = 2·slope_{k-2}).
+    d0f = h0 + h1
+    b_f = jnp.where(big, h1, 1.0)
+    c_f = jnp.where(big, d0f, 1.0)
+    d_f = jnp.where(big,
+                    ((h0 + 2.0 * d0f) * h1 * s0 + h0 * h0 * s1) / d0f,
+                    2.0 * s0)
+    dlf = hk3 + hk2
+    a_l = jnp.where(big, dlf, 1.0)
+    b_l = jnp.where(big, hk3, 1.0)
+    d_l = jnp.where(big,
+                    (hk2 * hk2 * sk3 + (2.0 * dlf + hk2) * hk3 * sk2) / dlf,
+                    2.0 * sk2)
+    # k==2: both boundary rows read s = slope0 (a line); k<=1: identity.
+    small = k <= 2
+    b_f = jnp.where(small, 1.0, b_f)
+    c_f = jnp.where(small, 0.0, c_f)
+    d_f = jnp.where(small, jnp.where(k == 2, s0, 0.0), d_f)
+    a_l = jnp.where(small, 0.0, a_l)
+    b_l = jnp.where(small, 1.0, b_l)
+    d_l = jnp.where(small, jnp.where(k == 2, s0, 0.0), d_l)
+
+    is_first = idx == 0
+    is_last = idx == k - 1
+    a = jnp.where(is_first, 0.0, jnp.where(is_last, a_l, a))
+    b = jnp.where(is_first, b_f, jnp.where(is_last, b_l, b))
+    c = jnp.where(is_first, c_f, jnp.where(is_last, 0.0, c))
+    d = jnp.where(is_first, d_f, jnp.where(is_last, d_l, d))
+
+    s_knots = tridiag.pcr_solve(a, b, c, d)
+
+    # Slopes -> knot second derivatives (Hermite segment ends).
+    sj1 = jnp.concatenate([s_knots[1:], s_knots[-1:]])
+    m2_left = (6.0 * s_j - 4.0 * s_knots - 2.0 * sj1) / h_j
+    m2_last = ((-6.0 * sig.take_at(s_j, -2, k)
+                + 2.0 * sig.take_at(s_knots, -2, k)
+                + 4.0 * sig.take_at(sj1, -2, k)) / sig.take_at(h_j, -2, k))
+    m2 = jnp.where(idx == k - 1, m2_last, m2_left)
+    return jnp.where(k <= 2, 0.0, m2)
 
 
 def _spline_eval(xc: Array, yc: Array, m2: Array, k: Array, t: Array) -> Array:

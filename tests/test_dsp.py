@@ -318,3 +318,32 @@ def test_in_graph_dft_rejects_overflowing_n():
     from bp_from_video_tpu.ops import dft
     with pytest.raises(AssertionError):
         dft._rfft_mats(dft._MAX_N + 2)
+
+
+def test_pcr_tridiagonal_solve():
+    """ops/tridiag.pcr_solve vs a dense solve on random diagonally
+    dominant systems, batched, including identity-padded (masked) rows —
+    the padding contract interp_cubic relies on."""
+    from bp_from_video_tpu.ops import tridiag
+
+    rng = np.random.default_rng(3)
+    for n in (2, 3, 7, 250):
+        a = rng.uniform(0.1, 1.0, (4, n))
+        c = rng.uniform(0.1, 1.0, (4, n))
+        a[:, 0] = 0.0
+        c[:, -1] = 0.0
+        b = 2.0 * (a + c) + rng.uniform(0.5, 1.0, (4, n))
+        d = rng.normal(0.0, 1.0, (4, n))
+        if n == 250:  # identity-pad the tail like a masked spline system
+            k = 101
+            a[:, k:] = 0.0
+            c[:, k - 1:] = 0.0
+            b[:, k:] = 1.0
+            d[:, k:] = 0.0
+        x = np.asarray(jax.jit(tridiag.pcr_solve)(
+            jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+            jnp.asarray(c, jnp.float32), jnp.asarray(d, jnp.float32)))
+        for i in range(4):
+            full = np.diag(b[i]) + np.diag(a[i][1:], -1) + np.diag(c[i][:-1], 1)
+            ref = np.linalg.solve(full, d[i])
+            np.testing.assert_allclose(x[i], ref, rtol=0, atol=5e-5)

@@ -318,6 +318,39 @@ def main():
                       jnp.full((streams, ns, n), jnp.nan, jnp.float32))
             scan_time("dsp chain only", step, carry0, clip_len, streams)
 
+        elif v == "dspm":
+            # Per-METHOD chain attribution: the 'dsp' harness with the
+            # preset's processing chain replaced by ABL_METHODS (comma
+            # list of SignalProcessingMethod values, e.g.
+            # ABL_METHODS=interp_cubic,filter_fir; empty = ring carry
+            # floor).  Same synthesized-ring scan, so numbers are
+            # directly comparable to the 'dsp' row.
+            import dataclasses
+            from bp_from_video_tpu.config import SignalProcessingMethod
+            from bp_from_video_tpu.ops import chain
+            names = [m for m in os.environ.get("ABL_METHODS", "").split(",")
+                     if m]
+            scfg = dataclasses.replace(
+                cfg.signal, processing_methods=tuple(
+                    SignalProcessingMethod(m) for m in names))
+            def step(carry, i):
+                raw_x, raw_y = carry  # [N], [S, ns, N]
+                ts = (i + 1.0) * dt
+                new = jnp.tanh(jnp.nan_to_num(raw_y[..., -1]) * 0.9) + ts
+                raw_x2 = jnp.concatenate([raw_x[1:], ts[None]])
+                raw_y2 = jnp.concatenate([raw_y[..., 1:], new[..., None]],
+                                         axis=-1)
+                proc = jax.vmap(jax.vmap(
+                    lambda y: chain.process_signal(scfg, raw_x2, y)))(
+                        raw_y2)
+                return (raw_x2, raw_y2), jnp.nansum(proc[1])
+            n = cfg.signal.signal_max_samples
+            ns = cfg.signal.num_signals
+            carry0 = (jnp.full((n,), jnp.nan, jnp.float32),
+                      jnp.full((streams, ns, n), jnp.nan, jnp.float32))
+            scan_time(f"dsp[{','.join(names) or 'none'}]", step, carry0,
+                      clip_len, streams)
+
         elif v == "feed":
             # The frame-ring tax by itself: dynamic-index one [S, 3, H, W]
             # uint8 frame out of the rotating buffer and reduce it — the
