@@ -26,9 +26,10 @@ Array = jax.Array
 
 
 def _fft_len(n: int) -> int:
-    """Power-of-two length covering circular-shift wraparound for the 2N-1
-    output window with shifts up to N."""
-    return 1 << (3 * n).bit_length()
+    """DFT length covering circular-shift wraparound for the 2N-1 output
+    window with shifts up to N (>= 3N-2).  256-lane multiple, not pow2 —
+    the matmul DFT (ops/dft.py) has no radix preference."""
+    return -(-(3 * n) // 256) * 256
 
 
 def _shift_spectrum(spec: Array, shift: Array, length: int) -> Array:
@@ -64,7 +65,7 @@ def correlate_pair(x_a: Array, y_a: Array, y_b: Array) -> tuple[Array, Array]:
     fb = dft.rfft(cb.values, nfft)
     spec = fa * jnp.conj(fb)
     full_s = dft.irfft(_shift_spectrum(spec, -(k - 1), nfft),
-                           nfft)[: 2 * n - 1]
+                       nfft, out_len=2 * n - 1)
 
     # HIGHEST precision: default TPU matmul truncates f32 operands to bf16;
     # the max-of-three normalization (scalar) is peak-invariant, but keeps
@@ -88,7 +89,7 @@ def correlate_pair(x_a: Array, y_a: Array, y_b: Array) -> tuple[Array, Array]:
     fwd = jnp.concatenate([centered, jnp.zeros((n - 1,), centered.dtype)])
     fr = dft.rfft(centered[::-1], nfft)
     bwd = dft.irfft(_shift_spectrum(fr, n - 1 - 2 * (k - 1), nfft),
-                        nfft)[: 2 * n - 1]
+                    nfft, out_len=2 * n - 1)
     x_rev_c = jnp.where(li <= 0, fwd, bwd)      # = x_rev - x_last
     lags = -x_rev_c * jnp.sign(li).astype(x_a.dtype)
 

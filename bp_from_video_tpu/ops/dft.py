@@ -39,16 +39,23 @@ def _angles(rows: int, cols: int, n: int) -> Array:
     return jnp.float32(2.0 * np.pi / n) * m.astype(jnp.float32)
 
 
-def _rfft_mats(n: int) -> tuple[Array, Array]:
-    ang = _angles(n, n // 2 + 1, n)
+def _rfft_mats(n: int, rows: int | None = None) -> tuple[Array, Array]:
+    """Analysis bases [rows, n//2+1].  ``rows < n`` builds only the first
+    ``rows`` time rows — the contraction for an input that would be
+    zero-padded to ``n`` (padding rows contribute nothing, so skip both
+    the pad and their basis)."""
+    ang = _angles(n if rows is None else rows, n // 2 + 1, n)
     return jnp.cos(ang), -jnp.sin(ang)
 
 
-def _irfft_mats(n: int) -> tuple[Array, Array]:
+def _irfft_mats(n: int, out_len: int | None = None) -> tuple[Array, Array]:
     # x[k] = (1/n) * sum_f w_f * (Re Y_f cos(2pi f k / n) - Im Y_f sin(...)),
     # w_f = 1 for f in {0, n/2}, else 2 (conjugate-symmetric completion).
+    # ``out_len`` truncates to the first out_len time columns — for callers
+    # that slice ``irfft(...)[..., :out_len]`` (FFT convolution keeps only
+    # the linear-conv prefix).
     nf = n // 2 + 1
-    ang = _angles(nf, n, n)
+    ang = _angles(nf, n if out_len is None else out_len, n)
     w = jnp.full((nf, 1), 2.0, jnp.float32)
     w = w.at[0].set(1.0)
     if n % 2 == 0:
@@ -58,14 +65,14 @@ def _irfft_mats(n: int) -> tuple[Array, Array]:
 
 def rfft(x: Array, n: int) -> Array:
     """``jnp.fft.rfft(x, n)`` for real ``x`` over the last axis, as two
-    matmuls (zero-padding/truncating to ``n`` like numpy)."""
-    c, s = _rfft_mats(n)
+    matmuls (zero-padding/truncating to ``n`` like numpy).  Shorter-than-n
+    inputs contract against only their own basis rows instead of being
+    zero-padded (16x less DFT work for a 127-tap filter at nfft=2048)."""
     ln = x.shape[-1]
-    if ln < n:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - ln)]
-        x = jnp.pad(x, pad)
-    elif ln > n:
+    if ln > n:
         x = x[..., :n]
+        ln = n
+    c, s = _rfft_mats(n, ln)
     x = x.astype(jnp.float32)
     # HIGHEST: TPU default matmul precision truncates f32 operands to bf16
     # before the MXU — an FFT replacement must keep f32 accuracy (the MACs
@@ -76,10 +83,12 @@ def rfft(x: Array, n: int) -> Array:
     return jax.lax.complex(re, im)
 
 
-def irfft(y: Array, n: int) -> Array:
+def irfft(y: Array, n: int, out_len: int | None = None) -> Array:
     """``jnp.fft.irfft(y, n)`` over the last axis as two matmuls.  ``y``
-    must carry n//2+1 spectral bins (the usual rfft companion)."""
-    c, s = _irfft_mats(n)
+    must carry n//2+1 spectral bins (the usual rfft companion).
+    ``out_len`` synthesizes only the first ``out_len`` samples —
+    equivalent to ``irfft(y, n)[..., :out_len]`` without the dead tail."""
+    c, s = _irfft_mats(n, out_len)
     re = jnp.real(y).astype(jnp.float32)
     im = jnp.imag(y).astype(jnp.float32)
     hp = jax.lax.Precision.HIGHEST

@@ -69,7 +69,11 @@ def firls_bandpass(numtaps: int, bands: Array, desired: Array, fs: Array) -> Arr
     b = b.at[1:].add(slope * jnp.cos(n[1:] * jnp.pi * f) / (jnp.pi * n[1:]) ** 2)
     b_vec = jnp.sum(jnp.diff(b, axis=2)[:, :, 0], axis=1)
 
-    a = jnp.linalg.solve(q_mat, b_vec)
+    # Q is SPD (the Gram matrix of the cosine basis over the bands):
+    # Cholesky, not jnp.linalg.solve — LU's partial pivoting does an
+    # argmax + row-swap gather per column, the slowest pattern on TPU.
+    a = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(q_mat), b_vec)
     return jnp.concatenate([a[:0:-1], 2.0 * a[:1], a[1:]])
 
 
@@ -87,11 +91,16 @@ def reference_fir_bands(lo: Array, hi: Array, df: Array, fs: Array
 
 
 def _causal_fir(h: Array, x: Array) -> Array:
-    """Causal convolution conv(h, x)[:len(x)] via FFT."""
+    """Causal convolution conv(h, x)[:len(x)] via matmul real-DFT.
+
+    The matmul DFT has no power-of-2 preference, so nfft is the linear-
+    conv length rounded up to a 256-lane multiple (1280 here vs 2048
+    pow2 — 1.6x less DFT work); rfft contracts h against only its 127
+    basis rows, and the synthesis stops at the ``length`` samples kept."""
     length = x.shape[0]
-    nfft = 1 << (length + h.shape[0] - 1).bit_length()
+    nfft = -(-(length + h.shape[0] - 1) // 256) * 256
     return dft.irfft(dft.rfft(x, nfft) * dft.rfft(h, nfft),
-                         nfft)[:length].astype(x.dtype)
+                     nfft, out_len=length).astype(x.dtype)
 
 
 def filtfilt_fir(h: Array, yc: Array, count: Array, ext_cap: int) -> Array:

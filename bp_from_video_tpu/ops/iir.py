@@ -95,7 +95,9 @@ def sosfilt_conv(p_d: Array, gain: Array, x: Array, x0: Array) -> Array:
     length = x.shape[0]
     n_sec = p_d.shape[0]
     g = jnp.exp(jnp.log(gain) / n_sec)  # distribute gain for f32 stability
-    nfft = 1 << (2 * length - 1).bit_length()
+    # Any nfft >= 2*length keeps the r^nfft wraparound bound; the matmul
+    # DFT has no pow2 preference, so round to a 256-lane multiple.
+    nfft = -(-(2 * length) // 256) * 256
 
     w = 2.0 * jnp.pi * jnp.arange(nfft // 2 + 1, dtype=jnp.float32) / nfft
     z1 = jnp.exp(-1j * w)          # e^{-jω}
@@ -110,7 +112,7 @@ def sosfilt_conv(p_d: Array, gain: Array, x: Array, x0: Array) -> Array:
     h_zi = (b ** (n_sec - 1)) * inv_a
     xf = dft.rfft(x, nfft)
     yf = h_all * xf + h_zi * (-g * x0 * (1.0 + z1))
-    return dft.irfft(yf, nfft)[:length].astype(x.dtype)
+    return dft.irfft(yf, nfft, out_len=length).astype(x.dtype)
 
 
 def _shifted(a: Array, left_pad: int, right_pad: int, start: Array,

@@ -531,23 +531,26 @@ def main():
         elif v == "segfull":
             # The whole per-frame segmenter stage as predict_batch runs it
             # when only the skin channel is live (bench): full-frame resize
-            # -> net -> full-res ch3 upsample.
+            # -> net -> full-res ch3 upsample (planar layout, as runner.py
+            # seg_one since the planar rewrite).
             from bp_from_video_tpu.models import warp
+            from bp_from_video_tpu.models.runner import SEG_SKIN_CLASS
             size = eng.runner._fns["seg_size"]
 
             def step(carry, i):
                 frames = frames_at(i)
 
                 def seg_one(fr):
-                    nh = jnp.transpose(fr, (1, 2, 0))
-                    small = warp.resize_bilinear(
-                        nh, size, size, dtype=eng.runner.dtype) / 255.0
-                    small = jnp.transpose(small, (2, 0, 1))[None]
+                    small = warp.resize_bilinear_planar(
+                        fr.astype(eng.runner.dtype), size, size,
+                        dtype=eng.runner.dtype, out_dtype=jnp.float32) / 255.0
                     conf = eng.runner._fns["seg"](
-                        ms.params["seg"], small.astype(eng.runner.dtype))
-                    conf_full = warp.resize_bilinear(
-                        conf[0], h, w, dtype=jnp.bfloat16)
-                    return conf_full[..., 3].astype(jnp.float32)
+                        ms.params["seg"], small[None].astype(eng.runner.dtype))
+                    conf_p = jnp.transpose(conf[0], (2, 0, 1))
+                    sk = SEG_SKIN_CLASS
+                    return warp.resize_bilinear_planar(
+                        conf_p[sk:sk + 1], h, w,
+                        dtype=jnp.bfloat16, out_dtype=jnp.float32)[0]
                 wts = jax.vmap(seg_one)(frames)
                 return carry + 0.0 * jnp.mean(wts), jnp.mean(wts)
             scan_time("seg resize+net+up ch3", step, jnp.float32(0.0),
@@ -562,20 +565,23 @@ def main():
             from bp_from_video_tpu.models import warp
             size = eng.runner._fns["seg_size"]
 
+            from bp_from_video_tpu.models.runner import SEG_SKIN_CLASS
+
             def step(carry, i):
                 frames = frames_at(i)
 
                 def seg_one(fr):
-                    nh = jnp.transpose(fr, (1, 2, 0))
-                    small = warp.resize_bilinear(
-                        nh, size, size, dtype=eng.runner.dtype) / 255.0
-                    small = jnp.transpose(small, (2, 0, 1))[None]
+                    small = warp.resize_bilinear_planar(
+                        fr.astype(eng.runner.dtype), size, size,
+                        dtype=eng.runner.dtype, out_dtype=jnp.float32) / 255.0
                     conf = eng.runner._fns["seg"](
-                        ms.params["seg"], small.astype(eng.runner.dtype))
-                    conf_full = warp.resize_bilinear(
-                        conf[0], h, w, dtype=jnp.bfloat16).astype(jnp.float32)
-                    return (jnp.argmax(conf_full, axis=-1).astype(jnp.int32),
-                            conf_full[..., 3])
+                        ms.params["seg"], small[None].astype(eng.runner.dtype))
+                    conf_p = jnp.transpose(conf[0], (2, 0, 1))
+                    conf_full = warp.resize_bilinear_planar(
+                        conf_p, h, w, dtype=jnp.bfloat16,
+                        out_dtype=jnp.float32)
+                    return (jnp.argmax(conf_full, axis=0).astype(jnp.int32),
+                            conf_full[SEG_SKIN_CLASS])
                 cls, wts = jax.vmap(seg_one)(frames)
                 return (carry + 0.0 * jnp.mean(wts),
                         jnp.mean(wts) + jnp.sum(cls).astype(jnp.float32))
