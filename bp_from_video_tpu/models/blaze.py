@@ -256,9 +256,15 @@ def init_segmenter(seed: int, input_size: int, num_classes: int = 6) -> dict:
 
 
 def segmenter_apply(p: dict, x: Array, input_size: int) -> Array:
-    """x: planar [1, 3, S, S] -> confidence masks [1, S, S, C] (softmaxed).
-    Decoder upsamples progressively (/4 -> /2 -> full) so the 3x3 convs
-    never run at full resolution — only the 1x1 class head does."""
+    """x: planar [1, 3, S, S] -> confidence masks [1, C, S, S] (softmaxed,
+    PLANAR — consumers branch on the runner's ``seg_planar`` flag; the
+    NHWC formulation paid two full-res transposes and ran softmax with 6
+    of 128 lanes live).  Decoder upsamples progressively (/4 -> /2 ->
+    full) so no 3x3 conv runs at full resolution; the 1x1 class head is
+    applied at /2 BEFORE the final resize — a 1x1 conv commutes exactly
+    with bilinear interpolation (both linear, interp weights sum to 1 per
+    pixel), so this halves the final upsample's channel count (12 -> 6)
+    without changing the function computed."""
     s = input_size
     y = jax.nn.relu(_conv(p["stem"], x, stride=2))   # /2
     y = _blaze_block(p["b1"], y, stride=2)           # /4
@@ -271,6 +277,6 @@ def segmenter_apply(p: dict, x: Array, input_size: int) -> Array:
     y = jax.nn.relu(_conv(p["up1"], y))
     y = warp.resize_bilinear_planar(y, s // 2, s // 2)
     y = jax.nn.relu(_conv(p["up2"], y))
+    y = _conv(p["head"], y)                          # 1x1 head at /2
     y = warp.resize_bilinear_planar(y, s, s)
-    return jax.nn.softmax(jnp.transpose(_conv(p["head"], y), (0, 2, 3, 1)),
-                          axis=-1)
+    return jax.nn.softmax(y, axis=1)

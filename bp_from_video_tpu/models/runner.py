@@ -486,6 +486,7 @@ class InferenceRunner:
             self.params[key] = params
             self._fns[key] = apply
             self._fns[key + "_size"] = size
+            self._fns[key + "_planar"] = False  # tflite graphs emit NHWC
         else:
             self._warn_standin(key)
             params = blaze.init_segmenter(_seed(key), fallback_size,
@@ -494,6 +495,7 @@ class InferenceRunner:
             self._fns[key] = (lambda p, x, s=fallback_size:
                               blaze.segmenter_apply(p, x, s))
             self._fns[key + "_size"] = fallback_size
+            self._fns[key + "_planar"] = True   # stand-in emits [1,C,S,S]
 
     # -- state -------------------------------------------------------------
 
@@ -1078,9 +1080,11 @@ class InferenceRunner:
                     dtype=self.dtype, out_dtype=jnp.float32) / 255.0
                 conf = self._fns["seg"](params["seg"],
                                         small[None].astype(self.dtype))
-                # Net emits HWC; go planar at MODEL res (6*size² elements —
-                # the transpose this replaces moved 6*frame_h*frame_w f32).
-                conf_p = jnp.transpose(conf[0], (2, 0, 1))
+                # Stand-in emits planar [1,C,S,S] directly; tflite graphs
+                # emit HWC — go planar at MODEL res (6*size² elements; the
+                # full-res variant moved 6*frame_h*frame_w f32).
+                conf_p = (conf[0] if self._fns["seg_planar"]
+                          else jnp.transpose(conf[0], (2, 0, 1)))
                 if self.cfg.seg_full_masks:
                     # Reference parity: all 6 confidence channels + argmax
                     # at frame resolution (inference_runner.py:164-165).

@@ -394,3 +394,35 @@ def test_seg_skin_only_matches_full_masks():
     np.testing.assert_allclose(
         np.asarray(skin_confidence(outs[False].seg_conf)),
         np.asarray(skin_confidence(outs[True].seg_conf)), atol=1e-5)
+
+
+def test_segmenter_planar_head_commutes_with_resize():
+    """blaze.segmenter_apply applies the 1x1 class head at /2 BEFORE the
+    final bilinear upsample and emits planar softmax ([1,C,S,S]); a 1x1
+    conv commutes exactly with bilinear interpolation (both linear,
+    interp weights sum to 1), so the output must match the straight
+    formulation — resize the 12-ch features to full res, head at full
+    res, softmax over the trailing NHWC axis."""
+    from bp_from_video_tpu.models import blaze
+
+    s = 32
+    p = blaze.init_segmenter(0, s)
+    x = jnp.asarray(np.random.default_rng(1).uniform(0.0, 1.0, (1, 3, s, s)),
+                    jnp.float32)
+    got = blaze.segmenter_apply(p, x, s)
+
+    y = jax.nn.relu(blaze._conv(p["stem"], x, stride=2))
+    y = blaze._blaze_block(p["b1"], y, stride=2)
+    y = blaze._blaze_block(p["b2"], y, stride=2)
+    y = blaze._blaze_block(p["b3"], y)
+    y = warp.resize_bilinear_planar(y, s // 4, s // 4)
+    y = jax.nn.relu(blaze._conv(p["up1"], y))
+    y = warp.resize_bilinear_planar(y, s // 2, s // 2)
+    y = jax.nn.relu(blaze._conv(p["up2"], y))
+    y = warp.resize_bilinear_planar(y, s, s)
+    ref = jax.nn.softmax(jnp.transpose(blaze._conv(p["head"], y),
+                                       (0, 2, 3, 1)), axis=-1)
+
+    assert got.shape == (1, 6, s, s)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(got, (0, 2, 3, 1))),
+                               np.asarray(ref), atol=2e-5)

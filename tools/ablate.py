@@ -546,7 +546,8 @@ def main():
                         dtype=eng.runner.dtype, out_dtype=jnp.float32) / 255.0
                     conf = eng.runner._fns["seg"](
                         ms.params["seg"], small[None].astype(eng.runner.dtype))
-                    conf_p = jnp.transpose(conf[0], (2, 0, 1))
+                    conf_p = (conf[0] if eng.runner._fns["seg_planar"]
+                              else jnp.transpose(conf[0], (2, 0, 1)))
                     sk = SEG_SKIN_CLASS
                     return warp.resize_bilinear_planar(
                         conf_p[sk:sk + 1], h, w,
@@ -576,7 +577,8 @@ def main():
                         dtype=eng.runner.dtype, out_dtype=jnp.float32) / 255.0
                     conf = eng.runner._fns["seg"](
                         ms.params["seg"], small[None].astype(eng.runner.dtype))
-                    conf_p = jnp.transpose(conf[0], (2, 0, 1))
+                    conf_p = (conf[0] if eng.runner._fns["seg_planar"]
+                              else jnp.transpose(conf[0], (2, 0, 1)))
                     conf_full = warp.resize_bilinear_planar(
                         conf_p, h, w, dtype=jnp.bfloat16,
                         out_dtype=jnp.float32)
