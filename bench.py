@@ -242,6 +242,17 @@ def main():
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     _enable_compile_cache()
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # The axon client starts in an async fast path whose
+        # block_until_ready is FAKE (returns before execution) — timings
+        # taken there are garbage.  One tiny D2H latches honest synchronous
+        # dispatch for the whole process (one-time multi-minute stall;
+        # utils/axon.py).  Round-2 benches got this implicitly because
+        # fused-trunk construction performed a D2H; construction is now
+        # D2H-free, so the latch is explicit.
+        from bp_from_video_tpu.utils.axon import force_sync_dispatch
+        print(f"bench.py: sync-dispatch latch took "
+              f"{force_sync_dispatch():.1f} s", file=sys.stderr, flush=True)
 
     streams = int(os.environ.get("BENCH_STREAMS", "8" if quick else "64"))
     # Long scan: each executable dispatch through the remote-TPU tunnel costs

@@ -80,12 +80,18 @@ def build_parser() -> argparse.ArgumentParser:
     inf.add_argument("--exact-rotation", action="store_true",
                      help="exact rotated crops (slower; default uses the "
                           "axis-aligned MXU fast path)")
-    inf.add_argument("--rotation-mode", choices=["cover", "exact", "shear"],
+    inf.add_argument("--rotation-mode",
+                     choices=["cover", "exact", "shear", "hybrid"],
                      default=None,
                      help="landmark crop strategy: axis-aligned cover "
-                          "(fastest), exact rotated gather, or gather-free "
+                          "(fastest), exact rotated gather, gather-free "
                           "FFT-shear rotation (rotated view at matmul+FFT "
-                          "speed); overrides --exact-rotation")
+                          "speed), or hybrid (cover while upright, shear "
+                          "past --hybrid-max-tilt); overrides "
+                          "--exact-rotation")
+    inf.add_argument("--hybrid-max-tilt", type=float, default=None,
+                     metavar="DEG",
+                     help="hybrid mode's tilt gate in degrees (default 15)")
     inf.add_argument("--pallas", dest="pallas", action="store_true",
                      default=None, help="force the fused Pallas crop kernel")
     inf.add_argument("--no-pallas", dest="pallas", action="store_false",
@@ -169,6 +175,8 @@ def config_from_args(args) -> tuple[EngineConfig, list[CaptureConfig]]:
         inf_kw["exact_rotation"] = True
     if args.rotation_mode is not None:
         inf_kw["rotation_mode"] = args.rotation_mode
+    if args.hybrid_max_tilt is not None:
+        inf_kw["hybrid_max_tilt_deg"] = args.hybrid_max_tilt
     if args.pallas is not None:
         inf_kw["use_pallas"] = args.pallas
     else:

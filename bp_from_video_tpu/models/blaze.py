@@ -26,10 +26,18 @@ from bp_from_video_tpu.models import warp
 Array = jax.Array
 
 
-def _conv_init(key, kh, kw, cin, cout):
+def _conv_init(rng, kh, kw, cin, cout):
+    """He-init conv params as NUMPY arrays (``rng``: np.random.Generator).
+
+    Stand-in init is host-side by design: eager device init was dozens of
+    tunnel dispatches per net, and the fused-trunk packing helpers must
+    read the params without a device-to-host transfer — the first D2H in
+    a process permanently degrades the axon client's dispatch path
+    (tools/poisonprobe.py).  The params upload once with the pytree."""
     fan_in = kh * kw * cin
-    w = jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
-    return {"w": w * np.sqrt(2.0 / fan_in), "b": jnp.zeros((cout,), jnp.float32)}
+    w = rng.standard_normal((kh, kw, cin, cout), np.float32)
+    return {"w": w * np.float32(np.sqrt(2.0 / fan_in)),
+            "b": np.zeros((cout,), np.float32)}
 
 
 def _conv(p, x, stride=1, padding="SAME", groups=1):
@@ -44,10 +52,9 @@ def _conv(p, x, stride=1, padding="SAME", groups=1):
     return y + p["b"].astype(w.dtype).reshape(-1, 1, 1)
 
 
-def _blaze_block_init(key, cin, cout, k=5):
-    k1, k2 = jax.random.split(key)
-    return {"dw": _conv_init(k1, k, k, 1, cin),
-            "pw": _conv_init(k2, 1, 1, cin, cout)}
+def _blaze_block_init(rng, cin, cout, k=5):
+    return {"dw": _conv_init(rng, k, k, 1, cin),
+            "pw": _conv_init(rng, 1, 1, cin, cout)}
 
 
 # Compose each block's depthwise+pointwise pair into ONE dense conv before
@@ -85,21 +92,20 @@ def init_blaze_detector(seed: int, input_size: int, num_anchors: int,
                         num_kps: int) -> dict:
     """Two-scale SSD detector: heads at /8 and /16 with 2 and 6 anchors per
     cell (matching the face/palm anchor layouts)."""
-    key = jax.random.PRNGKey(seed)
-    ks = jax.random.split(key, 10)
+    rng = np.random.default_rng(seed)
     box_dim = 4 + 2 * num_kps
     return {
-        "stem": _conv_init(ks[0], 5, 5, 3, 24),
-        "b1": _blaze_block_init(ks[1], 24, 24),
-        "b2": _blaze_block_init(ks[2], 24, 48),   # /4
-        "b3": _blaze_block_init(ks[3], 48, 48),
-        "b4": _blaze_block_init(ks[4], 48, 96),   # /8
-        "b5": _blaze_block_init(ks[5], 96, 96),
-        "b6": _blaze_block_init(ks[6], 96, 96),   # /16
-        "head8_box": _conv_init(ks[7], 1, 1, 96, 2 * box_dim),
-        "head16_box": _conv_init(ks[8], 1, 1, 96, 6 * box_dim),
-        "head8_cls": _conv_init(ks[9], 1, 1, 96, 2),
-        "head16_cls": _conv_init(jax.random.fold_in(key, 99), 1, 1, 96, 6),
+        "stem": _conv_init(rng, 5, 5, 3, 24),
+        "b1": _blaze_block_init(rng, 24, 24),
+        "b2": _blaze_block_init(rng, 24, 48),   # /4
+        "b3": _blaze_block_init(rng, 48, 48),
+        "b4": _blaze_block_init(rng, 48, 96),   # /8
+        "b5": _blaze_block_init(rng, 96, 96),
+        "b6": _blaze_block_init(rng, 96, 96),   # /16
+        "head8_box": _conv_init(rng, 1, 1, 96, 2 * box_dim),
+        "head16_box": _conv_init(rng, 1, 1, 96, 6 * box_dim),
+        "head8_cls": _conv_init(rng, 1, 1, 96, 2),
+        "head16_cls": _conv_init(rng, 1, 1, 96, 6),
     }
 
 
@@ -141,8 +147,8 @@ def _pack_stem(stem: dict, k: int, in_size: int) -> dict:
     """
     from bp_from_video_tpu.models.tflite_compiler import (_pack_conv_weight,
                                                           _tflite_pad)
-    w = np.asarray(jnp.asarray(stem["w"], jnp.float32))   # HWIO [k,k,3,O]
-    b = np.asarray(jnp.asarray(stem["b"], jnp.float32))
+    w = np.asarray(stem["w"], np.float32)   # HWIO [k,k,3,O] (host numpy)
+    b = np.asarray(stem["b"], np.float32)
     out = in_size // 2
     pads = (_tflite_pad(in_size, k, 2, "SAME"),) * 2
     wp, bp, _, _ = _pack_conv_weight(
@@ -150,30 +156,29 @@ def _pack_stem(stem: dict, k: int, in_size: int) -> dict:
         (in_size, in_size), (out // 2, out // 2))
     # Stride/padding are a static function of (k, in_size) — recomputed at
     # trace time in blaze_landmark_apply so the params pytree stays pure
-    # arrays (jit-safe).
-    return {"w": jnp.asarray(wp.transpose(1, 2, 3, 0)),   # back to HWIO
-            "b": jnp.asarray(bp)}
+    # arrays (jit-safe).  NUMPY out, like every init helper here.
+    return {"w": np.ascontiguousarray(wp.transpose(1, 2, 3, 0)),  # HWIO
+            "b": np.asarray(bp)}
 
 
 def init_blaze_landmark(seed: int, input_size: int, num_landmarks: int) -> dict:
-    key = jax.random.PRNGKey(seed)
-    ks = jax.random.split(key, 9)
+    rng = np.random.default_rng(seed)
     # Landmark nets are MobileNet-style 3x3 depthwise-separable trunks in
     # the MediaPipe family — the 5x5 "blaze" blocks belong to the DETECTORS
     # (BlazeFace/BlazePalm).  3x3 here is both more architecture-faithful
     # and ~2.8x cheaper on the stem, which dominates the stand-in's MXU row
     # count (conv time on TPU tracks rows x taps).
-    stem = _conv_init(ks[0], 3, 3, 3, 24)
+    stem = _conv_init(rng, 3, 3, 3, 24)
     return {
         "stem": stem,
         "stem_p": _pack_stem(stem, 3, input_size),
-        "b1": _blaze_block_init(ks[1], 24, 48, k=3),
-        "b2": _blaze_block_init(ks[2], 48, 96, k=3),
-        "b3": _blaze_block_init(ks[3], 96, 96, k=3),
-        "b4": _blaze_block_init(ks[4], 96, 192, k=3),
-        "head_lm": _conv_init(ks[5], 1, 1, 192, 3 * num_landmarks),
-        "head_presence": _conv_init(ks[6], 1, 1, 192, 1),
-        "head_aux": _conv_init(ks[7], 1, 1, 192, 1),
+        "b1": _blaze_block_init(rng, 24, 48, k=3),
+        "b2": _blaze_block_init(rng, 48, 96, k=3),
+        "b3": _blaze_block_init(rng, 96, 96, k=3),
+        "b4": _blaze_block_init(rng, 96, 192, k=3),
+        "head_lm": _conv_init(rng, 1, 1, 192, 3 * num_landmarks),
+        "head_presence": _conv_init(rng, 1, 1, 192, 1),
+        "head_aux": _conv_init(rng, 1, 1, 192, 1),
     }
 
 
@@ -242,16 +247,15 @@ def init_segmenter(seed: int, input_size: int, num_classes: int = 6) -> dict:
     """Encoder/decoder stand-in sized to the real selfie_multiclass model's
     compute class (~300-400 MFLOPs at 256²; the first cut ran its decoder
     convs at full resolution and weighed 4x the real model)."""
-    key = jax.random.PRNGKey(seed)
-    ks = jax.random.split(key, 8)
+    rng = np.random.default_rng(seed)
     return {
-        "stem": _conv_init(ks[0], 3, 3, 3, 16),
-        "b1": _blaze_block_init(ks[1], 16, 32),
-        "b2": _blaze_block_init(ks[2], 32, 64),
-        "b3": _blaze_block_init(ks[3], 64, 64),
-        "up1": _conv_init(ks[4], 3, 3, 64, 24),
-        "up2": _conv_init(ks[5], 3, 3, 24, 12),
-        "head": _conv_init(ks[6], 1, 1, 12, num_classes),
+        "stem": _conv_init(rng, 3, 3, 3, 16),
+        "b1": _blaze_block_init(rng, 16, 32),
+        "b2": _blaze_block_init(rng, 32, 64),
+        "b3": _blaze_block_init(rng, 64, 64),
+        "up1": _conv_init(rng, 3, 3, 64, 24),
+        "up2": _conv_init(rng, 3, 3, 24, 12),
+        "head": _conv_init(rng, 1, 1, 12, num_classes),
     }
 
 
@@ -266,6 +270,17 @@ def segmenter_apply(p: dict, x: Array, input_size: int) -> Array:
     pixel), so this halves the final upsample's channel count (12 -> 6)
     without changing the function computed."""
     s = input_size
+    y = _conv(p["head"], segmenter_features(p, x, s))  # 1x1 head at /2
+    y = warp.resize_bilinear_planar(y, s, s)
+    return jax.nn.softmax(y, axis=1)
+
+
+def segmenter_features(p: dict, x: Array, input_size: int) -> Array:
+    """The segmenter trunk shared by ``segmenter_apply`` and its
+    head-commutation test: encoder + decoder up to the /2 feature map
+    (planar [1, 12, S/2, S/2]), everything EXCEPT the class head and the
+    final upsample."""
+    s = input_size
     y = jax.nn.relu(_conv(p["stem"], x, stride=2))   # /2
     y = _blaze_block(p["b1"], y, stride=2)           # /4
     y = _blaze_block(p["b2"], y, stride=2)           # /8
@@ -276,7 +291,4 @@ def segmenter_apply(p: dict, x: Array, input_size: int) -> Array:
     y = warp.resize_bilinear_planar(y, s // 4, s // 4)
     y = jax.nn.relu(_conv(p["up1"], y))
     y = warp.resize_bilinear_planar(y, s // 2, s // 2)
-    y = jax.nn.relu(_conv(p["up2"], y))
-    y = _conv(p["head"], y)                          # 1x1 head at /2
-    y = warp.resize_bilinear_planar(y, s, s)
-    return jax.nn.softmax(y, axis=1)
+    return jax.nn.relu(_conv(p["up2"], y))

@@ -176,6 +176,16 @@ def _clip_floor(pts: Array, width: int, height: int) -> Array:
     return jnp.stack([x, y], axis=-1)
 
 
+def _pack_s2d_crop(x: Array) -> Array:
+    """Plain planar crop [C, S, S] -> 2x2 space-to-depth packed
+    [4C, S/2, S/2] in the multi-crop kernel's parity-major channel order
+    ((a*2+b)*C + c) — the layout packed-input nets consume."""
+    c, sh, sw = x.shape
+    x = x.reshape(c, sh // 2, 2, sw // 2, 2)
+    x = jnp.transpose(x, (2, 4, 0, 1, 3))
+    return x.reshape(4 * c, sh // 2, sw // 2)
+
+
 def _safe_rect(a: Array, width: int, height: int) -> warp.Rect:
     """Replace non-finite rect entries with a frame-centered default so crop
     gathers stay in-range (results are masked out downstream)."""
@@ -265,6 +275,16 @@ class InferenceRunner:
             path = resolve(cfg.person_segmenter_path)
             blob = tc.load_tflite_file(path) if path else None
             self._load_segmenter("seg", blob, fallback_size=256)
+
+        # Model loading builds every param HOST-SIDE (numpy): compile_tflite
+        # consts, stand-in inits, and the fused-trunk packing all stay off
+        # the device so construction performs ZERO device round-trips — the
+        # first device-to-host transfer in a process permanently degrades
+        # the axon client's dispatch path (~5 min stall, then ~25 ms/call;
+        # tools/poisonprobe.py bisect, round 3).  One explicit upload here
+        # places the whole pytree; without it, numpy leaves would re-upload
+        # on every jitted call.
+        self.params = jax.device_put(self.params)
 
     # -- model loading ---------------------------------------------------
 
@@ -555,6 +575,26 @@ class InferenceRunner:
             # as the exact path (sinc vs bilinear interpolation), and
             # projection uses the original rotated rect.
             crop = warp.crop_rect_shear(frame, rect, size)
+        elif mode == "hybrid":
+            # Angle-gated per crop: cover view within the tilt gate, shear
+            # rotated view beyond it; projection follows the branch's rect.
+            # (Under vmap this cond lowers to select — both crops run; the
+            # batched TPU path gates at batch level instead,
+            # predict_batch.)
+            def do_cover(_):
+                cov = warp.axis_aligned_cover(rect)
+                return (warp.crop_rect(frame, cov, size,
+                                       exact_rotation=False),
+                        _rect_arr(cov))
+
+            def do_shear(_):
+                return (warp.crop_rect_shear(frame, rect, size),
+                        _rect_arr(rect))
+
+            ok = (jnp.abs(warp.normalize_radians(rect.rotation))
+                  <= jnp.deg2rad(self.cfg.hybrid_max_tilt_deg))
+            crop, ra = jax.lax.cond(ok, do_cover, do_shear, None)
+            rect = _arr_rect(ra)
         else:
             crop = warp.crop_rect(frame, rect, size, exact_rotation=True)
         return self._landmark_from_crop(key, params,
@@ -591,10 +631,7 @@ class InferenceRunner:
         if self._packed_in.get(key) and x.shape[0] == 3:
             # Net expects packed crops but this one is plain (non-Pallas
             # crop path): pack in-graph ([3,S,S] -> [12,S/2,S/2]).
-            c, sh, sw = x.shape
-            x = x.reshape(c, sh // 2, 2, sw // 2, 2)
-            x = jnp.transpose(x, (2, 4, 0, 1, 3))
-            x = x.reshape(4 * c, sh // 2, sw // 2)
+            x = _pack_s2d_crop(x)
         lm, presence, aux = self._fns[key](params, x[None].astype(self.dtype))
         pts_px = self._project_lm(key, lm[0], rect)
         return pts_px, presence[0, 0].astype(jnp.float32), aux[0, 0]
@@ -631,10 +668,12 @@ class InferenceRunner:
             from bp_from_video_tpu.pallas import block_kernel
             stems = block_kernel.dense_s2_block(
                 flat, params[wkey], src["wspec"], bi, al,
-                cin=w.shape[2], resid=False)
+                cin=w.shape[2], resid=False,
+                interpret=self.cfg.pallas_interpret)
         else:
             from bp_from_video_tpu.pallas import stem_kernel
-            stems = stem_kernel.stem_packed(flat, w, bi, al)
+            stems = stem_kernel.stem_packed(flat, w, bi, al,
+                                            interpret=self.cfg.pallas_interpret)
         return stems.reshape(lead + stems.shape[1:])
 
     def _use_fused_trunk(self, key: str) -> bool:
@@ -658,7 +697,8 @@ class InferenceRunner:
             from bp_from_video_tpu.pallas import block_kernel
             size = self._fns[key + "_size"]
             feats = block_kernel.trunk_apply(params["trunk"],
-                                             self._trunk_specs[key], flat)
+                                             self._trunk_specs[key], flat,
+                                             interpret=self.cfg.pallas_interpret)
             lm, presence, _aux = blaze.landmark_heads(params, feats, size)
             presence = presence.reshape(lead)
         else:
@@ -896,40 +936,108 @@ class InferenceRunner:
 
         # --- crop stage: optionally ONE fused Pallas pass over each frame
         # for every landmark crop (face + all hands) ---------------------------
+        rot_mode = self.cfg.resolved_rotation_mode()
         use_pallas = (self.cfg.use_pallas
-                      and self.cfg.resolved_rotation_mode() == "cover"
+                      and rot_mode in ("cover", "hybrid")
                       and frames_rgb.dtype == jnp.uint8)
         face_crops = hand_crops = None
         face_cover = hand_cover = None
+        face_raw = hand_raw = None
         if self.cfg.face_landmarker:
-            face_cover = jax.vmap(lambda ra: _rect_arr(warp.axis_aligned_cover(
-                _safe_rect(ra, self.w, self.h))))(rect_a)         # [S, 5]
+            face_raw = jax.vmap(lambda ra: _rect_arr(
+                _safe_rect(ra, self.w, self.h)))(rect_a)          # [S, 5]
+            face_cover = jax.vmap(lambda ra: _rect_arr(
+                warp.axis_aligned_cover(_arr_rect(ra))))(face_raw)
         if self.cfg.hand_landmarker:
-            hand_cover = jax.vmap(jax.vmap(
-                lambda ra: _rect_arr(warp.axis_aligned_cover(
-                    _safe_rect(ra, self.w, self.h)))))(rects_a)   # [S, nh, 5]
+            hand_raw = jax.vmap(jax.vmap(lambda ra: _rect_arr(
+                _safe_rect(ra, self.w, self.h))))(rects_a)        # [S, nh, 5]
+            hand_cover = jax.vmap(jax.vmap(lambda ra: _rect_arr(
+                warp.axis_aligned_cover(_arr_rect(ra)))))(hand_raw)
+        # Projection rects default to the cover rects (crop==projection
+        # grid); the hybrid gate below swaps BOTH crops and projection to
+        # the rotated originals when any tracked crop tilts past the gate.
+        face_prect, hand_prect = face_cover, hand_cover
         if use_pallas and (face_cover is not None or hand_cover is not None):
             from bp_from_video_tpu.pallas import warp_kernel
-            rect_parts, sizes, packs = [], [], []
+            sizes, packs = [], []
             if face_cover is not None:
-                rect_parts.append(face_cover[:, None, :4])
                 sizes.append(self._fns["flm_lm_size"])
                 packs.append(2 if self._packed_in.get("flm_lm") else 1)
             if hand_cover is not None:
-                rect_parts.append(hand_cover[..., :4])
-                sizes += [self._fns["hand_lm_size"]] * hand_cover.shape[1]
-                packs += ([2 if self._packed_in.get("hand_lm") else 1]
-                          * hand_cover.shape[1])
-            planar = (frames_rgb if planar_in
-                      else jnp.transpose(frames_rgb, (0, 3, 1, 2)))
-            # Crops come out planar ([S, 3, sz, sz]) — exactly the nets'
-            # NCHW activation layout — pre-normalized and already in the
-            # compute dtype (half-sized in HBM, no convert/normalize pass).
-            # Nets compiled for packed inputs get theirs 2x2 space-to-depth
-            # packed ([S, 12, sz/2, sz/2]) straight from the kernel.
-            outs = warp_kernel.multi_crop(planar, jnp.concatenate(
-                rect_parts, axis=1), tuple(sizes), dtype=self.dtype,
-                out_dtype=self.dtype, scale=1.0 / 255.0, pack=tuple(packs))
+                nh = hand_cover.shape[1]
+                sizes += [self._fns["hand_lm_size"]] * nh
+                packs += ([2 if self._packed_in.get("hand_lm") else 1] * nh)
+
+            def pallas_crops(_):
+                rect_parts = []
+                if face_cover is not None:
+                    rect_parts.append(face_cover[:, None, :4])
+                if hand_cover is not None:
+                    rect_parts.append(hand_cover[..., :4])
+                planar = (frames_rgb if planar_in
+                          else jnp.transpose(frames_rgb, (0, 3, 1, 2)))
+                # Crops come out planar ([S, 3, sz, sz]) — exactly the
+                # nets' NCHW activation layout — pre-normalized and already
+                # in the compute dtype (half-sized in HBM, no convert/
+                # normalize pass).  Nets compiled for packed inputs get
+                # theirs 2x2 space-to-depth packed ([S, 12, sz/2, sz/2])
+                # straight from the kernel.
+                return tuple(warp_kernel.multi_crop(
+                    planar, jnp.concatenate(rect_parts, axis=1),
+                    tuple(sizes), dtype=self.dtype, out_dtype=self.dtype,
+                    scale=1.0 / 255.0, pack=tuple(packs),
+                    interpret=self.cfg.pallas_interpret))
+
+            if rot_mode == "hybrid":
+                # Batch-level angle gate (ONE scalar cond, like the
+                # detector gate): upright batches run only the Pallas
+                # cover path; a batch with any tracked crop tilted past
+                # ``hybrid_max_tilt_deg`` takes the gather-free shear
+                # rotated view instead (invalid slots carry rotation 0
+                # via _safe_rect, so they never trip the gate).
+                tilts = []
+                if face_raw is not None:
+                    tilts.append(jnp.max(jnp.abs(
+                        warp.normalize_radians(face_raw[:, 4]))))
+                if hand_raw is not None:
+                    tilts.append(jnp.max(jnp.abs(
+                        warp.normalize_radians(hand_raw[..., 4]))))
+                upright = (jnp.max(jnp.stack(tilts))
+                           <= jnp.deg2rad(self.cfg.hybrid_max_tilt_deg))
+
+                def shear_crops(_):
+                    nhwc = as_nhwc()
+
+                    def one(raw, size, pack):
+                        def per_stream(frame, ra):
+                            crop = warp.crop_rect_shear(
+                                frame, _arr_rect(ra), size)   # [sz, sz, 3]
+                            x = jnp.transpose(crop, (2, 0, 1)) / 255.0
+                            if pack == 2:
+                                x = _pack_s2d_crop(x)
+                            return x.astype(self.dtype)
+                        return jax.vmap(per_stream)(nhwc, raw)
+
+                    outs = []
+                    si = 0
+                    if face_raw is not None:
+                        outs.append(one(face_raw, sizes[0], packs[0]))
+                        si = 1
+                    if hand_raw is not None:
+                        for j in range(hand_raw.shape[1]):
+                            outs.append(one(hand_raw[:, j], sizes[si + j],
+                                            packs[si + j]))
+                    return tuple(outs)
+
+                outs = jax.lax.cond(upright, pallas_crops, shear_crops,
+                                    None)
+                sel = lambda cov, raw: jnp.where(upright, cov, raw)
+                if face_cover is not None:
+                    face_prect = sel(face_cover, face_raw)
+                if hand_cover is not None:
+                    hand_prect = sel(hand_cover, hand_raw)
+            else:
+                outs = pallas_crops(None)
             i = 0
             if face_cover is not None:
                 face_crops = outs[0]                              # [S, 3, sz, sz]
@@ -956,7 +1064,7 @@ class InferenceRunner:
                                                   _arr_rect(cov))
                         return pts_px, face_next_rect(pts_px)
                     pts_all, next_rects = jax.vmap(lm_proj)(lm_b,
-                                                            face_cover)
+                                                            face_prect)
                 else:
                     def lm_stem(stem_y, cov):
                         pts_px, presence, _ = self._landmark_from_stem(
@@ -964,7 +1072,7 @@ class InferenceRunner:
                             _arr_rect(cov))
                         return pts_px, presence, face_next_rect(pts_px)
                     pts_all, presences, next_rects = jax.vmap(lm_stem)(
-                        face_stems, face_cover)
+                        face_stems, face_prect)
             elif face_crops is not None:
                 def lm_crop(crop, cov):
                     pts_px, presence, _ = self._landmark_from_crop(
@@ -972,7 +1080,7 @@ class InferenceRunner:
                         prescaled=True)
                     return pts_px, presence, face_next_rect(pts_px)
                 pts_all, presences, next_rects = jax.vmap(lm_crop)(
-                    face_crops, face_cover)
+                    face_crops, face_prect)
             else:
                 def lm_full(frame, ra):
                     rect = _safe_rect(ra, self.w, self.h)
@@ -1018,7 +1126,7 @@ class InferenceRunner:
                                                   _arr_rect(cov))
                         return pts_px, hand_next_rect(pts_px)
                     pts_all, next_rects = jax.vmap(jax.vmap(hand_proj))(
-                        lm_b, hand_cover)
+                        lm_b, hand_prect)
                 else:
                     def hand_stem_one(stem_y, cov):
                         pts_px, presence, _ = self._landmark_from_stem(
@@ -1026,7 +1134,7 @@ class InferenceRunner:
                             _arr_rect(cov))
                         return pts_px, presence, hand_next_rect(pts_px)
                     pts_all, presences, next_rects = jax.vmap(jax.vmap(
-                        hand_stem_one))(hand_stems, hand_cover)
+                        hand_stem_one))(hand_stems, hand_prect)
             elif hand_crops is not None:
                 def hand_crop_one(crop, cov):
                     pts_px, presence, _ = self._landmark_from_crop(
@@ -1034,7 +1142,7 @@ class InferenceRunner:
                         prescaled=True)
                     return pts_px, presence, hand_next_rect(pts_px)
                 pts_all, presences, next_rects = jax.vmap(jax.vmap(
-                    hand_crop_one))(hand_crops, hand_cover)
+                    hand_crop_one))(hand_crops, hand_prect)
             else:
                 def hand_full(frame, ra):
                     rect = _safe_rect(ra, self.w, self.h)

@@ -465,10 +465,12 @@ def fuse_bottlenecks(graph: Graph, min_hw: int = 0) -> Graph:
         # TFLite CONV weights are [out, kh, kw, in]; the kernel wants
         # HWIO-style operands (pack_bottleneck_weights handles layout).
         wd, wu = bk.pack_bottleneck_weights(
-            jnp.asarray(w_down.transpose(1, 2, 3, 0)),      # [1,1,C,D]
-            jnp.asarray(w_dw.transpose(1, 2, 0, 3)),        # [3,3,1,D]
-            jnp.asarray(w_up.transpose(1, 2, 3, 0)),        # [1,1,D,C']
-            dtype=jnp.float32)  # graph dtype applied at param load
+            w_down.transpose(1, 2, 3, 0),      # [1,1,C,D]  (numpy in/out —
+            w_dw.transpose(1, 2, 0, 3),        # [3,3,1,D]   a device round
+            w_up.transpose(1, 2, 3, 0),        # [1,1,D,C']  trip here would
+            dtype=np.float32)  # graph dtype applied at param load; the D2H
+        # leg of the old jnp round-trip was what poisoned fused_trunk
+        # construction (tools/poisonprobe.py, round 3).
         bd = const(op.inputs[2]) if len(op.inputs) > 2 else None
         bd = (np.zeros((d,), np.float32) if bd is None
               else bd.astype(np.float32))
@@ -1038,10 +1040,15 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
         if val is None:
             continue
         key = f"{idx}:{info.name}"
+        # Params stay NUMPY at build: construction-time eager uploads were
+        # one tunnel dispatch per const (hundreds for the face mesh), and
+        # downstream packing helpers must read weights without a D2H
+        # (tools/poisonprobe.py).  InferenceRunner device_puts the whole
+        # pytree once at the end of construction.
         if np.issubdtype(np.asarray(val).dtype, np.floating):
-            params[key] = jnp.asarray(np.asarray(val, np.float32), dtype)
+            params[key] = np.asarray(val, np.float32).astype(dtype)
         else:
-            params[key] = jnp.asarray(val)
+            params[key] = np.asarray(val)
         const_keys[idx] = key
 
     input_shapes = [graph.tensors[i].shape for i in graph.inputs]

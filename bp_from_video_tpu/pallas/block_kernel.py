@@ -124,13 +124,21 @@ def _block_kernel(x_ref, w_ref, b_ref, a_ref, m_ref, out_ref, win_ref, *,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def pack_block_weights(w_dense: Array, *, cin: int) -> tuple[Array, str]:
-    """HWIO [3, 3, cin, cout] dense conv weight -> ([cout, K] bf16, wspec)
-    matching the kernel's window row order."""
-    k = w_dense.shape[0]
-    assert k == 3 and w_dense.shape[1] == 3, w_dense.shape
-    cout = w_dense.shape[3]
-    wd = np.asarray(jax.device_get(w_dense), np.float32)
+def pack_block_weights(w_dense, *, cin: int) -> tuple[np.ndarray, str]:
+    """HWIO [3, 3, cin, cout] dense conv weight (HOST array) ->
+    ([cout, K] bf16 numpy, wspec) matching the kernel's window row order.
+
+    Host-side prep: input and output are NUMPY — never a device array.
+    The first device-to-host transfer in a process flips the axon client
+    out of its async fast path permanently (~5 min stall, then ~25 ms per
+    dispatch; tools/poisonprobe.py bisect, round 3), so construction-time
+    packing must not round-trip the device.  The packed weights ride in
+    the params pytree and upload once with it."""
+    wd = np.asarray(w_dense, np.float32)
+    k = wd.shape[0]
+    assert k == 3 and wd.shape[1] == 3, wd.shape
+    cout = wd.shape[3]
+    bf16 = jnp.bfloat16  # ml_dtypes.bfloat16 — numpy-compatible dtype
     if cin % 8 == 0:
         rows = np.zeros((9 * cin, cout), np.float32)
         i = 0
@@ -138,7 +146,7 @@ def pack_block_weights(w_dense: Array, *, cin: int) -> tuple[Array, str]:
             for dx in range(3):
                 rows[i * cin:(i + 1) * cin] = wd[dy, dx]
                 i += 1
-        return jnp.asarray(rows.T, jnp.bfloat16), "sliced"
+        return np.ascontiguousarray(rows.T).astype(bf16), "sliced"
     pad = -(-4 * cin // 8) * 8
     rows = np.zeros((4 * pad, cout), np.float32)
     for dy in range(3):
@@ -147,7 +155,7 @@ def pack_block_weights(w_dense: Array, *, cin: int) -> tuple[Array, str]:
             p = (dy % 2) * 2 + (dx % 2)
             off = blk * pad + p * cin
             rows[off:off + cin] = wd[dy, dx]
-    return jnp.asarray(rows.T, jnp.bfloat16), "expanded"
+    return np.ascontiguousarray(rows.T).astype(bf16), "expanded"
 
 
 @functools.lru_cache(maxsize=None)
@@ -304,16 +312,19 @@ def _shift_masks(h: int, w: int) -> np.ndarray:
     return np.stack(out)
 
 
-def pack_bottleneck_weights(w_down: Array, w_dw: Array, w_up: Array,
-                            dtype=jnp.bfloat16) -> tuple[Array, Array]:
+def pack_bottleneck_weights(w_down, w_dw, w_up,
+                            dtype=jnp.bfloat16) -> tuple[np.ndarray, np.ndarray]:
     """(1x1 down [1,1,C,D], dw [3,3,D] or [3,3,1,D], 1x1 up [1,1,D,C'])
-    -> (wd [D, C], wu [C', 9D]) in ``dtype`` where wu is the dw∘up dense
-    composition laid out in the kernel's (dy, dx)-major window order."""
-    wd = np.asarray(jax.device_get(w_down), np.float32)[0, 0].T  # [D, C]
-    dw = np.asarray(jax.device_get(w_dw), np.float32)
+    -> (wd [D, C], wu [C', 9D]) numpy in ``dtype`` where wu is the dw∘up
+    dense composition laid out in the kernel's (dy, dx)-major window order.
+
+    Host-side prep: NUMPY in, NUMPY out (see pack_block_weights — a
+    device round-trip here poisons the axon client's dispatch path)."""
+    wd = np.asarray(w_down, np.float32)[0, 0].T  # [D, C]
+    dw = np.asarray(w_dw, np.float32)
     if dw.ndim == 4:
         dw = dw[:, :, 0, :] if dw.shape[2] == 1 else dw[0]
-    up = np.asarray(jax.device_get(w_up), np.float32)[0, 0]      # [D, C']
+    up = np.asarray(w_up, np.float32)[0, 0]      # [D, C']
     d = up.shape[0]
     rows = np.zeros((9 * d, up.shape[1]), np.float32)
     t = 0
@@ -323,7 +334,7 @@ def pack_bottleneck_weights(w_down: Array, w_dw: Array, w_up: Array,
             # i.e. the kernel's shift (dy-1, dx-1) window slot.
             rows[t * d:(t + 1) * d] = dw[dy, dx][:, None] * up
             t += 1
-    return (jnp.asarray(wd, dtype), jnp.asarray(rows.T, dtype))
+    return (wd.astype(dtype), np.ascontiguousarray(rows.T).astype(dtype))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -515,24 +526,26 @@ def bottleneck_chain(x: Array, wd: Array, bd: Array, ad: Array, wu: Array,
 
 # -- whole-trunk driver -------------------------------------------------------
 
-def compose_block_params(p: dict) -> Array:
+def compose_block_params(p: dict) -> tuple[np.ndarray, np.ndarray]:
     """dw+pw blaze-block params -> the exact dense HWIO twin
-    (models/blaze.py:52-60) plus its bias."""
-    dw_w, pw_w = p["dw"]["w"], p["pw"]["w"]
-    w = (dw_w[:, :, 0, :, None].astype(jnp.float32)
-         * pw_w[0, 0][None, None].astype(jnp.float32))
-    b = (p["pw"]["b"].astype(jnp.float32)
-         + pw_w[0, 0].astype(jnp.float32).T @ p["dw"]["b"].astype(jnp.float32))
+    (models/blaze.py:52-60) plus its bias.  Pure NUMPY host math — the
+    params must be host arrays (see pack_block_weights)."""
+    dw_w = np.asarray(p["dw"]["w"], np.float32)
+    pw_w = np.asarray(p["pw"]["w"], np.float32)
+    w = dw_w[:, :, 0, :, None] * pw_w[0, 0][None, None]
+    b = (np.asarray(p["pw"]["b"], np.float32)
+         + pw_w[0, 0].T @ np.asarray(p["dw"]["b"], np.float32))
     return w, b
 
 
 def prepare_trunk(params: dict) -> tuple[list, tuple]:
     """Precompute packed weights for a stand-in landmark trunk
-    (models/blaze.init_blaze_landmark params, pre-cast f32).  Returns
+    (models/blaze.init_blaze_landmark params, HOST arrays).  Returns
     (arrays, specs): ``arrays`` is a jit-traversable list of
-    {"wmat", "b"} per block (goes into the engine's params pytree);
-    ``specs`` is the STATIC ((wspec, cin), ...) tuple kept outside it.
-    Built once at engine construction (host-side numpy)."""
+    {"wmat", "b"} per block (numpy — goes into the engine's params pytree
+    and uploads with it); ``specs`` is the STATIC ((wspec, cin), ...)
+    tuple kept outside it.  Built once at engine construction, entirely
+    host-side (no device traffic in either direction)."""
     arrays, specs = [], []
     for name in ("b1", "b2", "b3", "b4"):
         w, b = compose_block_params(params[name])

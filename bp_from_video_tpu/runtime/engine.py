@@ -269,7 +269,8 @@ class Engine:
             weights = runner_mod.skin_confidence(models.seg_conf)
         samples = roi_ops.sample_rois_batch(
             frames_rgb, rois, self.config.signal.color_channel, weights,
-            use_pallas=self.config.inference.use_pallas)
+            use_pallas=self.config.inference.use_pallas,
+            interpret=self.config.inference.pallas_interpret)
         signals, out = jax.vmap(self.signal_post)(
             state.signals, roi_x, roi_y, rois, models, samples, timestamps)
         return EngineState(signals, track), out

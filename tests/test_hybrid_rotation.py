@@ -1,0 +1,142 @@
+"""Angle-gated hybrid rotation mode (VERDICT r2 item 2).
+
+``rotation_mode="hybrid"`` must be exactly the cover fast path while every
+tracked crop's |rotation| stays within ``hybrid_max_tilt_deg``, and the
+gather-free shear rotated view beyond it — on BOTH execution surfaces:
+
+* the batched Pallas path (one scalar lax.cond — exercised here in
+  interpret mode via ``pallas_interpret``), and
+* the per-stream fallback path (per-crop cond in _run_landmarker).
+
+Reference contract: MediaPipe feeds the landmark nets a rotation-
+normalized crop (inference_runner.py:120-122); cover approximates it near
+upright, shear matches it at every angle (tests/test_shear_crop.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bp_from_video_tpu.config import InferenceConfig, RunningMode
+from bp_from_video_tpu.models import runner as runner_mod
+from bp_from_video_tpu.models.runner import InferenceRunner
+
+H = W = 128
+
+
+@pytest.fixture(autouse=True)
+def _always_present(monkeypatch):
+    """The real face mesh (resolved from /root/reference) scores a noise
+    frame deeply absent (raw presence ≈ -25); force the presence gate open
+    so landmark geometry (the thing under test) stays finite."""
+    monkeypatch.setattr(runner_mod, "PRESENCE_THRESHOLD", -1e9)
+
+
+def _frame(seed=7):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(0, 255, (H, W, 3)).astype(np.uint8))
+
+
+def _runner(mode, **kw):
+    cfg = InferenceConfig(face_landmarker=True, hand_landmarker=False,
+                          running_mode=RunningMode.VIDEO,
+                          rotation_mode=mode, **kw)
+    return InferenceRunner(cfg, H, W)
+
+
+def _tracked_state(runner, rot_deg):
+    """Tracking state mid-stream: a valid face rect with the given tilt, so
+    predict skips detection and the crop stage sees exactly this rect."""
+    st = runner.init_state()
+    rect = jnp.asarray([W / 2, H / 2, 64.0, 64.0, np.deg2rad(rot_deg)],
+                       jnp.float32)
+    return st._replace(face_rect=rect, face_tracking=jnp.asarray(True))
+
+
+def _points(runner, rot_deg, frame):
+    st = _tracked_state(runner, rot_deg)
+    _, res = jax.jit(runner.predict)(runner.params, st, frame)
+    return np.asarray(res.face_landmarker.points, np.float64)
+
+
+@pytest.mark.parametrize("pallas", [False, True])
+def test_hybrid_upright_matches_cover(pallas):
+    frame = _frame()
+    kw = dict(use_pallas=pallas, pallas_interpret=pallas)
+    hybrid = _runner("hybrid", **kw)
+    cover = _runner("cover", **kw)
+    for deg in (0.0, 8.0, -14.0):
+        p_h, p_c = _points(hybrid, deg, frame), _points(cover, deg, frame)
+        # Same branch, same math; the cond wrapper may reassociate float
+        # ops, and landmark ints truncate — allow 1-px flips on a handful
+        # of knife-edge landmarks but require essentially exact identity.
+        np.testing.assert_allclose(p_h, p_c, atol=1.0,
+                                   err_msg=f"deg={deg} pallas={pallas}")
+        assert np.nanmean(np.abs(p_h - p_c)) < 0.05, (deg, pallas)
+
+
+@pytest.mark.parametrize("pallas", [False, True])
+def test_hybrid_tilted_matches_shear(pallas):
+    """Past the gate the hybrid crop/projection must be the shear rotated
+    view.  The shear oracle runs through the plain per-stream path, the
+    pallas hybrid through packed crops + the fused stem — numerically
+    equivalent (the packed stem twin is exact), so landmark agreement is
+    tight; random-init nets amplify interpolation deltas, so allow px."""
+    frame = _frame()
+    shear = _runner("shear")  # per-stream plain path oracle
+    hybrid = _runner("hybrid", use_pallas=pallas, pallas_interpret=pallas)
+    cover = _runner("cover", use_pallas=pallas, pallas_interpret=pallas)
+    for deg in (25.0, -40.0):
+        p_h = _points(hybrid, deg, frame)
+        p_s = _points(shear, deg, frame)
+        p_c = _points(cover, deg, frame)
+        finite = np.isfinite(p_h).all(axis=-1) & np.isfinite(p_s).all(axis=-1)
+        assert finite.any()
+        d_hs = np.linalg.norm(p_h - p_s, axis=-1)[finite]
+        assert np.mean(d_hs) < 3.0, (deg, np.mean(d_hs))
+        # and it must NOT be the cover view (the whole point of the gate)
+        assert not np.allclose(p_h, p_c), deg
+
+
+def test_hybrid_gate_threshold_is_configurable():
+    frame = _frame()
+    wide = _runner("hybrid", hybrid_max_tilt_deg=60.0)
+    cover = _runner("cover")
+    p_w, p_c = _points(wide, 40.0, frame), _points(cover, 40.0, frame)
+    np.testing.assert_allclose(p_w, p_c, atol=1.0)
+    assert np.nanmean(np.abs(p_w - p_c)) < 0.05
+
+
+def test_hybrid_batch_mixed_streams_gate_is_batch_level():
+    """One tilted stream flips the whole batch to the shear branch (the
+    gate is a scalar cond, by design — the cover fast path must never be
+    half-taken)."""
+    frame = _frame()
+    frames = jnp.stack([frame, frame])
+    hybrid = _runner("hybrid", use_pallas=True, pallas_interpret=True)
+    shear = _runner("shear")
+
+    st1 = _tracked_state(hybrid, 0.0)
+    st2 = _tracked_state(hybrid, 30.0)
+    st_b = jax.tree.map(lambda a, b: jnp.stack([a, b]), st1, st2)
+    _, res = jax.jit(hybrid.predict_batch)(hybrid.params, st_b, frames)
+    got = np.asarray(res.face_landmarker.points, np.float64)
+
+    # Stream 0 (upright) must ALSO be on the shear branch: compare with
+    # the shear oracle at 0 tilt (shear == cover sampling at θ=0 up to
+    # interpolation, so this only verifies branch consistency loosely) —
+    # the strong check is stream 1 matching the shear oracle.
+    p_s1 = _points(shear, 30.0, frame)
+    finite = (np.isfinite(got[1]).all(axis=-1)
+              & np.isfinite(p_s1[0]).all(axis=-1))
+    d = np.linalg.norm(got[1] - p_s1[0], axis=-1)[finite]
+    assert np.mean(d) < 3.0, np.mean(d)
+
+
+def test_hybrid_config_validation():
+    with pytest.raises(ValueError):
+        InferenceConfig(hybrid_max_tilt_deg=0.0)
+    assert InferenceConfig(
+        rotation_mode="hybrid").resolved_rotation_mode() == "hybrid"

@@ -411,14 +411,9 @@ def test_segmenter_planar_head_commutes_with_resize():
                     jnp.float32)
     got = blaze.segmenter_apply(p, x, s)
 
-    y = jax.nn.relu(blaze._conv(p["stem"], x, stride=2))
-    y = blaze._blaze_block(p["b1"], y, stride=2)
-    y = blaze._blaze_block(p["b2"], y, stride=2)
-    y = blaze._blaze_block(p["b3"], y)
-    y = warp.resize_bilinear_planar(y, s // 4, s // 4)
-    y = jax.nn.relu(blaze._conv(p["up1"], y))
-    y = warp.resize_bilinear_planar(y, s // 2, s // 2)
-    y = jax.nn.relu(blaze._conv(p["up2"], y))
+    # Straight formulation on the SHARED trunk (blaze.segmenter_features):
+    # only the head/resize ordering differs from segmenter_apply.
+    y = blaze.segmenter_features(p, x, s)
     y = warp.resize_bilinear_planar(y, s, s)
     ref = jax.nn.softmax(jnp.transpose(blaze._conv(p["head"], y),
                                        (0, 2, 3, 1)), axis=-1)

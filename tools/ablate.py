@@ -57,6 +57,12 @@ def main():
                   file=sys.stderr, flush=True)
             sys.exit(3)
     _enable_compile_cache()
+    if jax.default_backend() == "tpu":
+        # Honest timing requires the sync-dispatch latch (utils/axon.py):
+        # the axon client's initial fast path fakes block_until_ready.
+        from bp_from_video_tpu.utils.axon import force_sync_dispatch
+        print(f"ablate: sync-dispatch latch took "
+              f"{force_sync_dispatch():.1f} s", file=sys.stderr, flush=True)
     from bp_from_video_tpu.config import EngineConfig, InferenceConfig
     from bp_from_video_tpu.models.runner import TrackState
     from bp_from_video_tpu.parallel import MultiStreamEngine

@@ -94,6 +94,9 @@ def scan_time(step, x0, clip, reps=3):
 
 def main():
     _enable_compile_cache()
+    if jax.default_backend() == "tpu":
+        from bp_from_video_tpu.utils.axon import force_sync_dispatch
+        force_sync_dispatch()  # honest timings (utils/axon.py)
     from bp_from_video_tpu.pallas import block_kernel as bk
     dtype = jnp.bfloat16
     sel = os.environ.get("BN_SHAPES")

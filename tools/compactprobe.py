@@ -57,6 +57,9 @@ def main():
             print("tunnel dark", file=sys.stderr)
             sys.exit(3)
     _enable_compile_cache()
+    if jax.default_backend() == "tpu":
+        from bp_from_video_tpu.utils.axon import force_sync_dispatch
+        force_sync_dispatch()  # honest timings (utils/axon.py)
 
     b, n = 128, 250
     clip = int(os.environ.get("BENCH_CLIP", "128"))

@@ -90,6 +90,9 @@ def scan_probe(label, dtype, batch, cin, hw, cout, k, stride, clip=32,
 
 def main():
     _enable_compile_cache()
+    if jax.default_backend() == "tpu":
+        from bp_from_video_tpu.utils.axon import force_sync_dispatch
+        force_sync_dispatch()  # honest timings (utils/axon.py)
     print(f"backend: {jax.default_backend()}", flush=True)
     for label, b, cin, hw, cout, k, s in CASES:
         for dtype in (jnp.bfloat16, jnp.int8):

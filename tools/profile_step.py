@@ -30,6 +30,9 @@ def timeit(fn, *args, n=20):
 
 def main():
     _enable_compile_cache()
+    if jax.default_backend() == "tpu":
+        from bp_from_video_tpu.utils.axon import force_sync_dispatch
+        force_sync_dispatch()  # honest timings (utils/axon.py)
     from bp_from_video_tpu.config import EngineConfig
     from bp_from_video_tpu.parallel import MultiStreamEngine
 

@@ -76,7 +76,7 @@ def run_sweep(thetas=(0, 5, 10, 15, 20, 25, 30)):
     from bp_from_video_tpu.models.runner import InferenceRunner
 
     runners = {}
-    for mode in ("exact", "cover", "shear"):
+    for mode in ("exact", "cover", "shear", "hybrid"):
         cfg = InferenceConfig(face_landmarker=True, hand_landmarker=False,
                               running_mode=RunningMode.IMAGE,
                               rotation_mode=mode)
@@ -98,7 +98,7 @@ def run_sweep(thetas=(0, 5, 10, 15, 20, 25, 30)):
     results = []
     for theta in thetas:
         img = rotate_image(img0, theta) if theta else img0
-        for mode in ("exact", "cover", "shear"):
+        for mode in ("exact", "cover", "shear", "hybrid"):
             pts = landmarks(runners[mode], img)
             if pts is None:
                 rec = {"theta_deg": theta, "mode": mode, "detected": False}
