@@ -111,7 +111,8 @@ def build_config(preset: str | None, streams: int, h: int, w: int,
 
 
 def measure(cfg, metric: str, clip_len: int, reps: int,
-            render: bool = False, lost: int | None = None) -> dict:
+            render: bool = False, lost: int | None = None,
+            tilt_deg: float | None = None) -> dict:
     """Compile the fused multi-stream step for ``cfg`` and measure
     steady-state frames/sec/chip over ``reps`` scans of ``clip_len``.
 
@@ -147,6 +148,19 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
         from bp_from_video_tpu.render.drawer import Drawer
         drawer = Drawer(cfg, show=False)
 
+    # ``tilt_deg``: pin every tracked rect to a fixed frame-centered
+    # geometry with the given rotation, so angle-gated paths (rotation_mode
+    # "hybrid") are priced at a KNOWN operating point — tracked rects on
+    # random frames otherwise carry landmark-derived arbitrary rotations
+    # that flip the gate unpredictably step to step.
+    tilt_rect = None
+    if tilt_deg is not None:
+        import numpy as np
+        side = min(h, w) / 3.0
+        tilt_rect = jnp.asarray(
+            [w / 2.0, h / 2.0, side, side, float(np.deg2rad(tilt_deg))],
+            jnp.float32)
+
     def body(params, frame_buf, carry, i):
         st, key = carry
         frames = jax.lax.dynamic_index_in_dim(
@@ -165,6 +179,11 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
             face_tracking=jnp.ones_like(tr.face_tracking) & ~lost_m,
             hand_tracking=(jnp.ones_like(tr.hand_tracking)
                            & ~lost_m[:, None]))
+        if tilt_rect is not None:
+            tr = tr._replace(
+                face_rect=jnp.broadcast_to(tilt_rect, tr.face_rect.shape),
+                hand_rects=jnp.broadcast_to(tilt_rect,
+                                            tr.hand_rects.shape))
         st, out = ms.engine.batch_step(params, EngineState(st.signals, tr),
                                        frames, ts)
         extra = jnp.float32(0.0)
@@ -211,6 +230,200 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
         "streams": streams,
         "clip_len": clip_len,
         "frame_hw": [h, w],
+    }
+
+
+def measure_hostlive(cfg, metric: str, n_frames: int = 24) -> dict:
+    """Host-in-the-loop b=1 live latency, measured the way a live user
+    experiences it (VERDICT r2 Weak #4): host numpy frame -> device_put ->
+    ONE fused step+HUD dispatch -> packed HUD scalar download, per frame.
+
+    The step and the HUD pack compile into a single executable (one
+    dispatch per frame — the latency-optimal driver shape; the overlay /
+    plot rasterization is DCE'd since a headless live loop never reads
+    it).  Reported components:
+
+    * ``upload_ms``  — device_put of the uint8 frame.  Through the remote
+      tunnel this is ~1 MB/s (harness transport, not TPU: a colocated host
+      DMAs this in ~0.1 ms).
+    * ``step_ms``    — dispatch + device compute, honest sync mode.
+    * ``fetch_ms``   — the packed HUD scalar block download (one RTT).
+    * value          — median total ms/frame, host clock.
+
+    ``step_ms + fetch_ms`` is the device-resident operating point (frames
+    arriving by DMA/feeder), the number comparable to SURVEY §6's
+    "live mode < 5 ms" budget."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from bp_from_video_tpu.render.drawer import Drawer
+    from bp_from_video_tpu.runtime.engine import Engine
+
+    h, w = cfg.frame_height, cfg.frame_width
+    eng = Engine(cfg, asset_dir=_asset_dir())
+    drawer = Drawer(cfg, show=False)
+
+    def step_hud(params, state, frame, t):
+        state, out = eng.step(params, state, frame, t)
+        _, _, packed = drawer._compose_fn(frame, out)
+        return state, packed
+
+    step_hud = jax.jit(step_hud)
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    state = eng.init_state()
+    dt = 1.0 / 30.0
+
+    # Warmup / compile outside the timed loop.
+    fd = jax.device_put(jnp.asarray(base))
+    state, packed = step_hud(eng.params, state, fd, jnp.float32(dt))
+    np.asarray(packed)
+
+    ups, steps_, fetches, totals = [], [], [], []
+    for i in range(n_frames):
+        frame = np.roll(base, i + 1, axis=1)  # vary content (dedupe trap)
+        t0 = time.perf_counter()
+        fd = jax.device_put(jnp.asarray(frame))
+        jax.block_until_ready(fd)
+        t1 = time.perf_counter()
+        state, packed = step_hud(eng.params, state, fd,
+                                 jnp.float32((i + 2) * dt))
+        jax.block_until_ready(packed)
+        t2 = time.perf_counter()
+        np.asarray(packed)
+        t3 = time.perf_counter()
+        ups.append(t1 - t0)
+        steps_.append(t2 - t1)
+        fetches.append(t3 - t2)
+        totals.append(t3 - t0)
+
+    med = lambda xs: round(float(np.median(xs)) * 1000.0, 3)
+    total = med(totals)
+    return {
+        "metric": metric,
+        "value": total,
+        "unit": "ms/frame (batch 1, host-in-the-loop)",
+        "vs_baseline": round((1000.0 / total) / REF_BASELINE_FPS, 2),
+        "upload_ms": med(ups),
+        "step_ms": med(steps_),
+        "fetch_ms": med(fetches),
+        "device_resident_ms": med([s + f for s, f in zip(steps_, fetches)]),
+        "frames": n_frames,
+        "frame_hw": [h, w],
+    }
+
+
+def measure_lifecycle(cfg, metric: str, clip_len: int, reps: int) -> dict:
+    """Realistic tracking lifecycle on device (VERDICT r2 Weak #5 / next
+    #7): synthetic faces + REAL face weights, NO forced tracking flags —
+    acquisition, steady tracking, loss and re-acquisition all emerge from
+    the presence gate and the bounded detector sub-batch, exactly as in
+    live operation.
+
+    The scan alternates phases: 64 face steps, then 32 noise steps (the
+    subject leaves), repeating.  Face frames cycle through 8 pre-built
+    pulsed/shifted variants (content varies every step — the axon dedupe
+    trap — with zero in-loop synthesis cost, like frames arriving by DMA).
+    Reported alongside throughput: the measured fraction of (stream, step)
+    slots tracking during face-phase steps at steady state."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from bp_from_video_tpu.parallel import MultiStreamEngine
+    from tools.rotsweep import synth_face
+
+    streams = cfg.num_streams
+    h, w = cfg.frame_height, cfg.frame_width
+    dt = 1.0 / 30.0
+    ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
+
+    # One host-built face frame (the ~1 MB upload happens once): cartoon
+    # face the real BlazeFace/face-mesh weights verifiably respond to
+    # (tools/rotsweep.synth_face), centered on a neutral canvas.
+    face = synth_face(h=min(h, 256), w=min(w, 256),
+                      cx=min(w, 256) // 2, cy=min(h, 256) // 2,
+                      s=min(h, 256) // 3)
+    canvas = np.full((h, w, 3), 110, np.uint8)
+    y0, x0 = (h - face.shape[0]) // 2, (w - face.shape[1]) // 2
+    canvas[y0:y0 + face.shape[0], x0:x0 + face.shape[1]] = face
+    base = jax.device_put(jnp.asarray(canvas.transpose(2, 0, 1)))  # [3,h,w]
+
+    # 8 face variants (green-channel pulse + 1-px shifts) and 2 noise
+    # frames, built ON DEVICE once.
+    n_face, n_noise = 8, 2
+
+    @jax.jit
+    def build_bufs(base, key):
+        def variant(i):
+            g = base[1].astype(jnp.int16) + (
+                9.0 * jnp.sin(2.0 * jnp.pi * i / n_face)).astype(jnp.int16)
+            f = base.at[1].set(jnp.clip(g, 0, 255).astype(jnp.uint8))
+            return jnp.roll(f, i % 3 - 1, axis=-1)
+        face_buf = jnp.stack([variant(i) for i in range(n_face)])
+        noise_buf = jax.random.randint(
+            key, (n_noise, streams, 3, h, w), 0, 256, jnp.uint8)
+        return face_buf, noise_buf
+
+    face_buf, noise_buf = build_bufs(base, jax.random.key(11))
+
+    def body(params, face_buf, noise_buf, carry, i):
+        st, _ = carry
+        ii = i.astype(jnp.int32)
+        phase_face = jnp.mod(ii, 96) < 64
+        face_f = jnp.broadcast_to(
+            jax.lax.dynamic_index_in_dim(face_buf, jnp.mod(ii, n_face),
+                                         keepdims=False)[None],
+            (streams, 3, h, w))
+        noise_f = jax.lax.dynamic_index_in_dim(
+            noise_buf, jnp.mod(ii, n_noise), keepdims=False)
+        frames = jnp.where(phase_face, face_f, noise_f)
+        ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+        st, out = ms.engine.batch_step(params, st, frames, ts)
+        frac = jnp.mean(st.track.face_tracking.astype(jnp.float32))
+        return (st, jnp.float32(0.0)), (frac, phase_face)
+
+    @jax.jit
+    def run(params, face_buf, noise_buf, st, i0):
+        carry, (frac, pf) = jax.lax.scan(
+            functools.partial(body, params, face_buf, noise_buf),
+            (st, jnp.float32(0.0)),
+            i0 + jnp.arange(clip_len, dtype=jnp.float32))
+        return carry[0], frac, pf
+
+    state = ms.init_states()
+    state, frac, pf = run(ms.params, face_buf, noise_buf, state,
+                          jnp.float32(0.0))  # warmup/compile
+    jax.block_until_ready(frac)
+
+    best, frac_np, pf_np = 0.0, None, None
+    for r in range(reps):
+        t0 = time.perf_counter()
+        state, frac, pf = run(ms.params, face_buf, noise_buf, state,
+                              jnp.float32((r + 1) * clip_len))
+        jax.block_until_ready(frac)
+        elapsed = time.perf_counter() - t0
+        best = max(best, (clip_len * streams) / elapsed)
+        frac_np, pf_np = np.asarray(frac), np.asarray(pf, bool)
+
+    # Steady-state face-phase tracked fraction: skip the first 16 steps of
+    # each face phase (re-acquisition ramp: the detector sub-batch serves 8
+    # streams/step).
+    steady = pf_np.copy()
+    idx = np.arange(len(pf_np))
+    steady &= (idx % 96) >= 16
+    return {
+        "metric": metric,
+        "value": round(best, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(best / REF_BASELINE_FPS, 2),
+        "streams": streams,
+        "clip_len": clip_len,
+        "frame_hw": [h, w],
+        "track_frac_face_steady": round(float(frac_np[steady].mean()), 3)
+        if steady.any() else None,
+        "track_frac_noise": round(float(frac_np[~pf_np].mean()), 3)
+        if (~pf_np).any() else None,
     }
 
 
@@ -270,7 +483,11 @@ def main():
                  for p in ("butter_welch_face", "dual_roi_ls",
                            "segmenter_fir", "ptt_filtered", "multistream")]
         specs.append(("live", 1))
+        specs.append(("hostlive", 1))
         specs.append(("lost1", streams))
+        specs.append(("lifecycle", streams))
+        specs.append(("hybrid_up", streams))
+        specs.append(("hybrid_tilt25", streams))
         specs.append((None, streams))
         results = []
         for preset, s in specs:
@@ -284,13 +501,34 @@ def main():
             res = None
             live = preset == "live"
             lost1 = preset == "lost1"
+            special = preset in ("live", "lost1", "hostlive", "lifecycle",
+                                 "hybrid_up", "hybrid_tilt25")
+            single = preset in ("live", "hostlive")
             for attempt, s_try in enumerate((s, s, max(s // 2, 8),
-                                             max(s // 4, 8)) if not live
+                                             max(s // 4, 8)) if not single
                                             else (1, 1)):
                 cfg, metric = build_config(
-                    None if (live or lost1) else preset, s_try, h, w, on_tpu)
+                    "butter_welch_face" if preset == "lifecycle"
+                    else (None if special else preset), s_try, h, w, on_tpu)
                 if live:
                     metric = "rppg_live_step_latency"
+                elif preset == "hostlive":
+                    metric = "rppg_live_latency_host"
+                elif preset == "lifecycle":
+                    # Acquisition -> steady -> loss -> re-acquisition with
+                    # real face weights and NO forced tracking flags
+                    # (VERDICT r2 next #7); face-only preset so every
+                    # tracked state is reachable from the synthetic scene.
+                    metric = "rppg_lifecycle_throughput"
+                elif preset in ("hybrid_up", "hybrid_tilt25"):
+                    # The angle-gated rotation mode at pinned operating
+                    # points: upright (gate -> Pallas cover fast path; must
+                    # sit within ~10% of the flagship) and 25° tilt (gate ->
+                    # gather-free shear rotated view; prices fidelity on
+                    # tilted subjects).  VERDICT r2 next #2.
+                    cfg = dataclasses.replace(cfg, inference=dataclasses.replace(
+                        cfg.inference, rotation_mode="hybrid"))
+                    metric = f"rppg_fused_throughput_{preset}"
                 elif lost1:
                     # Mixed-tracking operating point: 1 of S streams loses
                     # tracking every step, so the bounded re-detection
@@ -298,9 +536,18 @@ def main():
                     # "1-of-64 lost track costs <15%" claim, VERDICT Weak #4).
                     metric = "rppg_fused_throughput_lost1"
                 try:
-                    res = measure(cfg, metric, clip_len, reps,
-                                  render=(preset == "multistream"),
-                                  lost=1 if lost1 else None)
+                    if preset == "hostlive":
+                        res = measure_hostlive(cfg, metric)
+                    elif preset == "lifecycle":
+                        res = measure_lifecycle(cfg, metric, clip_len, reps)
+                    else:
+                        res = measure(
+                            cfg, metric, clip_len, reps,
+                            render=(preset == "multistream"),
+                            lost=1 if lost1 else None,
+                            tilt_deg=(0.0 if preset == "hybrid_up" else
+                                      25.0 if preset == "hybrid_tilt25"
+                                      else None))
                     if live:
                         # Flagship step at batch 1 (SURVEY §7 "b=1 live"):
                         # on-device ms/frame amortized over the scan (the
@@ -339,6 +586,22 @@ def main():
         return
 
     preset = os.environ.get("BENCH_PRESET") or None
+    if preset == "hostlive":
+        cfg, _ = build_config(None, 1, h, w, on_tpu)
+        _emit(measure_hostlive(cfg, "rppg_live_latency_host"))
+        return
+    if preset == "lifecycle":
+        cfg, _ = build_config("butter_welch_face", streams, h, w, on_tpu)
+        _emit(measure_lifecycle(cfg, "rppg_lifecycle_throughput",
+                                clip_len, reps))
+        return
+    if preset in ("hybrid_up", "hybrid_tilt25"):
+        cfg, _ = build_config(None, streams, h, w, on_tpu)
+        cfg = dataclasses.replace(cfg, inference=dataclasses.replace(
+            cfg.inference, rotation_mode="hybrid"))
+        _emit(measure(cfg, f"rppg_fused_throughput_{preset}", clip_len,
+                      reps, tilt_deg=0.0 if preset == "hybrid_up" else 25.0))
+        return
     cfg, metric = build_config(preset, streams, h, w, on_tpu)
     _emit(measure(cfg, metric, clip_len, reps,
                   render=(preset == "multistream"
