@@ -59,12 +59,29 @@ def stream_sharding(mesh: Mesh, ndim: int, axis: str = STREAM_AXIS
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
+def _put(x, sharding: NamedSharding):
+    """Place one host-identical value with ``sharding``.
+
+    Single process: plain ``device_put``.  Multi-process (a mesh spanning
+    ``jax.distributed`` processes): ``device_put`` first cross-checks the
+    value bitwise across processes, which (a) all-gathers data we know is
+    identical (engine construction is deterministic) and (b) FAILS on the
+    NaN-prefilled signal rings — NaN != NaN, so the equality assert trips
+    on correct input.  ``make_array_from_callback`` skips the check: each
+    process materializes exactly its addressable shards."""
+    if jax.process_count() > 1:
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(xh.shape, sharding,
+                                            lambda idx: xh[idx])
+    return jax.device_put(x, sharding)
+
+
 def shard_streams(tree: Any, mesh: Mesh, axis: str = STREAM_AXIS) -> Any:
     """Place a stream-major pytree (every leaf has a leading stream axis)
     so streams are split across the ``axis`` mesh dimension."""
     def place(x):
         x = jax.numpy.asarray(x)
-        return jax.device_put(x, stream_sharding(mesh, x.ndim, axis))
+        return _put(x, stream_sharding(mesh, x.ndim, axis))
     return jax.tree.map(place, tree)
 
 
@@ -80,7 +97,7 @@ def shard_params(params: Any, mesh: Mesh, axis: str = MODEL_AXIS) -> Any:
             spec = P(*([None] * (x.ndim - 1)), axis)
         else:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put(x, NamedSharding(mesh, spec))
     return jax.tree.map(place, params)
 
 
@@ -88,5 +105,5 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate a pytree across the mesh."""
     def place(x):
         x = jax.numpy.asarray(x)
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        return _put(x, NamedSharding(mesh, P()))
     return jax.tree.map(place, tree)
