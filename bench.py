@@ -488,6 +488,7 @@ def main():
         specs.append(("lifecycle", streams))
         specs.append(("hybrid_up", streams))
         specs.append(("hybrid_tilt25", streams))
+        specs.append(("segskin", streams))
         specs.append((None, streams))
         results = []
         for preset, s in specs:
@@ -502,13 +503,14 @@ def main():
             live = preset == "live"
             lost1 = preset == "lost1"
             special = preset in ("live", "lost1", "hostlive", "lifecycle",
-                                 "hybrid_up", "hybrid_tilt25")
+                                 "hybrid_up", "hybrid_tilt25", "segskin")
             single = preset in ("live", "hostlive")
             for attempt, s_try in enumerate((s, s, max(s // 2, 8),
                                              max(s // 4, 8)) if not single
                                             else (1, 1)):
                 cfg, metric = build_config(
                     "butter_welch_face" if preset == "lifecycle"
+                    else "segmenter_fir" if preset == "segskin"
                     else (None if special else preset), s_try, h, w, on_tpu)
                 if live:
                     metric = "rppg_live_step_latency"
@@ -520,6 +522,16 @@ def main():
                     # (VERDICT r2 next #7); face-only preset so every
                     # tracked state is reachable from the synthetic scene.
                     metric = "rppg_lifecycle_throughput"
+                elif preset == "segskin":
+                    # The segmenter preset's skin-only output mode
+                    # (seg_full_masks=False: one model-res skin mask, the
+                    # channel the pipeline consumes, instead of 6 full-res
+                    # masks + full-res argmax) — the honest trade-off row
+                    # next to the reference-parity mode (VERDICT r2 Weak
+                    # #2 / next #3).
+                    cfg = dataclasses.replace(cfg, inference=dataclasses.replace(
+                        cfg.inference, seg_full_masks=False))
+                    metric = "rppg_fused_throughput_segskin"
                 elif preset in ("hybrid_up", "hybrid_tilt25"):
                     # The angle-gated rotation mode at pinned operating
                     # points: upright (gate -> Pallas cover fast path; must

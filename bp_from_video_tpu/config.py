@@ -343,6 +343,14 @@ class DrawConfig:
     graph_default_range: tuple[float, float] = (-1.0, 1.0)
     alpha: float = 0.75
     on_device: bool = True  # rasterize overlays/plots on the TPU
+    # Stamp HUD numbers and plot tick/range labels ON DEVICE (bitmap-font
+    # glyph selection matmuls, render/glyphs.py) inside the one composition
+    # executable, instead of host cv2.putText after download (reference
+    # drawer.py:127-150, :177-207).  The host keeps only state-dependent
+    # extras (BP line, calibration banner).  Default on: it removes the
+    # last per-frame host render stage; set False for the reference's
+    # Hershey-font host text.
+    device_text: bool = True
 
     def __post_init__(self):
         if not 1 <= self.num_plots <= 3:

@@ -20,11 +20,6 @@ from bp_from_video_tpu.runtime.engine import Engine
 from bp_from_video_tpu.utils.profiling import profiler
 
 
-@jax.jit
-def _to_rgb(frame_bgr):
-    return frame_bgr[..., ::-1]
-
-
 def run(config: EngineConfig | None = None,
         capture: CaptureConfig | None = None, *,
         asset_dir: str | None = None, show: bool = True,
@@ -55,10 +50,23 @@ def run(config: EngineConfig | None = None,
         config = dataclasses.replace(config, frame_height=h, frame_width=w)
 
     engine = Engine(config, asset_dir=asset_dir)
-    step = profiler.timeit(jax.jit(engine.step), name="engine_step",
-                           fence=True)
     drawer = Drawer(config, show=show, bp_predictor=bp_predictor)
-    draw = profiler.timeit(drawer.draw_and_plot, name="draw_and_plot")
+
+    # ONE device dispatch per frame: BGR->RGB, the fused engine step AND
+    # the display composition compile into a single executable.  Separate
+    # step/compose dispatches each cost a full round trip on a remote
+    # device (measured ~30 ms each through the dev tunnel,
+    # BENCH_PRESETS.json rppg_live_latency_host components); fusing them
+    # halves host-in-the-loop latency.
+    def _device_step(params, state, frame_bgr, t):
+        frame = frame_bgr[..., ::-1]
+        state, out = engine.step(params, state, frame, t)
+        frame_img, plot_img, packed = drawer._compose_fn(frame, out)
+        return state, out, frame_img, plot_img, packed
+
+    step = profiler.timeit(jax.jit(_device_step), name="engine_step",
+                           fence=True)
+    draw = profiler.timeit(drawer.present, name="draw_and_plot")
     read = profiler.timeit(reader.read_frame, name="read_frame")
 
     state = engine.init_state()
@@ -66,10 +74,10 @@ def run(config: EngineConfig | None = None,
     n = 0
     try:
         while True:
-            frame = _to_rgb(jax.device_put(fd.frame))
-            state, out = step(engine.params, state, frame,
-                              jnp.float32(fd.timestamp))
-            key = draw(frame, out, fd.calibrating)
+            state, out, fimg, pimg, packed = step(
+                engine.params, state, jax.device_put(fd.frame),
+                jnp.float32(fd.timestamp))
+            key = draw(fimg, pimg, packed, fd.calibrating)
             reader.prop_control(key)
             if recorder is not None:
                 recorder.add(fd.timestamp, out)

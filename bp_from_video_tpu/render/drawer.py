@@ -76,6 +76,9 @@ class Drawer:
                   (out.corr_x, out.corr_y, out.corr_range)]
         plot_img, ticks = plotter.rasterize_plots(self.draw_cfg, groups,
                                                   self.sig_colors)
+        if self.draw_cfg.device_text:
+            frame_img = self._stamp_hud(frame_img, out)
+            plot_img = self._stamp_plot_labels(plot_img, ticks)
         # Pack every scalar the host needs (HUD numbers + tick data) into
         # ONE flat array: each separate device->host read costs a full
         # round-trip, which dominates when the device is remote.
@@ -86,6 +89,73 @@ class Drawer:
                            tk.range_y, tk.vline_px, tk.vline_val]
         packed = jnp.concatenate([jnp.ravel(a) for a in hud + tick_parts])
         return frame_img, plot_img, packed
+
+    # -- on-device text (render/glyphs.py; VERDICT r2 next #6) ---------------
+
+    def _stamp_hud(self, img, out: StepOutputs):
+        """Stamp the HUD lines (reference write_info drawer.py:127-150) on
+        device: static labels + in-graph-formatted values as bitmap-font
+        glyph selection matmuls.  The host keeps only state-dependent
+        extras (BP line, calibration banner)."""
+        from bp_from_video_tpu.render import glyphs
+        scale = 2 if img.shape[1] >= 480 else 1
+        x0, line_h = 15, 30
+        row = 1
+
+        def put(img, label, value, unit, color, int_d=3, frac=0):
+            lab = jnp.asarray(glyphs.encode(label))
+            vi, vs = glyphs.format_fixed(value, int_d, frac)
+            un = jnp.asarray(glyphs.encode(unit))
+            idx = jnp.concatenate([lab, vi, un])
+            show = jnp.concatenate([jnp.ones(lab.shape, bool), vs,
+                                    jnp.ones(un.shape, bool)])
+            line = glyphs.render_line(idx, show, scale)
+            return glyphs.stamp(img, line, x0, row * line_h, color)
+
+        img = put(img, "curr_fs: ", out.curr_fs, " hz", C.BLUE, 2, 2)
+        row += 1
+        img = put(img, "mean_fs: ", out.mean_fs, " hz", C.BLUE_AZURE, 2, 2)
+        row += 2
+        for s in range(out.bpm.shape[0]):
+            img = put(img, f"mean_bpm_{s}: ", out.bpm[s], " bpm", C.RED)
+            row += 1
+        row += 1
+        for p in range(out.ptt.shape[0]):
+            img = put(img, f"mean_ptt_{p}: ", out.ptt[p], " ms", C.GREEN)
+            row += 1
+        return img
+
+    def _stamp_plot_labels(self, img, ticks):
+        """Tick + corner range labels (reference draw_graph
+        drawer.py:177-207) on device.  Each graph's bottom text row — all
+        vline value labels at data-dependent x plus the two x-range corner
+        labels — composites as ONE placement matmul
+        (glyphs.scatter_row); the two y-range labels are static stamps."""
+        from bp_from_video_tpu.render import glyphs
+        w = img.shape[1]
+        fmt = lambda v: glyphs.format_fixed(v, 2, 2)
+        for gl, tk in zip(plotter.graph_layouts(self.draw_cfg), ticks):
+            vi, vs = jax.vmap(fmt)(tk.vline_val)          # [32, slots]
+            lines = jax.vmap(
+                lambda i, s: glyphs.render_line(i, s, 1))(vi, vs)
+            ok = jnp.arange(plotter.MAX_VLINES) < tk.vline_n
+            strip = glyphs.scatter_row(lines, tk.vline_px - 12, ok, w)
+            img = glyphs.stamp(img, strip, 0, gl.origin_y + gl.height + 8,
+                               C.LIGHT_GRAY)
+            # Corner range labels (black): static positions, dynamic values.
+            for v, xx, yy in (
+                    (tk.range_x[0], gl.origin_x - 5,
+                     gl.origin_y + gl.height + 16),
+                    (tk.range_x[1], gl.origin_x + gl.width - 25,
+                     gl.origin_y + gl.height + 16),
+                    (tk.range_y[0], max(0, gl.origin_x - 40),
+                     gl.origin_y + gl.height - 12),
+                    (tk.range_y[1], max(0, gl.origin_x - 40),
+                     gl.origin_y + 8)):
+                yi, ys = fmt(v)
+                img = glyphs.stamp(img, glyphs.render_line(yi, ys, 1),
+                                   xx, yy, C.BLACK)
+        return img
 
     # -- host text ------------------------------------------------------------
 
@@ -150,6 +220,31 @@ class Drawer:
         if calibrating:
             put("calibrating camera", C.RED)
 
+    def _write_extras(self, img, n_bpm: int, n_ptt: int,
+                      calibrating: bool) -> None:
+        """The host-state-only HUD lines (BP estimate, calibration banner)
+        when ``device_text`` stamped everything else on device; positioned
+        below the device-stamped block (same row grid as _write_info)."""
+        h, w = img.shape[:2]
+        scale = w / 1024
+        line = 4 + n_bpm + n_ptt  # rows used by the device-stamped HUD
+
+        def put(text, color):
+            nonlocal line
+            cv2.putText(img, text, (15, (line + 1) * 30),
+                        cv2.FONT_HERSHEY_COMPLEX, scale, color[::-1], 1,
+                        cv2.LINE_AA)
+            line += 1
+
+        if self.bp_predictor is not None:
+            sbp, dbp = np.asarray(self.last_bp).reshape(-1)[:2]
+            put(f"bp: {int(sbp)}/{int(dbp)} mmHg"
+                if np.isfinite(sbp) and np.isfinite(dbp) else "bp: NaN",
+                C.MAGENTA)
+            line += 1
+        if calibrating:
+            put("calibrating camera", C.RED)
+
     def _label_plot(self, img, ticks):
         """Tick + corner range labels (reference draw_graph drawer.py:177-207)."""
         for gl, tk in zip(plotter.graph_layouts(self.draw_cfg), ticks):
@@ -177,14 +272,30 @@ class Drawer:
         (reference draw_and_plot drawer.py:248-255; 'q' raises
         KeyboardInterrupt)."""
         frame_img, plot_img, packed = self._compose(frame_rgb, out)
+        return self.present(frame_img, plot_img, packed, calibrating)
+
+    def present(self, frame_img, plot_img, packed,
+                calibrating: bool = False) -> int:
+        """The HOST half of the display stage: download the composed
+        images + packed scalars, stamp host-only text, blit.  Split from
+        :meth:`draw_and_plot` so a driver can fuse ``engine.step`` and
+        ``_compose_fn`` into ONE jitted call (one dispatch per frame —
+        each separate dispatch costs a full round trip on a remote
+        device) and hand the device outputs here."""
         frame_bgr = np.asarray(frame_img)[..., ::-1].copy()
         plot_bgr = np.asarray(plot_img)[..., ::-1].copy()
         hud, ticks = self._unpack(np.asarray(packed))
         if self.bp_predictor is not None:
             self.last_bp = self.bp_predictor(hud["bpm"], hud["ptt"])
         if cv2 is not None:
-            self._write_info(frame_bgr, hud, calibrating)
-            self._label_plot(plot_bgr, ticks)
+            if self.draw_cfg.device_text:
+                # Numbers/labels already stamped on device; only the
+                # host-state extras remain (BP estimate, calibration).
+                self._write_extras(frame_bgr, len(hud["bpm"]),
+                                   len(hud["ptt"]), calibrating)
+            else:
+                self._write_info(frame_bgr, hud, calibrating)
+                self._label_plot(plot_bgr, ticks)
         self.last_frame, self.last_plot = frame_bgr, plot_bgr
         if not self.show:
             return -1
