@@ -64,22 +64,25 @@ def run(config: EngineConfig | None = None,
     ms = MultiStreamEngine(config, asset_dir=asset_dir, mesh=mesh)
     params = ms.shard_params(ms.params)
     states = ms.shard_state(ms.init_states())
-    step = profiler.timeit(ms.step, name="fused_step", fence=True)
     feeder = DeviceFeeder(readers, (h, w, 3))
     drawer = Drawer(config, show=show, bp_predictor=bp_predictor)
-    draw = profiler.timeit(drawer.draw_and_plot, name="draw_and_plot")
+    # Fused step + displayed-stream composition: one dispatch per frame
+    # (streams.make_display_step), display raster cost O(1) in streams.
+    step = profiler.timeit(
+        ms.make_display_step(drawer._compose_fn, display_stream),
+        name="fused_step", fence=True)
+    draw = profiler.timeit(drawer.present, name="draw_and_plot")
 
     out = None
     n = 0
     try:
         while True:
             frames, ts, fs, cal = feeder.get_batch()
-            states, out = step(params, states, ms.shard_frames(frames),
-                               ms.shard_frames(ts))
+            states, out, fimg, pimg, packed = step(
+                params, states, ms.shard_frames(frames),
+                ms.shard_frames(ts))
             s = display_stream
-            key = draw(jnp.transpose(frames[s], (1, 2, 0)),
-                       jax.tree.map(lambda a: a[s], out),
-                       bool(cal[s]))
+            key = draw(fimg, pimg, packed, bool(cal[s]))
             # Through the feeder, not readers[s] directly: the capture
             # thread owns the cv2.VideoCapture, and prop sets concurrent
             # with its cap.read() are undefined behavior.

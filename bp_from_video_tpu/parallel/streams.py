@@ -118,6 +118,31 @@ class MultiStreamEngine:
             return jnp.asarray(frames)
         return mesh_lib.shard_streams(frames, self.mesh)
 
+    # -- live display path ---------------------------------------------------
+
+    def make_display_step(self, compose_fn, display_stream: int = 0):
+        """ONE dispatch per displayed frame: the S-stream fused step AND
+        the display composition (overlays + plots + on-device text +
+        packed HUD scalars) for the single displayed stream compile into
+        one executable.  Composing only the displayed stream keeps the
+        rasterization cost O(1) in stream count (the bench's multistream
+        row prices the all-streams variant); fusing kills the extra
+        per-frame dispatch round trip (~30 ms on a remote device).
+
+        ``compose_fn`` is ``Drawer._compose_fn``; ``display_stream`` is
+        static (re-make on switch).  Frames are planar ``[S, 3, H, W]``
+        (the feeder's upload layout) or NHWC ``[S, H, W, 3]``.
+        """
+        def fn(params, state, frames, ts):
+            state, out = self._vstep(params, state, frames, ts)
+            sel = jax.tree.map(lambda a: a[display_stream], out)
+            f = frames[display_stream]
+            if f.shape[0] == 3:  # planar -> HWC for the overlay composer
+                f = jnp.transpose(f, (1, 2, 0))
+            frame_img, plot_img, packed = compose_fn(f, sel)
+            return state, out, frame_img, plot_img, packed
+        return jax.jit(fn)
+
     # -- offline / throughput path -----------------------------------------
 
     def _run_clip(self, params, state: EngineState, frames: Array,
