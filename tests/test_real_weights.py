@@ -104,6 +104,7 @@ def test_hand_video_mode_tracks_across_frames(hand_task):
     assert (pts >= 0).all() and (pts <= 191).all()
 
 
+@pytest.mark.slow
 def test_image_mode_is_deterministic(hand_task):
     rng = np.random.RandomState(2)
     runner = InferenceRunner(_hand_cfg(hand_task, RunningMode.IMAGE), 192, 192)

@@ -76,6 +76,7 @@ def test_planar_inputs_match_nhwc():
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vmap_over_compiled_model():
     data = _models()["face_detector.tflite"]
     fn, params = tc.compile_tflite(data)
