@@ -125,6 +125,16 @@ def build_parser() -> argparse.ArgumentParser:
                      help="PTT peak window max lag (s); reference quirk: "
                           "overridden by the auto data range")
 
+    disp = p.add_argument_group("display (reference drawer.py)")
+    disp.add_argument("--display-stream", type=int, default=0,
+                      metavar="N",
+                      help="which stream's window to show in pipelined "
+                           "mode (composition runs only for it; default 0)")
+    disp.add_argument("--host-text", action="store_true",
+                      help="stamp HUD/labels on the host with cv2 Hershey "
+                           "fonts (reference look) instead of the default "
+                           "on-device bitmap-font stamping")
+
     perf = p.add_argument_group("performance")
     perf.add_argument("--dtype", choices=["float32", "bfloat16"],
                       default=None)
@@ -192,6 +202,10 @@ def config_from_args(args) -> tuple[EngineConfig, list[CaptureConfig]]:
             cfg, inference=dataclasses.replace(cfg.inference, **inf_kw))
     if args.dtype:
         cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
+
+    if args.host_text:
+        cfg = dataclasses.replace(
+            cfg, draw=dataclasses.replace(cfg.draw, device_text=False))
 
     captures = [CaptureConfig(
         path=_source(s),
@@ -262,6 +276,7 @@ def main(argv=None) -> int:
         from bp_from_video_tpu.drivers import pipelined
         out = pipelined.run(cfg, captures, asset_dir=args.asset_dir,
                             show=show, max_frames=args.max_frames,
+                            display_stream=args.display_stream,
                             recorder=recorder, bp_predictor=bp_predictor)
     else:
         from bp_from_video_tpu.drivers import sequential
