@@ -396,11 +396,12 @@ def measure_lifecycle(cfg, metric: str, clip_len: int, reps: int) -> dict:
                           jnp.float32(0.0))  # warmup/compile
     jax.block_until_ready(frac)
 
-    best, frac_np, pf_np = 0.0, None, None
+    best, frac_np, pf_np, i0_last = 0.0, None, None, 0
     for r in range(reps):
         t0 = time.perf_counter()
+        i0_last = (r + 1) * clip_len
         state, frac, pf = run(ms.params, face_buf, noise_buf, state,
-                              jnp.float32((r + 1) * clip_len))
+                              jnp.float32(i0_last))
         jax.block_until_ready(frac)
         elapsed = time.perf_counter() - t0
         best = max(best, (clip_len * streams) / elapsed)
@@ -408,9 +409,11 @@ def measure_lifecycle(cfg, metric: str, clip_len: int, reps: int) -> dict:
 
     # Steady-state face-phase tracked fraction: skip the first 16 steps of
     # each face phase (re-acquisition ramp: the detector sub-batch serves 8
-    # streams/step).
+    # streams/step).  Phase position is a function of the GLOBAL step index
+    # i0 + idx — the recorded scan started at i0_last, which need not be a
+    # multiple of the 96-step phase period.
     steady = pf_np.copy()
-    idx = np.arange(len(pf_np))
+    idx = i0_last + np.arange(len(pf_np))
     steady &= (idx % 96) >= 16
     return {
         "metric": metric,
@@ -613,6 +616,17 @@ def main():
             cfg.inference, rotation_mode="hybrid"))
         _emit(measure(cfg, f"rppg_fused_throughput_{preset}", clip_len,
                       reps, tilt_deg=0.0 if preset == "hybrid_up" else 25.0))
+        return
+    if preset == "segskin":
+        cfg, _ = build_config("segmenter_fir", streams, h, w, on_tpu)
+        cfg = dataclasses.replace(cfg, inference=dataclasses.replace(
+            cfg.inference, seg_full_masks=False))
+        _emit(measure(cfg, "rppg_fused_throughput_segskin", clip_len, reps))
+        return
+    if preset == "lost1":
+        cfg, _ = build_config(None, streams, h, w, on_tpu)
+        _emit(measure(cfg, "rppg_fused_throughput_lost1", clip_len, reps,
+                      lost=1))
         return
     cfg, metric = build_config(preset, streams, h, w, on_tpu)
     _emit(measure(cfg, metric, clip_len, reps,

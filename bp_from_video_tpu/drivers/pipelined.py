@@ -40,12 +40,10 @@ def run(config: EngineConfig | None = None,
     config = config or EngineConfig()
     captures = captures or [CaptureConfig()]
 
-    import jax
-    if jax.default_backend() == "tpu":
-        # Pay the axon sync-dispatch stall before capture threads start
-        # (utils/axon.py; same rationale as drivers/sequential.py).
-        from bp_from_video_tpu.utils.axon import force_sync_dispatch
-        force_sync_dispatch()
+    # Pay the axon sync-dispatch stall before capture threads start (no-op
+    # off-TPU; utils/axon.py — same rationale as drivers/sequential.py).
+    from bp_from_video_tpu.utils.axon import force_sync_dispatch
+    force_sync_dispatch()
 
     readers = [VideoReader(c.path, c.target_res,
                            crop_portrait=c.crop_portrait,

@@ -31,13 +31,12 @@ def run(config: EngineConfig | None = None,
     config = config or EngineConfig()
     capture = capture or CaptureConfig()
 
-    if jax.default_backend() == "tpu":
-        # Latch honest synchronous dispatch BEFORE capture starts: the
-        # axon client's first D2H stalls minutes (utils/axon.py), and the
-        # drawer downloads HUD scalars every frame — better to pay the
-        # stall here than freeze on the first displayed frame.
-        from bp_from_video_tpu.utils.axon import force_sync_dispatch
-        force_sync_dispatch()
+    # Latch honest synchronous dispatch BEFORE capture starts (no-op
+    # off-TPU): the axon client's first D2H stalls minutes (utils/axon.py),
+    # and the drawer downloads HUD scalars every frame — better to pay the
+    # stall here than freeze on the first displayed frame.
+    from bp_from_video_tpu.utils.axon import force_sync_dispatch
+    force_sync_dispatch()
 
     reader = VideoReader(capture.path, capture.target_res,
                          crop_portrait=capture.crop_portrait,

@@ -991,17 +991,25 @@ class InferenceRunner:
             if rot_mode == "hybrid":
                 # Batch-level angle gate (ONE scalar cond, like the
                 # detector gate): upright batches run only the Pallas
-                # cover path; a batch with any tracked crop tilted past
+                # cover path; a batch with any VALID tilted crop past
                 # ``hybrid_max_tilt_deg`` takes the gather-free shear
-                # rotated view instead (invalid slots carry rotation 0
-                # via _safe_rect, so they never trip the gate).
+                # rotated view instead.  Validity masking matters: a
+                # stream that just lost tracking keeps its (finite, maybe
+                # tilted) stale rect until the bounded detector sub-batch
+                # serves it — its landmark output is masked downstream, so
+                # it must not be allowed to flip the whole batch onto the
+                # slow shear branch.
                 tilts = []
                 if face_raw is not None:
-                    tilts.append(jnp.max(jnp.abs(
-                        warp.normalize_radians(face_raw[:, 4]))))
+                    t = jnp.abs(warp.normalize_radians(face_raw[:, 4]))
+                    if det_ok is not None:
+                        t = jnp.where(det_ok, t, 0.0)
+                    tilts.append(jnp.max(t))
                 if hand_raw is not None:
-                    tilts.append(jnp.max(jnp.abs(
-                        warp.normalize_radians(hand_raw[..., 4]))))
+                    t = jnp.abs(warp.normalize_radians(hand_raw[..., 4]))
+                    if slot_ok is not None:
+                        t = jnp.where(slot_ok, t, 0.0)
+                    tilts.append(jnp.max(t))
                 upright = (jnp.max(jnp.stack(tilts))
                            <= jnp.deg2rad(self.cfg.hybrid_max_tilt_deg))
 

@@ -227,7 +227,9 @@ class Drawer:
         below the device-stamped block (same row grid as _write_info)."""
         h, w = img.shape[:2]
         scale = w / 1024
-        line = 4 + n_bpm + n_ptt  # rows used by the device-stamped HUD
+        # Mirror _write_info's grid exactly: 2 fs rows + blank + n_bpm +
+        # blank + n_ptt + blank = the bp line's row in host-text mode.
+        line = 5 + n_bpm + n_ptt
 
         def put(text, color):
             nonlocal line

@@ -161,8 +161,9 @@ def format_fixed(v: Array, int_digits: int = 3, frac_digits: int = 2
             show_parts.append(jnp.asarray(True))
     idx = jnp.stack([jnp.asarray(i, jnp.int32) for i in idx_parts])
     show = jnp.stack([jnp.asarray(s, jnp.bool_) for s in show_parts])
-    # NaN: overwrite the leading three slots with 'NaN', blank the rest.
-    nan_idx = jnp.asarray(encode("NaN".ljust(slots)), jnp.int32)
+    # NaN: overwrite the leading slots with 'NaN' (truncated if the field
+    # is narrower than 3), blank the rest.
+    nan_idx = jnp.asarray(encode("NaN"[:slots].ljust(slots)), jnp.int32)
     idx = jnp.where(finite, idx, nan_idx)
     show = jnp.where(finite, show, jnp.arange(slots) < 3)
     return idx, show

@@ -45,13 +45,17 @@ _FORCED = False
 def force_sync_dispatch() -> float:
     """Perform one tiny device-to-host transfer to flip the axon client
     into honest synchronous dispatch.  Returns the stall seconds (0.0 when
-    already in sync mode or on a local backend).  Idempotent per process.
+    already in sync mode or on a local backend).  Idempotent per process,
+    and a no-op off-TPU — callers may invoke it unconditionally.
     """
     global _FORCED
     if _FORCED:
         return 0.0
     import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return 0.0
 
     t0 = time.perf_counter()
     jax.device_get(jnp.zeros((1,), jnp.float32))

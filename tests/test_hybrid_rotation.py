@@ -145,3 +145,39 @@ def test_hybrid_config_validation():
         InferenceConfig(hybrid_max_tilt_deg=0.0)
     assert InferenceConfig(
         rotation_mode="hybrid").resolved_rotation_mode() == "hybrid"
+
+
+def test_hybrid_gate_ignores_stale_untracked_rects():
+    """A stream that LOST tracking keeps its last (finite, maybe tilted)
+    rect until the bounded detector sub-batch serves it; its landmark
+    output is masked downstream, so its stale tilt must NOT flip the
+    batch gate off the Pallas cover fast path (review finding, round 3).
+
+    Setup forces the unserved-stale window: detector_subbatch=1 with two
+    needy streams — the more-starved one is served, the other's crop rect
+    stays the stale 30-degree state rect with det_ok=False."""
+    frame = _frame()
+    frames = jnp.stack([frame, frame, frame])
+    kw = dict(use_pallas=True, pallas_interpret=True, detector_subbatch=1)
+    hybrid = _runner("hybrid", **kw)
+    cover = _runner("cover", **kw)
+
+    def batch_state(runner):
+        sts = [_tracked_state(runner, 0.0),          # tracked, upright
+               _tracked_state(runner, 30.0),         # stale tilted, LOST
+               _tracked_state(runner, 10.0)]         # lost, most starved
+        st = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+        return st._replace(
+            face_tracking=jnp.asarray([True, False, False]),
+            face_det_age=st.face_det_age.at[2].set(5))
+
+    _, res_h = jax.jit(hybrid.predict_batch)(
+        hybrid.params, batch_state(hybrid), frames)
+    _, res_c = jax.jit(cover.predict_batch)(
+        cover.params, batch_state(cover), frames)
+    p_h = np.asarray(res_h.face_landmarker.points[0], np.float64)
+    p_c = np.asarray(res_c.face_landmarker.points[0], np.float64)
+    # Tracked stream 0 must be on the cover branch (essentially exact);
+    # pre-fix the stale 30-degree rect tripped the gate onto shear.
+    np.testing.assert_allclose(p_h, p_c, atol=1.0)
+    assert np.nanmean(np.abs(p_h - p_c)) < 0.05
