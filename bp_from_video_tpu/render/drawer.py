@@ -95,35 +95,45 @@ class Drawer:
     def _stamp_hud(self, img, out: StepOutputs):
         """Stamp the HUD lines (reference write_info drawer.py:127-150) on
         device: static labels + in-graph-formatted values as bitmap-font
-        glyph selection matmuls.  The host keeps only state-dependent
-        extras (BP line, calibration banner)."""
+        glyph selection matmuls.  All lines render in ONE vmapped matmul
+        and blend in ONE slice-assign (glyphs.stamp_block); blank
+        separator rows ride along as all-SPACE lines so the grid matches
+        _write_info exactly.  The host keeps only state-dependent extras
+        (BP line, calibration banner)."""
         from bp_from_video_tpu.render import glyphs
         scale = 2 if img.shape[1] >= 480 else 1
-        x0, line_h = 15, 30
-        row = 1
+        rows = []  # (idx, show, color) per 30-px row
 
-        def put(img, label, value, unit, color, int_d=3, frac=0):
+        def put(label, value, unit, color, int_d=3, frac=0):
             lab = jnp.asarray(glyphs.encode(label))
             vi, vs = glyphs.format_fixed(value, int_d, frac)
             un = jnp.asarray(glyphs.encode(unit))
-            idx = jnp.concatenate([lab, vi, un])
-            show = jnp.concatenate([jnp.ones(lab.shape, bool), vs,
-                                    jnp.ones(un.shape, bool)])
-            line = glyphs.render_line(idx, show, scale)
-            return glyphs.stamp(img, line, x0, row * line_h, color)
+            rows.append((jnp.concatenate([lab, vi, un]),
+                         jnp.concatenate([jnp.ones(lab.shape, bool), vs,
+                                          jnp.ones(un.shape, bool)]),
+                         color))
 
-        img = put(img, "curr_fs: ", out.curr_fs, " hz", C.BLUE, 2, 2)
-        row += 1
-        img = put(img, "mean_fs: ", out.mean_fs, " hz", C.BLUE_AZURE, 2, 2)
-        row += 2
+        def blank():
+            rows.append((jnp.zeros((0,), jnp.int32),
+                         jnp.zeros((0,), bool), C.BLACK))
+
+        put("curr_fs: ", out.curr_fs, " hz", C.BLUE, 2, 2)
+        put("mean_fs: ", out.mean_fs, " hz", C.BLUE_AZURE, 2, 2)
+        blank()
         for s in range(out.bpm.shape[0]):
-            img = put(img, f"mean_bpm_{s}: ", out.bpm[s], " bpm", C.RED)
-            row += 1
-        row += 1
+            put(f"mean_bpm_{s}: ", out.bpm[s], " bpm", C.RED)
+        blank()
         for p in range(out.ptt.shape[0]):
-            img = put(img, f"mean_ptt_{p}: ", out.ptt[p], " ms", C.GREEN)
-            row += 1
-        return img
+            put(f"mean_ptt_{p}: ", out.ptt[p], " ms", C.GREEN)
+
+        slots = max(i.shape[0] for i, _, _ in rows)
+        pad = lambda a, fill: jnp.concatenate(
+            [a, jnp.full((slots - a.shape[0],), fill, a.dtype)])
+        idx = jnp.stack([pad(i, glyphs.SPACE) for i, _, _ in rows])
+        show = jnp.stack([pad(s, False) for _, s, _ in rows])
+        colors = jnp.asarray([c for _, _, c in rows], img.dtype)
+        return glyphs.stamp_block(img, idx, show, colors, 15, 30, 30,
+                                  scale)
 
     def _stamp_plot_labels(self, img, ticks):
         """Tick + corner range labels (reference draw_graph

@@ -183,6 +183,38 @@ def stamp(img: Array, line: Array, x0: int, y0: int,
     return img.at[y0:y0 + h, x0:x0 + w].set(out)
 
 
+def stamp_block(img: Array, idx: Array, show: Array,
+                colors, x0: int, y0: int, row_pitch: int,
+                scale: int = 2) -> Array:
+    """Stamp a BLOCK of left-aligned text lines (the HUD) in one pass:
+    one vmapped selection matmul renders every line, one slice-assign
+    blends the whole block — instead of a matmul + slice-assign per line
+    (the per-line form measurably taxed the 8-stream render step).
+
+    ``idx``/``show`` are [L, S] (lines padded to a common slot count with
+    SPACE), ``colors`` [L, 3] per-line RGB, ``row_pitch`` the vertical
+    line spacing in canvas pixels (≥ GLYPH_H*scale)."""
+    lines, slots = idx.shape
+    block = jax.vmap(lambda i, s: render_line(i, s, scale))(idx, show)
+    gh = GLYPH_H * scale
+    pad = row_pitch - gh
+    assert pad >= 0, (row_pitch, gh)
+    block = jnp.pad(block, ((0, 0), (0, pad), (0, 0)))  # [L, pitch, W]
+    w = block.shape[2]
+    strip = block.reshape(lines * row_pitch, w)
+    cols = jnp.repeat(jnp.asarray(colors, img.dtype), row_pitch, axis=0)
+
+    H, W = img.shape[:2]
+    h = min(strip.shape[0], H)
+    strip, cols = strip[:h], cols[:h]
+    w = min(w, W)
+    strip = strip[:, :w]
+    x0, y0 = max(0, min(x0, W - w)), max(0, min(y0, H - h))
+    region = img[y0:y0 + h, x0:x0 + w]
+    out = jnp.where(strip[..., None] > 0.5, cols[:, None, :], region)
+    return img.at[y0:y0 + h, x0:x0 + w].set(out)
+
+
 def scatter_row(lines: Array, xs: Array, show: Array, width: int,
                 scale: int = 1) -> Array:
     """Composite ``n`` rendered label lines at DATA-DEPENDENT column
