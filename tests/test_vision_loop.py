@@ -117,3 +117,26 @@ def test_real_weight_vision_loop_tracks_moving_face():
     assert abs(cx_est - cx) < 25 and abs(cy_est - cy) < 25, (cx_est, cy_est)
     bpm = float(np.asarray(out.bpm)[0])
     assert abs(bpm - HR_HZ * 60) <= 4.0, bpm
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="face assets absent")
+@pytest.mark.slow
+def test_tpu_accuracy_tool_cpu_smoke():
+    """tools/tpu_accuracy.py (the on-hardware end-to-end HR-accuracy
+    artifact) must stay runnable and pass its own gate on the CPU
+    backend — locks the tool against bit-rot between rounds."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_PLATFORM="cpu", ACC_STREAMS="2")
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p)
+    p = subprocess.run(
+        [sys.executable, "tools/tpu_accuracy.py"], env=env,
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stdout + p.stderr
+    rec = json.loads(p.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["value"] <= 3.0
