@@ -74,6 +74,10 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
             lib.fq_latest_seq.restype = ctypes.c_int64
             lib.fq_latest_seq.argtypes = [ctypes.c_void_p]
+            lib.fq_put_planar.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+                ctypes.c_double, ctypes.c_int32]
             _lib = lib
     return _lib
 
@@ -83,8 +87,20 @@ class FrameSlot:
     feeder (native triple-buffer; reference pbp.py:24-30 drop-oldest
     semantics without pickling or a manager process)."""
 
-    def __init__(self, frame_shape: tuple[int, int, int]):
+    def __init__(self, frame_shape: tuple[int, int, int],
+                 planar: bool = False):
+        """``planar=True``: ``put`` takes interleaved HWC frames but the
+        slot stores (and ``get`` returns) the planar [C, H, W] layout the
+        engine's Pallas kernels consume — the HWC->CHW transpose happens
+        inside the native producer-side copy, GIL-released in each
+        stream's capture thread, so the feeder's batch gather is a plain
+        contiguous memcpy instead of a per-stream numpy strided
+        transpose on the driver thread."""
         self.frame_shape = tuple(frame_shape)
+        self.planar = planar
+        h, w, c = (frame_shape if len(frame_shape) == 3
+                   else (*frame_shape, 1))
+        self.out_shape = (c, h, w) if planar else self.frame_shape
         self.frame_bytes = int(np.prod(frame_shape))
         self._lib = _load()
         q = (ctypes.c_void_p(self._lib.fq_create(self.frame_bytes))
@@ -112,17 +128,29 @@ class FrameSlot:
                 f"frame shape {frame.shape} != slot shape {self.frame_shape}"
                 " (all streams must share one resolution)")
         if self.native:
-            self._lib.fq_put(self._q,
-                             frame.ctypes.data_as(ctypes.c_char_p),
-                             float(timestamp), float(fs), int(calibrating))
+            if self.planar:
+                h, w, c = frame.shape
+                self._lib.fq_put_planar(
+                    self._q, frame.ctypes.data_as(ctypes.c_char_p),
+                    h, w, c, float(timestamp), float(fs), int(calibrating))
+            else:
+                self._lib.fq_put(
+                    self._q, frame.ctypes.data_as(ctypes.c_char_p),
+                    float(timestamp), float(fs), int(calibrating))
         else:  # pragma: no cover
             with self._lock:
                 self._seq += 1
-                self._item = (frame.copy(), timestamp, fs, calibrating,
+                stored = (np.ascontiguousarray(frame.transpose(2, 0, 1))
+                          if self.planar else frame.copy())
+                self._item = (stored, timestamp, fs, calibrating,
                               self._seq)
 
-    def get(self, require_fresh: bool = False):
-        """Newest (frame, timestamp, fs, calibrating, seq) or None."""
+    def get(self, require_fresh: bool = False, out: np.ndarray | None = None):
+        """Newest (frame, timestamp, fs, calibrating, seq) or None.
+
+        ``out``: optional preallocated uint8 array of ``out_shape`` the
+        frame is written into directly (the feeder passes its batch
+        buffer's stream row — no intermediate allocation or copy)."""
         if self.native:
             if (require_fresh
                     and self._lib.fq_latest_seq(self._q) == self._consumed):
@@ -131,7 +159,13 @@ class FrameSlot:
                 # new".  (Racing a concurrent put is fine — the next poll
                 # picks it up; latest-wins semantics are unchanged.)
                 return None
-            out = np.empty(self.frame_shape, np.uint8)
+            if out is None:
+                out = np.empty(self.out_shape, np.uint8)
+            else:
+                assert (out.shape == self.out_shape
+                        and out.dtype == np.uint8
+                        and out.flags["C_CONTIGUOUS"]), (out.shape,
+                                                         self.out_shape)
             ts = ctypes.c_double()
             fs = ctypes.c_double()
             cal = ctypes.c_int32()
@@ -150,6 +184,9 @@ class FrameSlot:
             if require_fresh and seq == self._consumed:
                 return None
             self._consumed = seq
+            if out is not None:
+                out[...] = frame
+                frame = out
             return frame, ts_v, fs_v, cal_v, seq
 
     def latest_seq(self) -> int:

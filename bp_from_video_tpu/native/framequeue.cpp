@@ -116,4 +116,32 @@ int64_t fq_latest_seq(FrameQueue* q) {
     return q->next_seq.load(std::memory_order_relaxed) - 1;
 }
 
+// Producer: publish an interleaved HWC frame PLANARIZED (slot holds
+// [C, H, W]).  The engine's Pallas kernels consume planar frames, so the
+// HWC->CHW transpose must happen somewhere on the host; doing it inside
+// this (GIL-released) producer-side copy runs it in the per-stream
+// capture threads in parallel and makes the consumer's batch gather a
+// straight contiguous memcpy — previously the feeder paid a numpy
+// strided transpose per stream per batch on the single driver thread.
+// Per-channel loops: sequential writes, stride-c reads (memory-bound;
+// the compiler vectorizes the c=3 case fine).
+void fq_put_planar(FrameQueue* q, const uint8_t* hwc, int64_t h,
+                   int64_t w, int64_t c, double timestamp,
+                   double sampling_freq, int32_t calibrating) {
+    Slot& s = q->slots[q->back];
+    const int64_t hw = h * w;
+    for (int64_t ch = 0; ch < c; ++ch) {
+        uint8_t* dst = s.data + ch * hw;
+        const uint8_t* src = hwc + ch;
+        for (int64_t i = 0; i < hw; ++i) dst[i] = src[i * c];
+    }
+    s.timestamp = timestamp;
+    s.sampling_freq = sampling_freq;
+    s.calibrating = calibrating;
+    s.seq = q->next_seq.fetch_add(1, std::memory_order_relaxed);
+    int prev = q->ready.exchange(q->back | FRESH_BIT,
+                                 std::memory_order_acq_rel);
+    q->back = prev & IDX_MASK;
+}
+
 }  // extern "C"

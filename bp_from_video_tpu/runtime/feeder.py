@@ -40,7 +40,10 @@ class StreamFeed:
 
     def __init__(self, reader: VideoReader, frame_shape):
         self.reader = reader
-        self.slot = FrameSlot(frame_shape)
+        # planar=True: the native put transposes HWC->CHW inside this
+        # stream's capture thread (GIL-released), so the feeder's batch
+        # gather is a contiguous copy straight into the upload buffer.
+        self.slot = FrameSlot(frame_shape, planar=True)
         self.error: BaseException | None = None
         self.done = threading.Event()
         self._release_lock = threading.Lock()
@@ -128,10 +131,10 @@ class DeviceFeeder:
         # (pbp.py:21: downstream stages idle until a real frame arrives).
         while block and not self._warm:
             for i, feed in enumerate(self.feeds):
-                item = feed.slot.get(require_fresh=True)
+                item = feed.slot.get(require_fresh=True,
+                                     out=self._frames[i])
                 if item is not None:
-                    frame, ts, fs, cal, _ = item
-                    self._frames[i] = frame.transpose(2, 0, 1)
+                    _, ts, fs, cal, _ = item
                     self._ts[i] = ts
                     self._fs[i] = fs
                     self._cal[i] = cal
@@ -158,10 +161,10 @@ class DeviceFeeder:
                     raise feed.error
                 if not feed.done.is_set():
                     alive = True
-                item = feed.slot.get(require_fresh=True)
+                item = feed.slot.get(require_fresh=True,
+                                     out=self._frames[i])
                 if item is not None:
-                    frame, ts, fs, cal, _ = item
-                    self._frames[i] = frame.transpose(2, 0, 1)
+                    _, ts, fs, cal, _ = item
                     self._ts[i] = ts
                     self._fs[i] = fs
                     self._cal[i] = cal

@@ -258,3 +258,64 @@ def test_device_feeder_nonblocking_returns_none_until_first_frame():
     finally:
         gate.set()
         feeder.cleanup()
+
+
+def test_frame_slot_planar_layout_and_out():
+    """planar=True slots must store exactly the HWC->CHW transpose (the
+    native producer-side planarize vs numpy oracle), and get(out=...)
+    must write into the caller's buffer without reallocation."""
+    from bp_from_video_tpu.native import FrameSlot
+
+    rng = np.random.default_rng(5)
+    slot = FrameSlot((24, 32, 3), planar=True)
+    assert slot.out_shape == (3, 24, 32)
+    frame = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    slot.put(frame, 1.5, 30.0, False)
+    got, ts, fs, cal, seq = slot.get()
+    np.testing.assert_array_equal(np.asarray(got),
+                                  frame.transpose(2, 0, 1))
+    assert (ts, fs, cal, seq) == (1.5, 30.0, False, 1)
+
+    out = np.zeros((3, 24, 32), np.uint8)
+    frame2 = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    slot.put(frame2, 2.0, 30.0, True)
+    got2 = slot.get(require_fresh=True, out=out)
+    assert got2 is not None and got2[0] is out
+    np.testing.assert_array_equal(out, frame2.transpose(2, 0, 1))
+
+
+def test_frame_slot_planar_tear_free_under_load():
+    """Concurrent planar puts must never tear: every consumed frame is a
+    valid transpose of SOME produced frame (per-frame constant fill makes
+    mixing detectable)."""
+    import threading
+    from bp_from_video_tpu.native import FrameSlot
+
+    slot = FrameSlot((16, 16, 3), planar=True)
+    n = 300
+
+    def produce():
+        for k in range(1, n + 1):
+            f = np.empty((16, 16, 3), np.uint8)
+            f[..., 0] = k % 251
+            f[..., 1] = (k * 3) % 251
+            f[..., 2] = (k * 7) % 251
+            slot.put(f, float(k), 30.0, False)
+
+    t = threading.Thread(target=produce)
+    t.start()
+    seen = 0
+    while seen < n:
+        item = slot.get(require_fresh=True)
+        if item is None:
+            if not t.is_alive() and slot.latest_seq() <= seen:
+                break
+            continue
+        frame, ts, _, _, seq = item
+        seen = seq
+        k = int(ts)
+        assert (frame[0] == k % 251).all()
+        assert (frame[1] == (k * 3) % 251).all()
+        assert (frame[2] == (k * 7) % 251).all()
+    t.join()
+    assert seen == n
