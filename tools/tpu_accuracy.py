@@ -16,6 +16,19 @@ the scan — zero per-frame host traffic).  Gate: ±3 BPM, the CPU test's
 gate (reference acceptance ±1 BPM + landmark-jitter headroom,
 reference README.md:44).
 
+PTT is verified too — the reference's headline second metric, otherwise
+un-verifiable end-to-end here because the hand weights are random
+stand-ins.  Dual FACE ROIs (forehead + cheek: real-landmark-anchored
+boxes that measure at y<=87 and y>=124 on the synthetic face) sample two
+regions whose pulses carry a KNOWN per-stream delay: the cheek half's
+modulation lags the forehead half by ``PTT0 + s * PTT_STEP`` ms.  The
+engine's FFT cross-correlation peak must recover that delay within one
+30 Hz sample (±33.4 ms) — the correlation/peak path on hardware against
+ground truth.  (Lag sign: the engine reproduces the reference's
+corr(sig_i, sig_j) convention — oracle-locked in tests/test_engine.py —
+where signal j delayed by d peaks at lag -d; ground truth is therefore
+negative.)
+
 Writes TPUACC_r03.json and prints one JSON line.  CPU smoke:
 ``BENCH_PLATFORM=cpu python tools/tpu_accuracy.py`` (f32, interpret-mode
 kernels skipped — the CPU path is already covered by the suite).
@@ -37,6 +50,10 @@ HR_STEP_HZ = 0.1    # +6 BPM per stream
 FS = 30.0
 STEPS = 360         # 12 s of signal: ring full + peak ring settled
 GATE_BPM = 3.0
+PTT0_MS = 66.7      # stream 0: 2 samples at 30 Hz
+PTT_STEP_MS = 33.3  # +1 sample per stream
+GATE_PTT_MS = 34.0  # one 30 Hz sample: the correlation lag resolution
+Y_SPLIT = 105       # forehead ROI ends y<=87; cheek ROI starts y>=124
 
 
 def main():
@@ -59,6 +76,7 @@ def main():
 
     from bp_from_video_tpu.config import (EngineConfig, InferenceConfig,
                                           SignalConfig,
+                                          FACE_CHEEK_CONFIG,
                                           FACE_FOREHEAD_CONFIG)
     from bp_from_video_tpu.parallel import MultiStreamEngine
     from tools.rotsweep import synth_face
@@ -68,7 +86,8 @@ def main():
     cfg = EngineConfig(
         frame_height=h, frame_width=w, num_streams=streams,
         compute_dtype="bfloat16" if on_tpu else "float32",
-        signal=SignalConfig(roi_configs=(FACE_FOREHEAD_CONFIG,),
+        signal=SignalConfig(roi_configs=(FACE_FOREHEAD_CONFIG,
+                                         FACE_CHEEK_CONFIG),
                             signal_max_samples=250, peak_max_samples=50),
         inference=InferenceConfig(
             hand_landmarker=False,
@@ -76,61 +95,125 @@ def main():
     ms = MultiStreamEngine(cfg, asset_dir=_asset_dir())
 
     base = jax.device_put(jnp.asarray(
-        synth_face().transpose(2, 0, 1)))               # [3, 256, 256] RGB?
-    # synth_face returns HWC in the capture's channel order; the engine
-    # takes RGB planar [S, 3, H, W] like the feeder ships.
+        synth_face().transpose(2, 0, 1)))               # [3, 256, 256]
+    # synth_face returns HWC in the engine's RGB order; the engine takes
+    # planar [S, 3, H, W] like the feeder ships.
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     skin_np = (((xx - 128) / 60.0) ** 2 + ((yy - 128) / 80.0) ** 2) <= 1.0
-    skin = jax.device_put(jnp.asarray(skin_np))         # [h, w] bool
+    upper = jax.device_put(jnp.asarray(skin_np & (yy < Y_SPLIT)))
+    lower = jax.device_put(jnp.asarray(skin_np & (yy >= Y_SPLIT)))
     hr_hz = jnp.asarray(HR0_HZ + HR_STEP_HZ * np.arange(streams),
                         jnp.float32)                    # [S]
+    ptt_s = jnp.asarray((PTT0_MS + PTT_STEP_MS * np.arange(streams))
+                        / 1000.0, jnp.float32)          # [S] seconds
 
-    def body(params, base, skin, carry, i):
+    def pulse(hr, t, hrv):
+        """Pulse-like waveform (fundamental + in-band harmonics — real
+        pulses are wideband) with optional heart-rate variability.
+
+        ``hrv`` is a traced [2] amplitude vector so BOTH measurement
+        phases compile into ONE program:
+
+        * Phase A (hrv = 0): strictly periodic — the Lomb-Scargle peak
+          sits exactly on the fundamental, so BPM is gated tight.  PTT
+          is NOT gated here: a periodic signal's ±1-period correlation
+          lobes stay within ~2-8% of the true peak and the sliding
+          250-sample window's boundary phase flips the per-frame argmax
+          between them — the engine's correlation curve is exactly right
+          (argmax = true lag, verified against scipy on the engine's own
+          proc signals) but the PTT ring MEAN lands nowhere.  This is
+          precisely the reference's documented "PTT fluctuates" failure
+          mode for narrowband signals (reference README.md:46).
+        * Phase B (hrv on): the dual-tone phase wobble decorrelates the
+          period lobes (true peak leads every lobe by >=6% on every
+          stream and window offset, scipy-checked) so the per-frame PTT
+          peak is stable and gated tight.  The SAME wobble legitimately
+          moves each ring window's average instantaneous rate by up to
+          ±(2·0.35)/8.3 s ≈ ±5 BPM, so BPM gets only a coarse gate in
+          this phase (the engine reports the window's true mean rate)."""
+        ph = (hr * t + hrv[0] * jnp.sin(2.0 * jnp.pi * 0.09 * t + 1.0)
+              + hrv[1] * jnp.sin(2.0 * jnp.pi * 0.21 * t))
+        x = 2.0 * jnp.pi * ph
+        return (jnp.sin(x) + 0.6 * jnp.sin(2.0 * x - 1.2)
+                + 0.3 * jnp.sin(3.0 * x - 2.1)) / 1.9
+
+    def body(params, base, upper, lower, hrv, carry, i):
         st = carry
         t = (i + 1.0) / FS
-        amp = 9.0 * jnp.sin(2.0 * jnp.pi * hr_hz * t)   # [S]
+        # Forehead half pulses at t; cheek half lags by the per-stream
+        # ground-truth transit time.
+        amp_up = 12.0 * pulse(hr_hz, t, hrv)                        # [S]
+        amp_lo = 12.0 * pulse(hr_hz, t - ptt_s, hrv)                # [S]
         g = (base[1].astype(jnp.int16)[None]
-             + jnp.where(skin[None], amp[:, None, None], 0.0
+             + jnp.where(upper[None], amp_up[:, None, None], 0.0
+                         ).astype(jnp.int16)
+             + jnp.where(lower[None], amp_lo[:, None, None], 0.0
                          ).astype(jnp.int16))           # [S, h, w]
         frames = jnp.broadcast_to(base[None], (streams, 3, h, w))
         frames = frames.at[:, 1].set(
             jnp.clip(g, 0, 255).astype(jnp.uint8))
         ts = t * jnp.ones((streams,), jnp.float32)
         st, out = ms.engine.batch_step(params, st, frames, ts)
-        return st, (out.bpm, st.track.face_tracking)
+        return st, (out.bpm, out.ptt, st.track.face_tracking)
 
     @jax.jit
-    def run(params, base, skin, st):
+    def run(params, base, upper, lower, hrv, st):
         return jax.lax.scan(
-            functools.partial(body, params, base, skin), st,
+            functools.partial(body, params, base, upper, lower, hrv), st,
             jnp.arange(STEPS, dtype=jnp.float32))
 
-    st, (bpm, tracked) = run(ms.params, base, skin, ms.init_states())
-    jax.block_until_ready(bpm)
+    def measure_phase(hrv):
+        st, (bpm, ptt, tracked) = run(
+            ms.params, base, upper, lower,
+            jnp.asarray(hrv, jnp.float32), ms.init_states())
+        jax.block_until_ready(bpm)
+        return (np.asarray(bpm, np.float64)[-1],      # [S, 2] both ROIs
+                np.asarray(ptt, np.float64)[-1, :, 0],
+                float(np.asarray(tracked)[STEPS // 4:].mean()))
 
-    bpm_np = np.asarray(bpm, np.float64)        # [T, S, 1]
-    tracked_np = np.asarray(tracked)            # [T, S]
+    # Phase A: strictly periodic -> BPM gated tight, PTT unstable by
+    # construction (see pulse docstring).  Phase B: HRV -> PTT gated
+    # tight, BPM gated coarse (window-average rate legitimately moves).
+    got, _, track_frac = measure_phase((0.0, 0.0))
+    got_b, got_ptt, track_frac_b = measure_phase((0.35, 0.2))
+
     want = 60.0 * np.asarray(hr_hz)
-    got = bpm_np[-1, :, 0]
-    err = np.abs(got - want)
-    track_frac = float(tracked_np[STEPS // 4:].mean())
+    err = np.abs(got - want[:, None])
+    err_b = np.abs(got_b - want[:, None])
+    # Negative: signal 1 (cheek) delayed by d peaks at lag -d in the
+    # reference's correlate convention (see module docstring).
+    want_ptt = -np.asarray(PTT0_MS + PTT_STEP_MS * np.arange(streams))
+    err_ptt = np.abs(got_ptt - want_ptt)
     ok = bool(np.isfinite(got).all() and (err <= GATE_BPM).all()
-              and track_frac > 0.99)
+              and np.isfinite(got_ptt).all()
+              and (err_ptt <= GATE_PTT_MS).all()
+              and np.isfinite(got_b).all() and (err_b <= 8.0).all()
+              and track_frac > 0.99 and track_frac_b > 0.99)
 
     rec = {
         "metric": "rppg_tpu_accuracy_max_bpm_err",
         "value": round(float(err.max()), 3) if np.isfinite(err).all()
         else None,
         "unit": f"BPM abs err (gate {GATE_BPM}); {streams} streams "
-                f"{int(want[0])}-{int(want[-1])} BPM ground truth",
+                f"{int(want[0])}-{int(want[-1])} BPM ground truth, "
+                f"2 face ROIs each",
         "ok": ok,
         "backend": jax.default_backend(),
         "compute_dtype": cfg.compute_dtype,
         "fast_paths": {"use_pallas": cfg.inference.use_pallas,
                        "fused_stem": cfg.inference.fused_stem,
                        "fused_trunk": cfg.inference.fused_trunk},
-        "per_stream_bpm": [round(float(v), 2) for v in got],
+        "per_stream_bpm": [[round(float(v), 2) for v in row]
+                           for row in got],
         "ground_truth_bpm": [round(float(v), 2) for v in want],
+        "max_ptt_err_ms": round(float(err_ptt.max()), 2)
+        if np.isfinite(got_ptt).all() else None,
+        "ptt_gate_ms": GATE_PTT_MS,
+        "per_stream_ptt_ms": [round(float(v), 2) for v in got_ptt],
+        "ground_truth_ptt_ms": [round(float(v), 2) for v in want_ptt],
+        "hrv_phase_max_bpm_err": round(float(err_b.max()), 2)
+        if np.isfinite(got_b).all() else None,
+        "hrv_phase_bpm_gate": 8.0,
         "track_frac_steady": round(track_frac, 4),
         "steps": STEPS,
     }
