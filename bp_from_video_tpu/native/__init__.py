@@ -74,6 +74,12 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
             lib.fq_latest_seq.restype = ctypes.c_int64
             lib.fq_latest_seq.argtypes = [ctypes.c_void_p]
+            if not hasattr(lib, "fq_put_planar"):
+                # Stale prebuilt .so predating the planar entry point (the
+                # mtime check can pass on restored/copied artifacts):
+                # degrade to the Python fallback like the CDLL OSError
+                # path above, never AttributeError out of FrameSlot().
+                return None
             lib.fq_put_planar.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
@@ -98,8 +104,13 @@ class FrameSlot:
         transpose on the driver thread."""
         self.frame_shape = tuple(frame_shape)
         self.planar = planar
-        h, w, c = (frame_shape if len(frame_shape) == 3
-                   else (*frame_shape, 1))
+        if planar and len(self.frame_shape) != 3:
+            raise ValueError(
+                f"planar slots need a 3-D HWC frame shape, got "
+                f"{self.frame_shape} (single-channel planarize is the "
+                "identity — use a plain slot)")
+        h, w, c = (self.frame_shape if len(self.frame_shape) == 3
+                   else (*self.frame_shape, 1))
         self.out_shape = (c, h, w) if planar else self.frame_shape
         self.frame_bytes = int(np.prod(frame_shape))
         self._lib = _load()
@@ -161,11 +172,14 @@ class FrameSlot:
                 return None
             if out is None:
                 out = np.empty(self.out_shape, np.uint8)
-            else:
-                assert (out.shape == self.out_shape
-                        and out.dtype == np.uint8
-                        and out.flags["C_CONTIGUOUS"]), (out.shape,
-                                                         self.out_shape)
+            elif (out.shape != self.out_shape or out.dtype != np.uint8
+                  or not out.flags["C_CONTIGUOUS"]):
+                # Hard error, not assert: fq_get memcpy's frame_bytes
+                # through this pointer — a smaller/strided buffer would be
+                # an out-of-bounds native write (mirror of put()'s guard).
+                raise ValueError(
+                    f"out must be C-contiguous uint8 {self.out_shape}, "
+                    f"got {out.dtype} {out.shape}")
             ts = ctypes.c_double()
             fs = ctypes.c_double()
             cal = ctypes.c_int32()

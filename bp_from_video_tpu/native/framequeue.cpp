@@ -47,6 +47,21 @@ extern "C" {
 
 void fq_destroy(FrameQueue* q);
 
+// Shared producer publish tail: stamp metadata on the back buffer and
+// atomically swap it into "ready" (the lock-free handshake lives in ONE
+// place for both put entry points).
+static void fq_publish(FrameQueue* q, double timestamp,
+                       double sampling_freq, int32_t calibrating) {
+    Slot& s = q->slots[q->back];
+    s.timestamp = timestamp;
+    s.sampling_freq = sampling_freq;
+    s.calibrating = calibrating;
+    s.seq = q->next_seq.fetch_add(1, std::memory_order_relaxed);
+    int prev = q->ready.exchange(q->back | FRESH_BIT,
+                                 std::memory_order_acq_rel);
+    q->back = prev & IDX_MASK;
+}
+
 FrameQueue* fq_create(size_t frame_bytes) {
     auto* q = new (std::nothrow) FrameQueue();
     if (!q) return nullptr;
@@ -79,15 +94,8 @@ void fq_destroy(FrameQueue* q) {
 // has not picked up yet — the latest-wins policy).
 void fq_put(FrameQueue* q, const uint8_t* data, double timestamp,
             double sampling_freq, int32_t calibrating) {
-    Slot& s = q->slots[q->back];
-    std::memcpy(s.data, data, q->frame_bytes);
-    s.timestamp = timestamp;
-    s.sampling_freq = sampling_freq;
-    s.calibrating = calibrating;
-    s.seq = q->next_seq.fetch_add(1, std::memory_order_relaxed);
-    int prev = q->ready.exchange(q->back | FRESH_BIT,
-                                 std::memory_order_acq_rel);
-    q->back = prev & IDX_MASK;
+    std::memcpy(q->slots[q->back].data, data, q->frame_bytes);
+    fq_publish(q, timestamp, sampling_freq, calibrating);
 }
 
 // Consumer: fetch the newest frame into `out`.  Returns its sequence number
@@ -135,13 +143,7 @@ void fq_put_planar(FrameQueue* q, const uint8_t* hwc, int64_t h,
         const uint8_t* src = hwc + ch;
         for (int64_t i = 0; i < hw; ++i) dst[i] = src[i * c];
     }
-    s.timestamp = timestamp;
-    s.sampling_freq = sampling_freq;
-    s.calibrating = calibrating;
-    s.seq = q->next_seq.fetch_add(1, std::memory_order_relaxed);
-    int prev = q->ready.exchange(q->back | FRESH_BIT,
-                                 std::memory_order_acq_rel);
-    q->back = prev & IDX_MASK;
+    fq_publish(q, timestamp, sampling_freq, calibrating);
 }
 
 }  // extern "C"

@@ -205,11 +205,16 @@ def stamp_block(img: Array, idx: Array, show: Array,
     cols = jnp.repeat(jnp.asarray(colors, img.dtype), row_pitch, axis=0)
 
     H, W = img.shape[:2]
-    h = min(strip.shape[0], H)
+    # Keep the caller's row GRID: clamp y0 into the canvas, then crop the
+    # block's BOTTOM to what fits — shifting the whole block up (the
+    # stamp() clamp) would detach the device rows from the host-stamped
+    # extras that assume the _write_info grid.
+    y0 = max(0, min(y0, H - 1))
+    h = min(strip.shape[0], H - y0)
     strip, cols = strip[:h], cols[:h]
     w = min(w, W)
     strip = strip[:, :w]
-    x0, y0 = max(0, min(x0, W - w)), max(0, min(y0, H - h))
+    x0 = max(0, min(x0, W - w))
     region = img[y0:y0 + h, x0:x0 + w]
     out = jnp.where(strip[..., None] > 0.5, cols[:, None, :], region)
     return img.at[y0:y0 + h, x0:x0 + w].set(out)
