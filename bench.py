@@ -116,11 +116,15 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
     """Compile the fused multi-stream step for ``cfg`` and measure
     steady-state frames/sec/chip over ``reps`` scans of ``clip_len``.
 
-    ``render`` additionally rasterizes the per-stream display output inside
-    the timed step — overlay compose (boxes/points/ROIs/segmenter blend)
-    plus the 3-graph plot — so "with on-device overlays" claims are
-    measured, not assumed (full-image reductions keep the rasterization
-    live against XLA slicing/DCE)."""
+    ``render`` additionally rasterizes display output inside the timed
+    step — overlay compose (boxes/points/ROIs/segmenter blend) plus the
+    3-graph plot — so "with on-device overlays" claims are measured, not
+    assumed (full-image reductions keep the rasterization live against
+    XLA slicing/DCE).  ``render=True`` composes EVERY stream (the
+    all-windows operating point); ``render="display"`` composes ONE
+    stream — the pipelined driver's real live semantics
+    (parallel/streams.make_display_step: one displayed window, O(1)
+    raster cost in stream count)."""
     import jax
     import jax.numpy as jnp
     from bp_from_video_tpu.models.runner import TrackState
@@ -187,7 +191,14 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
         st, out = ms.engine.batch_step(params, EngineState(st.signals, tr),
                                        frames, ts)
         extra = jnp.float32(0.0)
-        if drawer is not None:
+        if drawer is not None and render == "display":
+            sel = jax.tree.map(lambda a: a[0], out)
+            fimg, pimg, packed = drawer._compose_fn(
+                jnp.transpose(frames[0], (1, 2, 0)), sel)
+            extra = (jnp.sum(fimg, dtype=jnp.float32)
+                     + jnp.sum(pimg, dtype=jnp.float32)
+                     + jnp.sum(jnp.nan_to_num(packed)))
+        elif drawer is not None:
             nhwc = jnp.transpose(frames, (0, 2, 3, 1))
             fimg, pimg, packed = jax.vmap(drawer._compose_fn)(nhwc, out)
             extra = (jnp.sum(fimg, dtype=jnp.float32)
@@ -485,6 +496,7 @@ def main():
         specs = [(p, 8 if p == "multistream" else streams)
                  for p in ("butter_welch_face", "dual_roi_ls",
                            "segmenter_fir", "ptt_filtered", "multistream")]
+        specs.append(("multistream_disp", 8))
         specs.append(("live", 1))
         specs.append(("hostlive", 1))
         specs.append(("lost1", streams))
@@ -506,7 +518,8 @@ def main():
             live = preset == "live"
             lost1 = preset == "lost1"
             special = preset in ("live", "lost1", "hostlive", "lifecycle",
-                                 "hybrid_up", "hybrid_tilt25", "segskin")
+                                 "hybrid_up", "hybrid_tilt25", "segskin",
+                                 "multistream_disp")
             single = preset in ("live", "hostlive")
             for attempt, s_try in enumerate((s, s, max(s // 2, 8),
                                              max(s // 4, 8)) if not single
@@ -514,6 +527,7 @@ def main():
                 cfg, metric = build_config(
                     "butter_welch_face" if preset == "lifecycle"
                     else "segmenter_fir" if preset == "segskin"
+                    else "multistream" if preset == "multistream_disp"
                     else (None if special else preset), s_try, h, w, on_tpu)
                 if live:
                     metric = "rppg_live_step_latency"
@@ -525,6 +539,13 @@ def main():
                     # (VERDICT r2 next #7); face-only preset so every
                     # tracked state is reachable from the synthetic scene.
                     metric = "rppg_lifecycle_throughput"
+                elif preset == "multistream_disp":
+                    # The pipelined driver's live semantics: all four
+                    # models for every stream, display composition for
+                    # the ONE shown window (make_display_step) — the
+                    # honest row for "multi-stream live with a display"
+                    # next to the all-streams-rendered multistream row.
+                    metric = "rppg_fused_throughput_multistream_disp"
                 elif preset == "segskin":
                     # The segmenter preset's skin-only output mode
                     # (seg_full_masks=False: one model-res skin mask, the
@@ -558,7 +579,8 @@ def main():
                     else:
                         res = measure(
                             cfg, metric, clip_len, reps,
-                            render=(preset == "multistream"),
+                            render=("display" if preset == "multistream_disp"
+                                    else preset == "multistream"),
                             lost=1 if lost1 else None,
                             tilt_deg=(0.0 if preset == "hybrid_up" else
                                       25.0 if preset == "hybrid_tilt25"
@@ -627,6 +649,11 @@ def main():
         cfg, _ = build_config(None, streams, h, w, on_tpu)
         _emit(measure(cfg, "rppg_fused_throughput_lost1", clip_len, reps,
                       lost=1))
+        return
+    if preset == "multistream_disp":
+        cfg, _ = build_config("multistream", streams, h, w, on_tpu)
+        _emit(measure(cfg, "rppg_fused_throughput_multistream_disp",
+                      clip_len, reps, render="display"))
         return
     cfg, metric = build_config(preset, streams, h, w, on_tpu)
     _emit(measure(cfg, metric, clip_len, reps,
