@@ -176,6 +176,17 @@ class InferenceConfig:
     hand_landmarker_path: str | None = "models/hand_landmarker.task"
     person_segmenter_path: str | None = "models/selfie_multiclass.tflite"
 
+    # Trained PROCEDURAL stand-in weights (tools/train_hand_standin.py /
+    # tools/train_seg_standin.py artifacts): when the real TFLite blob is
+    # absent, these replace the random init for the matching stand-in —
+    # same architecture, same compute shape, trained on synthetic
+    # SDF-rendered scenes (they only know procedural subjects; the HUD/
+    # bench warnings still flag the model as non-real).  None keeps the
+    # random init.
+    hand_lm_standin_path: str | None = "models/hand_lm_standin_synth.npz"
+    palm_det_standin_path: str | None = "models/palm_det_standin_synth.npz"
+    seg_standin_path: str | None = "models/seg_standin_synth.npz"
+
     # Tracked-face capacity.  Only 1 is supported: the VIDEO-mode face
     # tracker carries a single rect (largest face, matching the reference's
     # FaceLandmarker default num_faces=1 and the ROI stage's

@@ -169,6 +169,17 @@ def init_blaze_landmark(seed: int, input_size: int, num_landmarks: int) -> dict:
     # and ~2.8x cheaper on the stem, which dominates the stand-in's MXU row
     # count (conv time on TPU tracks rows x taps).
     stem = _conv_init(rng, 3, 3, 3, 24)
+    # Landmark head: dense regression from the FLATTENED pre-pool feature
+    # map ([192, S/32, S/32] -> 3L), like the real MediaPipe landmark nets
+    # (their trunks end in a conv-to-FC over spatial features, not a global
+    # pool).  A globally-pooled head destroys spatial phase and floors the
+    # trained stand-in at ~30 px held-out error (tools/train_hand_standin,
+    # round 3) — the dense spatial readout removes that architectural
+    # ceiling at negligible compute (one [B, 192*g*g] x [192*g*g, 3L] dot,
+    # ~0.6 MFLOPs/crop at 224^2 vs the trunk's hundreds).
+    g = input_size // 32
+    fan = 192 * g * g
+    head_w = rng.standard_normal((fan, 3 * num_landmarks), np.float32)
     return {
         "stem": stem,
         "stem_p": _pack_stem(stem, 3, input_size),
@@ -176,7 +187,8 @@ def init_blaze_landmark(seed: int, input_size: int, num_landmarks: int) -> dict:
         "b2": _blaze_block_init(rng, 48, 96, k=3),
         "b3": _blaze_block_init(rng, 96, 96, k=3),
         "b4": _blaze_block_init(rng, 96, 192, k=3),
-        "head_lm": _conv_init(rng, 1, 1, 192, 3 * num_landmarks),
+        "head_lm": {"w": head_w * np.float32(np.sqrt(1.0 / fan)),
+                    "b": np.zeros((3 * num_landmarks,), np.float32)},
         "head_presence": _conv_init(rng, 1, 1, 192, 1),
         "head_aux": _conv_init(rng, 1, 1, 192, 1),
     }
@@ -224,23 +236,57 @@ def landmark_trunk(p: dict, y: Array, input_size: int
     y = _blaze_block(p["b2"], y, stride=2)
     y = _blaze_block(p["b3"], y, stride=2)
     y = _blaze_block(p["b4"], y, stride=2)
-    y = jnp.mean(y, axis=(2, 3), keepdims=True)
     return landmark_heads(p, y, s)
 
 
 def landmark_heads(p: dict, y: Array, input_size: int
                    ) -> tuple[Array, Array, Array]:
-    """Pooled trunk features [B, 192, 1, 1] -> (landmarks [B, 3L] in crop
-    pixels, presence [B, 1], aux [B, 1]) — batched (the fused Pallas trunk
-    feeds the whole crop batch at once)."""
+    """SPATIAL trunk features [B, 192, S/32, S/32] -> (landmarks [B, 3L]
+    in crop pixels, presence [B, 1], aux [B, 1]) — batched (the fused
+    Pallas trunk feeds the whole crop batch at once).
+
+    Landmarks read the flattened spatial map through a dense matrix (f32
+    accumulation — the readout sets landmark precision); presence and
+    handedness are global properties and keep pooled 1x1 heads."""
     b = y.shape[0]
-    lm = _conv(p["head_lm"], y).reshape(b, -1)
-    # Scale random-init outputs into the crop-pixel range so downstream
-    # geometry stays well-conditioned.
+    w = p["head_lm"]["w"]
+    feats = y.reshape(b, -1).astype(w.dtype)
+    lm = jax.lax.dot_general(
+        feats, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    lm = lm + p["head_lm"]["b"].astype(jnp.float32)
+    # Scale outputs into the crop-pixel range so downstream geometry stays
+    # well-conditioned even at random init.
     lm = (jax.nn.sigmoid(lm) * input_size)
-    presence = jax.nn.sigmoid(_conv(p["head_presence"], y).reshape(b, 1))
-    aux = jax.nn.sigmoid(_conv(p["head_aux"], y).reshape(b, 1))
+    pooled = jnp.mean(y, axis=(2, 3), keepdims=True)
+    presence = jax.nn.sigmoid(_conv(p["head_presence"], pooled).reshape(b, 1))
+    aux = jax.nn.sigmoid(_conv(p["head_aux"], pooled).reshape(b, 1))
     return lm, presence, aux
+
+
+def save_standin_npz(path: str, params: dict) -> None:
+    """Save a stand-in params pytree (nested dicts of arrays) as a flat
+    npz keyed by '/'-joined paths — no pickling, any nesting depth."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(k.key for k in kp)
+        flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_standin_npz(path: str) -> dict:
+    """Inverse of :func:`save_standin_npz` (host numpy leaves — the loaded
+    pytree must stay D2H-free through the packing helpers, see
+    _conv_init)."""
+    out: dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = out
+            parts = key.split("/")
+            for k in parts[:-1]:
+                node = node.setdefault(k, {})
+            node[parts[-1]] = data[key]
+    return out
 
 
 def init_segmenter(seed: int, input_size: int, num_classes: int = 6) -> dict:

@@ -558,15 +558,17 @@ def prepare_trunk(params: dict) -> tuple[list, tuple]:
 
 def trunk_apply(arrays: list, specs: tuple, stems: Array,
                 interpret: bool = False) -> Array:
-    """Stem activations [B, 24, S/2, S/2] -> pooled features [B, 192, 1, 1]
-    (the four stride-2 blocks fused, then global mean — ready for the 1x1
-    heads).  XLA does the 2x2 space-to-depth relayout between stages."""
+    """Stem activations [B, 24, S/2, S/2] -> SPATIAL trunk features
+    [B, 192, S/32, S/32] (the four stride-2 blocks fused).  The heads
+    consume the spatial map directly (blaze.landmark_heads: dense
+    landmark readout + pooled presence).  XLA does the 2x2 space-to-depth
+    relayout between stages."""
     y = stems
     for blk, (wspec, cin) in zip(arrays, specs):
         y = dense_s2_block(pack_s2d(y), blk["wmat"], wspec,
                            blk["b"], None, cin=cin, resid=True,
                            interpret=interpret)
-    return jnp.mean(y, axis=(2, 3), keepdims=True)
+    return y
 
 
 def blaze_block_reference(p: dict, x: Array) -> Array:

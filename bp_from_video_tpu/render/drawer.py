@@ -104,27 +104,39 @@ class Drawer:
         scale = 2 if img.shape[1] >= 480 else 1
         rows = []  # (idx, show, color) per 30-px row
 
-        def put(label, value, unit, color, int_d=3, frac=0):
+        def put(label, value, unit, color, int_d=3, frac=0,
+                nan_bare=False):
             lab = jnp.asarray(glyphs.encode(label))
             vi, vs = glyphs.format_fixed(value, int_d, frac)
             un = jnp.asarray(glyphs.encode(unit))
-            rows.append((jnp.concatenate([lab, vi, un]),
-                         jnp.concatenate([jnp.ones(lab.shape, bool), vs,
-                                          jnp.ones(un.shape, bool)]),
-                         color))
+            idx = jnp.concatenate([lab, vi, un])
+            show = jnp.concatenate([jnp.ones(lab.shape, bool), vs,
+                                    jnp.ones(un.shape, bool)])
+            if nan_bare:
+                # Reference/host behavior: a non-finite mean prints a BARE
+                # 'NaN' line, not 'label: NaN unit' (_write_info;
+                # reference drawer.py:141).
+                bare = glyphs.encode("NaN".ljust(idx.shape[0]))
+                finite = jnp.isfinite(value)
+                idx = jnp.where(finite, idx, jnp.asarray(bare))
+                show = jnp.where(finite, show,
+                                 jnp.arange(idx.shape[0]) < 3)
+            rows.append((idx, show, color))
 
         def blank():
             rows.append((jnp.zeros((0,), jnp.int32),
                          jnp.zeros((0,), bool), C.BLACK))
 
-        put("curr_fs: ", out.curr_fs, " hz", C.BLUE, 2, 2)
-        put("mean_fs: ", out.mean_fs, " hz", C.BLUE_AZURE, 2, 2)
+        put("curr_fs: ", out.curr_fs, " Hz", C.BLUE, 2, 2)
+        put("mean_fs: ", out.mean_fs, " Hz", C.BLUE_AZURE, 2, 2)
         blank()
         for s in range(out.bpm.shape[0]):
-            put(f"mean_bpm_{s}: ", out.bpm[s], " bpm", C.RED)
+            put(f"mean_bpm_{s}: ", out.bpm[s], " bpm", C.RED,
+                nan_bare=True)
         blank()
         for p in range(out.ptt.shape[0]):
-            put(f"mean_ptt_{p}: ", out.ptt[p], " ms", C.GREEN)
+            put(f"mean_ptt_{p}: ", out.ptt[p], " ms", C.GREEN,
+                nan_bare=True)
 
         slots = max(i.shape[0] for i, _, _ in rows)
         pad = lambda a, fill: jnp.concatenate(

@@ -79,6 +79,7 @@ _FONT = {
     "y": ".....|#...#|#...#|#...#|.####|....#|.###.",
     "z": ".....|.....|#####|...#.|..#..|.#...|#####",
     "N": "#...#|##..#|#.#.#|#..##|#...#|#...#|#...#",
+    "H": "#...#|#...#|#...#|#####|#...#|#...#|#...#",
     " ": ".....|.....|.....|.....|.....|.....|.....",
 }
 CHARS = "".join(_FONT)

@@ -53,3 +53,26 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 def cpu_devices(n: int = 8):
     return jax.devices("cpu")[:n]
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _hermetic_standins(request, monkeypatch):
+    """Keep the suite independent of trained stand-in artifacts.
+
+    models/*_standin_synth.npz are TRAINING OUTPUTS (tools/
+    train_hand_standin.py etc.), loaded by default by InferenceRunner
+    when the real TFLite blob is absent — so without this stub, running a
+    train tool would silently change what every runner-constructing test
+    executes.  Tests that exercise the trained-artifact path opt in with
+    @pytest.mark.trained_standins."""
+    if request.node.get_closest_marker("trained_standins"):
+        yield
+        return
+    from bp_from_video_tpu.models.runner import InferenceRunner
+    monkeypatch.setattr(
+        InferenceRunner, "_load_trained_standin",
+        lambda self, key, standin_path, expect: None)
+    yield

@@ -241,7 +241,7 @@ def test_bottleneck_chain_matches_unit_calls():
 def test_fused_trunk_matches_composed_xla_chain():
     """Block-kernel trunk == the same chain of composed dense convs run
     through XLA (bf16 taps, f32 accumulation, blaze residuals) — verifies
-    the chaining, the s2d glue, and the pooled features end-to-end.  (The
+    the chaining, the s2d glue, and the spatial trunk features end-to-end.  (The
     dense twin is the exact composition of each dw+pw pair,
     models/blaze.py:52-60; it rounds once where the two-step path rounds
     twice, so the two-step landmark_trunk is only bf16-close, which the
@@ -269,11 +269,10 @@ def test_fused_trunk_matches_composed_xla_chain():
                                      (1, 1, 2, 2), "SAME")
         z = z + jnp.pad(pool, ((0, 0), (0, cout - cin), (0, 0), (0, 0)))
         y = jnp.maximum(z, 0.0).astype(jnp.bfloat16)
-    want = jnp.mean(y, axis=(2, 3), keepdims=True)
     np.testing.assert_allclose(np.asarray(feats, np.float32),
-                               np.asarray(want, np.float32),
-                               rtol=0.02, atol=0.02)
-    # Heads consume the pooled features unchanged (batched).
+                               np.asarray(y, np.float32),
+                               rtol=0.02, atol=0.05)
+    # Heads consume the spatial features unchanged (batched).
     lm, presence, aux = blaze.landmark_heads(params, feats, size)
     assert lm.shape == (2, 3 * 21) and presence.shape == (2, 1)
     assert bool(jnp.all((lm >= 0) & (lm <= size)))

@@ -21,9 +21,10 @@ Output: ``models/hand_lm_standin_synth.npz`` — the trained params
 validation: an InferenceRunner with the trained weights swapped in must
 TRACK a moving rendered hand through its own predict loop (presence
 gate, landmark-derived next rect), with wrist/middle-MCP errors a few
-px.  The weights are an OPT-IN artifact for now; the random-init
-fallback remains the default (the stand-ins' contract is compute-shape
-fidelity, and these weights only know procedural hands).
+px.  The artifact is LOADED BY DEFAULT whenever the real hand bundle is
+absent (InferenceConfig.hand_lm_standin_path; round 4 — the spatial
+dense head broke the pooled head's 30 px floor, making the trained
+stand-in tracking-grade on procedural hands).
 
 Usage:  python tools/train_hand_standin.py            (TPU, ~2k steps)
         BENCH_PLATFORM=cpu STEPS=60 BATCH=8 python tools/train_hand_standin.py
@@ -41,13 +42,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _enable_compile_cache  # noqa: E402
 
 S = 224          # hand-crop input size (MediaPipe hand landmark net)
+FR = 320         # synthetic frame size the crops are sampled from
 L = 21           # landmarks
 NEG_FRAC = 0.25  # fraction of background-only (presence=0) samples
 
 
-def render_hand(key, with_hand):
-    """PRNG key -> (image [3, S, S] f32 0..255, keypoints [L, 2] px,
-    presence {0,1}).  Pure jnp; jit/vmap-able."""
+def render_hand(key, with_hand, fr=S, pose=None):
+    """PRNG key -> (image [3, fr, fr] f32 0..255, keypoints [L, 2] px,
+    presence {0,1}).  Pure jnp; jit/vmap-able.  ``pose`` overrides the
+    sampled (cx, cy, theta, scale) — the tracking validation uses it to
+    move one hand smoothly while keeping the finger pose fixed by key."""
     import jax
     import jax.numpy as jnp
 
@@ -55,13 +59,13 @@ def render_hand(key, with_hand):
     u = lambda k, lo, hi, shape=(): jax.random.uniform(
         k, shape, jnp.float32, lo, hi)
 
-    cx = u(ks[0], 0.32 * S, 0.68 * S)
-    cy = u(ks[1], 0.32 * S, 0.68 * S)
-    theta = u(ks[2], -jnp.pi, jnp.pi)
-    # Wide scale range: the runner's tracked crop (rect scale 2.6 around
-    # the landmark span) shows the hand well SMALLER than a centered
-    # render — train the scales the tracker actually serves.
-    scale = u(ks[3], 0.08 * S, 0.28 * S)          # palm radius-ish
+    if pose is None:
+        cx = u(ks[0], 0.30 * fr, 0.70 * fr)
+        cy = u(ks[1], 0.30 * fr, 0.70 * fr)
+        theta = u(ks[2], -jnp.pi, jnp.pi)
+        scale = u(ks[3], 0.05 * fr, 0.18 * fr)    # palm radius-ish
+    else:
+        cx, cy, theta, scale = pose
 
     # Skeleton in the hand frame (+y = fingers direction before rotation).
     # Finger fan angles (thumb wide) + per-finger length multipliers.
@@ -90,8 +94,8 @@ def render_hand(key, with_hand):
             pts.append(jnp.stack(rot(p[0], p[1])))
     kps = jnp.stack(pts)                           # [21, 2] px
 
-    yy, xx = jnp.mgrid[0:S, 0:S]
-    pix = jnp.stack([xx, yy], -1).astype(jnp.float32)  # [S, S, 2]
+    yy, xx = jnp.mgrid[0:fr, 0:fr]
+    pix = jnp.stack([xx, yy], -1).astype(jnp.float32)  # [fr, fr, 2]
 
     def capsule(a, b, r):
         ab = b - a
@@ -102,7 +106,7 @@ def render_hand(key, with_hand):
         return d < r
 
     # Bones: wrist->MCP per finger + 3 segments per finger.
-    mask = jnp.zeros((S, S), bool)
+    mask = jnp.zeros((fr, fr), bool)
     r_f = 0.11 * scale
     for f in range(5):
         mcp = kps[1 + 4 * f]
@@ -119,14 +123,76 @@ def render_hand(key, with_hand):
     mask &= jnp.asarray(with_hand, bool)
 
     bg = u(ks[6], 40.0, 200.0)
-    noise = jax.random.normal(ks[7], (S, S)) * u(ks[8], 2.0, 12.0)
+    noise = jax.random.normal(ks[7], (fr, fr)) * u(ks[8], 2.0, 12.0)
     skin = jnp.asarray([205.0, 170.0, 140.0]) + u(ks[9], -35.0, 35.0, (3,))
     shade = 1.0 + 0.1 * jnp.sin(pix[..., 0] / u(ks[10], 20.0, 60.0))
     img = jnp.where(mask[None], skin[:, None, None] * shade[None],
                     bg + noise[None])
-    img = jnp.clip(img + jax.random.normal(ks[11], (3, S, S)) * 3.0,
+    img = jnp.clip(img + jax.random.normal(ks[11], (3, fr, fr)) * 3.0,
                    0.0, 255.0)
     return img, kps, jnp.asarray(with_hand, jnp.float32)
+
+
+def crop_sample(key, with_hand):
+    """One SERVE-DISTRIBUTION training sample: render a hand into an
+    FR-frame, derive the runner's own crop rect from the GT landmarks —
+    the tracking geometry (landmarks_to_rect -> rect_transform(2.0,
+    shift_y=-0.1), runner.py hand_next_rect) or, 25% of the time, the
+    palm-DETECTOR geometry (palm ring bbox, scale 2.6, shift_y=-0.5,
+    runner.py palm rect) — jitter it like a previous-frame rect, take its
+    axis-aligned cover, and extract the crop with warp.crop_rect (the
+    exact serve path).  Round 3's trainer rendered hands pixel-native at
+    crop resolution; through the real predict loop the net then saw a
+    resampled, scale-normalized, differently-framed view and landmark
+    error tripled (11.8 held-out -> 63 px tracked).
+
+    Returns (crop [3, S, S] f32 0..255, gt crop-px [L, 2], presence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bp_from_video_tpu.models import warp
+
+    k_img, k_geom, k_jit, k_neg = jax.random.split(key, 4)
+    img, kps, pres = render_hand(k_img, with_hand, FR)   # [3, FR, FR]
+
+    track = warp.rect_transform(
+        warp.landmarks_to_rect(kps, 0, 9, jnp.pi / 2),
+        scale=2.0, shift_y=-0.1)
+    palm_ring = kps[jnp.asarray([0, 1, 5, 9, 13, 17])]
+    det = warp.rect_transform(
+        warp.landmarks_to_rect(palm_ring, 0, 3, jnp.pi / 2),
+        scale=2.6, shift_y=-0.5)
+    use_det = jax.random.uniform(k_geom) < 0.25
+    rect = jax.tree.map(lambda a, b: jnp.where(use_det, a, b), det, track)
+
+    # Previous-frame jitter: the serve-time rect comes from the LAST
+    # frame's landmarks (or a detector box), so train with the rect
+    # displaced/scaled/rotated off the current truth.
+    jc = jax.random.uniform(k_jit, (4,), jnp.float32, -1.0, 1.0)
+    rect = warp.Rect(rect.cx + 0.05 * rect.w * jc[0],
+                     rect.cy + 0.05 * rect.h * jc[1],
+                     rect.w * (1.0 + 0.15 * jc[2]),
+                     rect.h * (1.0 + 0.15 * jc[2]),
+                     rect.rotation + 0.15 * jc[3])
+    # Background-only samples have no landmarks to anchor a rect: crop a
+    # random window instead (what the tracker serves right after a false
+    # detection).
+    kn = jax.random.uniform(k_neg, (4,), jnp.float32)
+    side = (0.25 + 0.75 * kn[2]) * FR
+    neg = warp.Rect(FR * (0.3 + 0.4 * kn[0]), FR * (0.3 + 0.4 * kn[1]),
+                    side, side, (kn[3] - 0.5) * 2 * jnp.pi)
+    rect = jax.tree.map(
+        lambda a, b: jnp.where(pres > 0, a, b), rect, neg)
+
+    cov = warp.axis_aligned_cover(rect)
+    crop = warp.crop_rect(jnp.transpose(img, (1, 2, 0)), cov, S,
+                          exact_rotation=False)          # [S, S, 3]
+    # GT landmarks in crop pixels: the exact inverse of the runner's
+    # _project_lm (lm / size -> project_landmarks through the same cover).
+    u = (kps[:, 0] - cov.cx) / cov.w + 0.5
+    v = (kps[:, 1] - cov.cy) / cov.h + 0.5
+    gt = jnp.stack([u, v], axis=-1) * S
+    return jnp.transpose(crop, (2, 0, 1)), gt, pres
 
 
 def main():
@@ -150,19 +216,20 @@ def main():
 
     from bp_from_video_tpu.models import blaze
 
-    steps = int(os.environ.get("STEPS", "8000"))
+    steps = int(os.environ.get("STEPS", "16000"))
     batch = int(os.environ.get("BATCH", "32"))
     chunk = int(os.environ.get("CHUNK", "50"))
     params = blaze.init_blaze_landmark(7, S, L)
     params.pop("stem_p")  # repacked from the trained stem at save time
     params = jax.device_put(params)
-    opt = optax.adam(optax.cosine_decay_schedule(4e-4, steps, 0.05))
+    opt = optax.adam(optax.warmup_cosine_decay_schedule(
+        0.0, 5e-4, min(500, steps // 4), steps, 1e-5))
     opt_state = opt.init(params)
 
     def batch_data(key):
         kk = jax.random.split(key, batch + 1)
         with_hand = (jax.random.uniform(kk[0], (batch,)) > NEG_FRAC)
-        return jax.vmap(render_hand)(kk[1:], with_hand)
+        return jax.vmap(crop_sample)(kk[1:], with_hand)
 
     def loss_fn(p, imgs, kps, pres):
         lm, phat, _aux = blaze.blaze_landmark_apply(
@@ -170,13 +237,15 @@ def main():
         lm = lm.reshape(batch, L, 3)
         # x, y supervised in normalized crop units; z unsupervised (the
         # procedural model is 2-D — mirror the heads' sigmoid range by
-        # letting z float).
+        # letting z float).  Charbonnier on the per-landmark DISTANCE:
+        # optimizes the mean-px gate directly instead of MSE's
+        # outlier-dominated objective.
         err = (lm[..., :2] - kps) / S
-        lm_loss = jnp.mean(jnp.where(pres[:, None, None] > 0,
-                                     err * err, 0.0))
+        d = jnp.sqrt(jnp.sum(err * err, axis=-1) + 1e-6)
+        lm_loss = jnp.mean(jnp.where(pres[:, None] > 0, d, 0.0))
         bce = -jnp.mean(pres * jnp.log(phat[:, 0] + 1e-6)
                         + (1 - pres) * jnp.log(1 - phat[:, 0] + 1e-6))
-        return lm_loss + 0.1 * bce, (lm_loss, bce)
+        return lm_loss + 0.05 * bce, (lm_loss, bce)
 
     def train_step(carry, key):
         p, o = carry
@@ -193,40 +262,49 @@ def main():
             train_step, (p, o), jax.random.split(key, chunk))
         return p, o, losses[-1]
 
-    key = jax.random.key(42)
-    for c in range(steps // chunk):
-        key, sub = jax.random.split(key)
-        params, opt_state, last = train_chunk(params, opt_state, sub)
-        if c % 4 == 0 or (c + 1) * chunk >= steps:
-            l = np.asarray(last)
-            print(f"step {(c + 1) * chunk}: loss={l[0]:.5f} "
-                  f"lm={l[1]:.5f} bce={l[2]:.4f}", flush=True)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "models")
+    path = os.path.join(out, "hand_lm_standin_synth.npz")
+    if os.environ.get("EVAL_ONLY"):
+        # Re-run eval + tracking validation against the saved artifact
+        # (e.g. after a validation-harness fix) without retraining.
+        host0 = blaze.load_standin_npz(path)
+        host0.pop("stem_p", None)
+        params = jax.device_put(host0)
+        print(f"EVAL_ONLY: loaded {path}", flush=True)
+    else:
+        key = jax.random.key(42)
+        for c in range(steps // chunk):
+            key, sub = jax.random.split(key)
+            params, opt_state, last = train_chunk(params, opt_state, sub)
+            if c % 4 == 0 or (c + 1) * chunk >= steps:
+                l = np.asarray(last)
+                print(f"step {(c + 1) * chunk}: loss={l[0]:.5f} "
+                      f"lm={l[1]:.5f} bce={l[2]:.4f}", flush=True)
 
-    # --- held-out eval: landmark error in px ------------------------------
-    imgs, kps, pres = jax.jit(batch_data)(jax.random.key(777))
-    lm, phat, _ = jax.jit(lambda p, x: blaze.blaze_landmark_apply(
-        p, x / 255.0, S))(params, imgs)
-    lm = np.asarray(lm).reshape(batch, L, 3)[..., :2]
-    kps_np, pres_np = np.asarray(kps), np.asarray(pres) > 0
-    err = np.linalg.norm(lm - kps_np, axis=-1)[pres_np]
-    phat_np = np.asarray(phat)[:, 0]
-    pres_acc = float(((phat_np > 0.5) == pres_np).mean())
-    print(f"held-out: mean lm err {err.mean():.2f} px, p95 "
-          f"{np.percentile(err, 95):.2f} px, presence acc {pres_acc:.3f}",
-          flush=True)
+    # --- held-out eval: landmark error in px (8 fresh batches) ------------
+    eval_fn = jax.jit(lambda p, x: blaze.blaze_landmark_apply(
+        p, x / 255.0, S))
+    errs_all, accs = [], []
+    for i in range(8):
+        imgs, kps, pres = jax.jit(batch_data)(jax.random.key(777 + i))
+        lm, phat, _ = eval_fn(params, imgs)
+        lm = np.asarray(lm).reshape(batch, L, 3)[..., :2]
+        kps_np, pres_np = np.asarray(kps), np.asarray(pres) > 0
+        errs_all.append(np.linalg.norm(lm - kps_np, axis=-1)[pres_np])
+        phat_np = np.asarray(phat)[:, 0]
+        accs.append(((phat_np > 0.5) == pres_np).mean())
+    err = np.concatenate(errs_all)
+    pres_acc = float(np.mean(accs))
+    print(f"held-out ({err.shape[0]} hands): mean lm err {err.mean():.2f} "
+          f"px, p95 {np.percentile(err, 95):.2f} px, presence acc "
+          f"{pres_acc:.3f}", flush=True)
 
     # --- save: numpy pytree + repacked Pallas stem twin -------------------
     host = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
     host["stem_p"] = blaze._pack_stem(host["stem"], 3, S)
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "models")
     os.makedirs(out, exist_ok=True)
-    path = os.path.join(out, "hand_lm_standin_synth.npz")
-    flat = {}
-    for k1, v in host.items():
-        for k2, a in v.items():
-            flat[f"{k1}/{k2}"] = np.asarray(a)
-    np.savez(path, **flat)
+    blaze.save_standin_npz(path, host)
     print(f"saved {path}", flush=True)
 
     # --- tracking-level validation: the runner TRACKS a moving hand -------
@@ -241,25 +319,32 @@ def main():
     rp["hand_lm"] = jax.device_put(host)   # swap in the trained net
     predict = jax.jit(runner.predict)
 
+    from bp_from_video_tpu.models import warp
+
     st = runner.init_state()
-    # Seed tracking once (the palm DETECTOR stand-in stays random — this
-    # validates the trained landmark net's track-ability, not detection).
+    # Seed tracking once with the runner's own rect formula on frame-0 GT
+    # (the palm DETECTOR stand-in stays random — this validates the
+    # trained landmark net's track-ability, not detection), then follow a
+    # SMOOTHLY moving hand: fixed finger pose (one key), center/rotation/
+    # scale drifting per frame like a real hand between 30 Hz frames.
+    pose_key = jax.random.key(123)
     errs, present = [], []
-    for i in range(24):
-        key = jax.random.key(100 + i)
-        # Render a hand drifting across the frame; crop geometry follows
-        # the runner's own landmark-derived next rect after the seed.
-        img, kps, _ = render_hand(key, True)
-        # Place the 224 crop-sized render into the 256 frame at a drift.
-        off = 8 + i  # px, both axes
-        frame = jnp.full((H, W, 3), 90.0)
-        frame = jax.lax.dynamic_update_slice(
-            frame, jnp.transpose(img, (1, 2, 0)), (off, off, 0))
-        frame = frame.astype(jnp.uint8)
-        gt = np.asarray(kps) + off
+    n_frames = 24
+    for i in range(n_frames):
+        t = i / (n_frames - 1)
+        pose = (jnp.float32(H * (0.36 + 0.26 * t)),
+                jnp.float32(H * (0.58 - 0.20 * t)),
+                jnp.float32(-0.6 + 1.1 * t),
+                jnp.float32(H * 0.105))
+        img, kps, _ = render_hand(pose_key, True, fr=H, pose=pose)
+        frame = jnp.transpose(img, (1, 2, 0)).astype(jnp.uint8)
+        gt = np.asarray(kps)
         if i == 0:
-            c = jnp.asarray([off + S / 2, off + S / 2, 1.6 * S, 1.6 * S,
-                             0.0], jnp.float32)
+            r0 = warp.rect_transform(
+                warp.landmarks_to_rect(kps, 0, 9, jnp.pi / 2),
+                scale=2.0, shift_y=-0.1)
+            c = jnp.asarray([r0.cx, r0.cy, r0.w, r0.h, r0.rotation],
+                            jnp.float32)
             st = st._replace(hand_rects=st.hand_rects.at[0].set(c),
                              hand_tracking=st.hand_tracking.at[0].set(True))
         st, res = predict(rp, st, frame)
