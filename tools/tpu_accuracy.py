@@ -56,6 +56,40 @@ GATE_PTT_MS = 34.0  # one 30 Hz sample: the correlation lag resolution
 Y_SPLIT = 105       # forehead ROI ends y<=87; cheek ROI starts y>=124
 
 
+def pulse(hr, t, hrv):
+    """Pulse-like waveform (fundamental + in-band harmonics — real pulses
+    are wideband) with optional heart-rate variability.
+
+    ``hrv`` is a traced [2] amplitude vector so periodic and HRV phases
+    compile into ONE program:
+
+    * Periodic (hrv = 0): the Lomb-Scargle peak sits exactly on the
+      fundamental, so BPM is gated tight — but PTT is NOT stable
+      (±1-period correlation lobes flip the per-frame argmax; the
+      reference's documented "PTT fluctuates" narrowband failure,
+      reference README.md:46).
+    * HRV on: the dual-tone phase wobble decorrelates the period lobes
+      (true correlation peak leads every lobe by >=6%, scipy-checked) so
+      the per-frame PTT peak is stable; the same wobble legitimately
+      moves each ring window's average instantaneous rate by a few BPM.
+    """
+    import jax.numpy as jnp
+    ph = (hr * t + hrv[0] * jnp.sin(2.0 * jnp.pi * 0.09 * t + 1.0)
+          + hrv[1] * jnp.sin(2.0 * jnp.pi * 0.21 * t))
+    x = 2.0 * jnp.pi * ph
+    return (jnp.sin(x) + 0.6 * jnp.sin(2.0 * x - 1.2)
+            + 0.3 * jnp.sin(3.0 * x - 2.1)) / 1.9
+
+
+def face_skin_masks(h: int, w: int):
+    """(upper, lower) boolean masks of the synthetic face's skin ellipse
+    split at Y_SPLIT — the two regions the forehead/cheek ROIs measure."""
+    import numpy as np
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    skin = (((xx - 128) / 60.0) ** 2 + ((yy - 128) / 80.0) ** 2) <= 1.0
+    return skin & (yy < Y_SPLIT), skin & (yy >= Y_SPLIT)
+
+
 def main():
     if not os.environ.get("BENCH_PLATFORM"):
         from bp_from_video_tpu.utils.tunnel import wait_for_tpu
@@ -98,44 +132,13 @@ def main():
         synth_face().transpose(2, 0, 1)))               # [3, 256, 256]
     # synth_face returns HWC in the engine's RGB order; the engine takes
     # planar [S, 3, H, W] like the feeder ships.
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    skin_np = (((xx - 128) / 60.0) ** 2 + ((yy - 128) / 80.0) ** 2) <= 1.0
-    upper = jax.device_put(jnp.asarray(skin_np & (yy < Y_SPLIT)))
-    lower = jax.device_put(jnp.asarray(skin_np & (yy >= Y_SPLIT)))
+    upper_np, lower_np = face_skin_masks(h, w)
+    upper = jax.device_put(jnp.asarray(upper_np))
+    lower = jax.device_put(jnp.asarray(lower_np))
     hr_hz = jnp.asarray(HR0_HZ + HR_STEP_HZ * np.arange(streams),
                         jnp.float32)                    # [S]
     ptt_s = jnp.asarray((PTT0_MS + PTT_STEP_MS * np.arange(streams))
                         / 1000.0, jnp.float32)          # [S] seconds
-
-    def pulse(hr, t, hrv):
-        """Pulse-like waveform (fundamental + in-band harmonics — real
-        pulses are wideband) with optional heart-rate variability.
-
-        ``hrv`` is a traced [2] amplitude vector so BOTH measurement
-        phases compile into ONE program:
-
-        * Phase A (hrv = 0): strictly periodic — the Lomb-Scargle peak
-          sits exactly on the fundamental, so BPM is gated tight.  PTT
-          is NOT gated here: a periodic signal's ±1-period correlation
-          lobes stay within ~2-8% of the true peak and the sliding
-          250-sample window's boundary phase flips the per-frame argmax
-          between them — the engine's correlation curve is exactly right
-          (argmax = true lag, verified against scipy on the engine's own
-          proc signals) but the PTT ring MEAN lands nowhere.  This is
-          precisely the reference's documented "PTT fluctuates" failure
-          mode for narrowband signals (reference README.md:46).
-        * Phase B (hrv on): the dual-tone phase wobble decorrelates the
-          period lobes (true peak leads every lobe by >=6% on every
-          stream and window offset, scipy-checked) so the per-frame PTT
-          peak is stable and gated tight.  The SAME wobble legitimately
-          moves each ring window's average instantaneous rate by up to
-          ±(2·0.35)/8.3 s ≈ ±5 BPM, so BPM gets only a coarse gate in
-          this phase (the engine reports the window's true mean rate)."""
-        ph = (hr * t + hrv[0] * jnp.sin(2.0 * jnp.pi * 0.09 * t + 1.0)
-              + hrv[1] * jnp.sin(2.0 * jnp.pi * 0.21 * t))
-        x = 2.0 * jnp.pi * ph
-        return (jnp.sin(x) + 0.6 * jnp.sin(2.0 * x - 1.2)
-                + 0.3 * jnp.sin(3.0 * x - 2.1)) / 1.9
 
     def body(params, base, upper, lower, hrv, carry, i):
         st = carry
