@@ -191,8 +191,9 @@ def load_predictor(path: str) -> BPPredictor:
                        data["l_mu"], data["l_sd"])
 
 
-def make_e2e_train_step(engine_vstep: Callable, opt: optax.GradientTransformation
-                        ) -> Callable:
+def make_e2e_train_step(engine_vstep: Callable,
+                        opt: optax.GradientTransformation,
+                        norm: dict | None = None) -> Callable:
     """End-to-end training step: frames -> fused engine (vision models + DSP
     + spectra + PTT) -> features -> regressor update.
 
@@ -205,6 +206,11 @@ def make_e2e_train_step(engine_vstep: Callable, opt: optax.GradientTransformatio
     the (non-differentiated) feature extractor; the gradient flows through
     the regressor head only, matching the reference's intended design
     (hand-engineered HR/PTT features -> learned BP map, README.md:36-38).
+
+    ``norm`` (optional): {"f_mu", "f_sd", "l_mu", "l_sd"} standardization
+    constants applied to features and labels before the update -- the same
+    contract the offline trainer and save_predictor use (train/__main__);
+    without it the raw mmHg/BPM scales condition the MLP poorly.
     """
     def step(engine_params, engine_state, train_state: TrainState,
              frames: Array, timestamps: Array, labels: Array):
@@ -212,6 +218,9 @@ def make_e2e_train_step(engine_vstep: Callable, opt: optax.GradientTransformatio
                                          frames, timestamps)
         feats = features_from_outputs(out.bpm, out.ptt)
         feats = jax.lax.stop_gradient(feats)
+        if norm is not None:
+            feats = (feats - norm["f_mu"]) / norm["f_sd"]
+            labels = (labels - norm["l_mu"]) / norm["l_sd"]
         train_state, loss = train_step(opt, train_state, feats, labels)
         return engine_state, train_state, loss
 

@@ -47,11 +47,13 @@ L = 21           # landmarks
 NEG_FRAC = 0.25  # fraction of background-only (presence=0) samples
 
 
-def render_hand(key, with_hand, fr=S, pose=None):
+def render_hand(key, with_hand, fr=S, pose=None, with_mask=False):
     """PRNG key -> (image [3, fr, fr] f32 0..255, keypoints [L, 2] px,
-    presence {0,1}).  Pure jnp; jit/vmap-able.  ``pose`` overrides the
-    sampled (cx, cy, theta, scale) — the tracking validation uses it to
-    move one hand smoothly while keeping the finger pose fixed by key."""
+    presence {0,1}[, skin mask [fr, fr] bool]).  Pure jnp; jit/vmap-able.
+    ``pose`` overrides the sampled (cx, cy, theta, scale) — the tracking
+    validation uses it to move one hand smoothly while keeping the finger
+    pose fixed by key; ``with_mask`` additionally returns the hand's skin
+    mask (the pixels a pulse modulates in the accuracy phases)."""
     import jax
     import jax.numpy as jnp
 
@@ -130,6 +132,8 @@ def render_hand(key, with_hand, fr=S, pose=None):
                     bg + noise[None])
     img = jnp.clip(img + jax.random.normal(ks[11], (3, fr, fr)) * 3.0,
                    0.0, 255.0)
+    if with_mask:
+        return img, kps, jnp.asarray(with_hand, jnp.float32), mask
     return img, kps, jnp.asarray(with_hand, jnp.float32)
 
 
