@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     inf.add_argument("--hybrid-max-tilt", type=float, default=None,
                      metavar="DEG",
                      help="hybrid mode's tilt gate in degrees (default 15)")
+    inf.add_argument("--shear-subbatch", type=int, default=None,
+                     metavar="K",
+                     help="hybrid mode's per-kind shear budget: at most K "
+                          "gated crops get the compacted shear sub-batch "
+                          "before the whole batch falls back to the shear "
+                          "branch (default 4; 0 = always whole-batch)")
     inf.add_argument("--pallas", dest="pallas", action="store_true",
                      default=None, help="force the fused Pallas crop kernel")
     inf.add_argument("--no-pallas", dest="pallas", action="store_false",
@@ -187,6 +193,8 @@ def config_from_args(args) -> tuple[EngineConfig, list[CaptureConfig]]:
         inf_kw["rotation_mode"] = args.rotation_mode
     if args.hybrid_max_tilt is not None:
         inf_kw["hybrid_max_tilt_deg"] = args.hybrid_max_tilt
+    if args.shear_subbatch is not None:
+        inf_kw["shear_subbatch"] = args.shear_subbatch
     if args.pallas is not None:
         inf_kw["use_pallas"] = args.pallas
     else:

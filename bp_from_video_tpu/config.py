@@ -258,8 +258,11 @@ class InferenceConfig:
     # crops of one kind falls back to the whole-batch shear branch, so
     # every gated crop always gets the rotated view (fidelity never
     # degrades; only the batch's speed does).  0 disables the sub-batch
-    # (always whole-batch flip).
-    shear_subbatch: int = 8
+    # (always whole-batch flip).  Default 4: measured 8,884 fps with
+    # 1-of-64 tilted vs 8,295 at budget 8 (16 mostly-idle shear crops) —
+    # and a batch with >4 tilted subjects of one kind is already deep in
+    # whole-batch territory.
+    shear_subbatch: int = 4
 
     # Fused Pallas multi-crop kernel for the batch landmark path: one
     # VMEM-resident pass over each frame produces every landmark crop.

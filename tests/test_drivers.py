@@ -120,6 +120,7 @@ def test_offline_batch_processing(pulse_video):
     np.testing.assert_allclose(out.ptt, out1.ptt, equal_nan=True, atol=1e-5)
 
 
+@pytest.mark.slow  # IMAGE-mode semantics are covered at runner level
 def test_image_running_mode(pulse_video):
     """IMAGE mode re-detects every frame (reference inference_runner.py:97-102)
     — tracking state must stay disengaged."""

@@ -177,13 +177,14 @@ def test_run_clip_matches_stepping_deterministic(monkeypatch):
                                rtol=1e-6, equal_nan=True)
 
 
-# The dp-only mesh is slow-marked: the dp×tp case exercises both axes in
-# one compile (and the driver's dryrun_multichip validates the dp-only
-# e2e path every round), so the quick loop needs only one of the two
-# ~100 s virtual-mesh engine compiles.
+# Both virtual-mesh engine compiles are slow-marked (round 4): the
+# driver's dryrun_multichip compiles AND EXECUTES the dp×tp e2e path on
+# the 8-device virtual mesh every round, so the quick loop no longer
+# needs either ~60-100 s compile; the full suite keeps both.
 @pytest.mark.parametrize("axes", [
     pytest.param({STREAM_AXIS: 8}, marks=pytest.mark.slow),
-    {STREAM_AXIS: 4, MODEL_AXIS: 2}])
+    pytest.param({STREAM_AXIS: 4, MODEL_AXIS: 2},
+                 marks=pytest.mark.slow)])
 def test_sharded_matches_unsharded(axes):
     s = 8
     cfg = tiny_config(s)

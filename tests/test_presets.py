@@ -25,9 +25,13 @@ def shrink(cfg):
                                num_streams=1)
 
 
+# Quick keeps two presets (cheapest + segmenter coverage); the rest are
+# slow-marked — BENCH_ALL compiles and runs every preset on the real TPU
+# each round, so the quick loop's compile coverage is redundant there.
 @pytest.mark.parametrize(
     "name",
-    [pytest.param(n, marks=pytest.mark.slow) if n == "multistream" else n
+    [n if n in ("butter_welch_face", "segmenter_fir")
+     else pytest.param(n, marks=pytest.mark.slow)
      for n in sorted(preset_configs())])
 def test_preset_runs(name):
     cfg = shrink(preset_configs()[name])

@@ -88,6 +88,7 @@ def test_vmap_over_compiled_model():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow  # the TPU bench drives the bf16 compile path every round
 def test_bf16_compile_is_close():
     data = _models()["face_detector.tflite"]
     fn32, p32 = tc.compile_tflite(data)
