@@ -204,58 +204,56 @@ def rasterize_plots(cfg: DrawConfig, groups, sig_colors) -> tuple[Array, list]:
     (processed, spectra, correlations; reference drawer.py:231).
     Returns (uint8 RGB canvas [Hp, Wp, 3], [PlotTicks] per graph).
     """
-    from bp_from_video_tpu.render.overlay import composite
     w, h = cfg.window_size
     layouts = graph_layouts(cfg)
     ticks = []
-    # Rasterize each graph on its own LOCAL STRIP ([gh+1, gw+1] — every
-    # mask/trace of a graph lives inside its border box) and place the
-    # composited strips into the canvas with static slice-assigns.  The
-    # previous formulation computed every mask at FULL canvas resolution,
-    # so each graph paid ~3x its live pixels and the all-streams-rendered
-    # multistream row stopped scaling with streams (+9% for 2x streams at
-    # 8->16 — VERDICT r3 Weak #4: mask HBM traffic, not trace math, was
-    # the wall).
-    strips = []
+    # Collect one UNION mask per color across all graphs (the graphs are
+    # disjoint canvas regions, so unioning is exact), then composite the
+    # whole canvas in one fused select pass — sequential full-canvas paints
+    # re-write [H, W, 3] floats once per layer per graph, which dominates
+    # the per-stream render cost (overlay.composite docstring).
+    #
+    # MEASURED DEAD END (round 4, tools/plotprobe.py on the chip): a
+    # strip-wise rewrite — each graph rasterized on its own [gh+1, gw+1]
+    # local strip, composited per strip, placed by slice-assign — is 2.8x
+    # FASTER on CPU but 1.38x SLOWER on TPU (1.032 vs 0.748 ms per
+    # 8-stream step): the full-canvas iota masks are fused vector math,
+    # while strips pay three composites plus three full-canvas
+    # dynamic-update-slices at non-lane-aligned shapes.  Keep full-canvas.
+    grid_m = jnp.zeros((h, w), jnp.float32)
+    axes_m = jnp.zeros((h, w), jnp.float32)
+    trace_ms = [jnp.zeros((h, w), jnp.float32)
+                for _ in range(len(sig_colors))]
     for gl, (xs, ys, rng4) in zip(layouts, groups):
         min_x, max_x, min_y, max_y = _resolve_range(
             rng4, cfg.graph_default_range)
-        sh, sw = gl.height + 1, gl.width + 1
-        local = GraphLayout(0, 0, gl.width, gl.height)
-        # Gridlines (light gray) under everything.  Tick vline_px stays in
-        # CANVAS coordinates for the host/device label stampers.
+        # Gridlines (light gray) under everything.
         vvals, vn = _vlines(min_x, max_x)
-        vcols_l = (vvals - min_x) / (max_x - min_x) * gl.width
+        vcols = (vvals - min_x) / (max_x - min_x) * gl.width + gl.origin_x
         vok = jnp.arange(MAX_VLINES) < vn
-        grid_m = _vline_mask(local, vcols_l, vok, sh, sw)
+        grid_m = jnp.maximum(grid_m, _vline_mask(gl, vcols, vok, h, w))
         # Border + zero axes (black).
-        axes = _border(local, sh, sw)
+        axes = _border(gl, h, w)
         # x is NOT screen-inverted (unlike y below): col(v) = (v - min_x).
-        zero_col = -min_x / (max_x - min_x) * gl.width
+        zero_col = -min_x / (max_x - min_x) * gl.width + gl.origin_x
         on_x = (min_x <= 0.0) & (0.0 <= max_x)
-        axes = axes + _vline_mask(local, zero_col[None], on_x[None], sh, sw)
-        zero_row = max_y / (max_y - min_y) * gl.height
+        axes = axes + _vline_mask(gl, zero_col[None], on_x[None], h, w)
+        zero_row = max_y / (max_y - min_y) * gl.height + gl.origin_y
         on_y = (min_y <= 0.0) & (0.0 <= max_y)
-        axes = axes + _hline_mask(local, zero_row, on_y, sh, sw)
-        axes_m = jnp.clip(axes, 0.0, 1.0)
-        # Traces (same-color streams union on the strip).
-        trace_ms = [jnp.zeros((sh, sw), jnp.float32)
-                    for _ in range(min(len(sig_colors), xs.shape[0]))]
+        axes = axes + _hline_mask(gl, zero_row, on_y, h, w)
+        axes_m = jnp.maximum(axes_m, jnp.clip(axes, 0.0, 1.0))
+        # Traces.
         for s in range(xs.shape[0]):
-            m = trace_mask(local, xs[s], ys[s], min_x, max_x, min_y, max_y,
-                           sh, sw)
+            m = trace_mask(gl, xs[s], ys[s], min_x, max_x, min_y, max_y,
+                           h, w)
             i = s % len(sig_colors)
             trace_ms[i] = jnp.maximum(trace_ms[i], m)
-        strip = composite(
-            jnp.full((sh, sw, 3), 255.0, jnp.float32),
-            [(grid_m, C.LIGHT_GRAY), (axes_m, C.BLACK)]
-            + [(m, sig_colors[i]) for i, m in enumerate(trace_ms)])
-        strips.append(strip)
-        ticks.append(PlotTicks(vcols_l + gl.origin_x, vvals, vn,
+        ticks.append(PlotTicks(vcols, vvals, vn,
                                jnp.stack([min_x, max_x]),
                                jnp.stack([min_y, max_y])))
+    from bp_from_video_tpu.render.overlay import composite
     canvas = jnp.full((h, w, 3), 255.0, jnp.float32)
-    for gl, strip in zip(layouts, strips):
-        canvas = canvas.at[gl.origin_y:gl.origin_y + gl.height + 1,
-                           gl.origin_x:gl.origin_x + gl.width + 1].set(strip)
+    layers = ([(grid_m, C.LIGHT_GRAY), (axes_m, C.BLACK)]
+              + list(zip(trace_ms, sig_colors)))
+    canvas = composite(canvas, layers)
     return jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8), ticks
