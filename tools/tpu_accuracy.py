@@ -252,8 +252,16 @@ def main():
     kps_f = jnp.asarray(np.asarray(hkps)
                         + np.asarray([w, 0.0], np.float32))
 
+    # Phase C runs UNSEEDED by default: the trained palm detector must
+    # ACQUIRE the hand on the composite face+hand scene before the
+    # landmark net can track it — the artifact covers the full hand
+    # lifecycle (ACC_HAND_SEED=1 restores the seeded variant).
+    seed_hand = os.environ.get("ACC_HAND_SEED", "0") == "1"
+
     def seeded_states():
         st = ms_c.init_states()
+        if not seed_hand:
+            return st
         tr = st.track
         r0 = warp.rect_transform(
             warp.landmarks_to_rect(kps_f, 0, 9, jnp.pi / 2),
@@ -354,6 +362,7 @@ def main():
         "track_frac_steady": round(track_frac, 4),
         "hand_phase": {
             "trained_standin": hand_trained,
+            "hand_seeded": seed_hand,
             "max_bpm_err": round(float(err_c.max()), 3)
             if np.isfinite(got_c).all() else None,
             "per_stream_bpm_palm": [round(float(v), 2)
