@@ -241,6 +241,36 @@ def main():
             scan_time(f"full step + {which}", step, state0, clip_len,
                       streams)
 
+        elif v == "rendnotext":
+            # The FULL compose (overlay + plots + HUD pack) with
+            # device_text OFF: diff vs 'render' isolates the on-device
+            # glyph text's true in-context cost (subtracting rendover +
+            # rendplot from 'render' over-attributes — fusion interactions
+            # and the packed HUD block land in the residual).
+            import dataclasses as _dc
+
+            from bp_from_video_tpu.render.drawer import Drawer
+            cfg_nt = _dc.replace(cfg, draw=_dc.replace(
+                cfg.draw, device_text=False))
+            drawer = Drawer(cfg_nt, show=False)
+
+            def step(carry, i):
+                st = carry
+                ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+                frames = frames_at(i)
+                st2, out = eng.batch_step(
+                    ms.params, EngineState(st.signals,
+                                           hold_tracking(st.track)),
+                    frames, ts)
+                nhwc = jnp.transpose(frames, (0, 2, 3, 1))
+                fimg, pimg, packed = jax.vmap(drawer._compose_fn)(nhwc, out)
+                extra = (jnp.sum(fimg, dtype=jnp.float32)
+                         + jnp.sum(pimg, dtype=jnp.float32)
+                         + jnp.sum(jnp.nan_to_num(packed)))
+                return st2, out.bpm + 0.0 * extra
+            scan_time("full step + render(no text)", step, state0,
+                      clip_len, streams)
+
         elif v == "infer":
             def step(carry, i):
                 track = carry
