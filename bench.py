@@ -699,12 +699,28 @@ def main():
                         if on_tpu and os.path.exists(solo_path):
                             with open(solo_path) as f:
                                 solo = json.load(f)
-                            solo["contended_inline_ms"] = res["value"]
-                            solo["note"] = (
-                                "value = dedicated solo capture; "
-                                "contended_inline_ms = same row measured "
-                                "mid-BENCH_ALL with the tunnel loaded")
-                            res = solo
+                            age_h = (time.time()
+                                     - os.path.getmtime(solo_path)) / 3600
+                            # Merge only a CONSISTENT solo capture: same
+                            # frame shape and recent (a stale file from an
+                            # older code revision must not masquerade as
+                            # this run's number).
+                            if (solo.get("frame_hw") == res.get("frame_hw")
+                                    and age_h <= 7 * 24):
+                                solo["contended_inline_ms"] = res["value"]
+                                solo["solo_file_age_hours"] = round(age_h, 1)
+                                solo["note"] = (
+                                    "value = dedicated solo capture; "
+                                    "contended_inline_ms = same row "
+                                    "measured mid-BENCH_ALL with the "
+                                    "tunnel loaded")
+                                res = solo
+                            else:
+                                print(f"hostlive: solo capture ignored "
+                                      f"(frame_hw {solo.get('frame_hw')} vs "
+                                      f"{res.get('frame_hw')}, age "
+                                      f"{age_h:.1f} h)", file=sys.stderr,
+                                      flush=True)
                     elif preset == "hostlive_pipe":
                         res = measure_hostlive_pipelined(cfg, metric)
                     elif preset == "lifecycle":

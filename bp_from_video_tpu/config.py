@@ -320,6 +320,10 @@ class InferenceConfig:
             raise ValueError(
                 f"hybrid_max_tilt_deg={self.hybrid_max_tilt_deg}: "
                 "must be positive")
+        if self.shear_subbatch < 0:
+            raise ValueError(
+                f"shear_subbatch={self.shear_subbatch}: must be >= 0 "
+                "(0 disables the sub-batch — always whole-batch shear)")
 
     def resolved_rotation_mode(self) -> str:
         """The effective crop strategy ('cover' | 'exact' | 'shear' |

@@ -1123,46 +1123,66 @@ class InferenceRunner:
                     fp = face_cover if face_cover is not None else _dummy
                     hp = hand_cover if hand_cover is not None else _dummy
                     si = 0
+                    # Each KIND's shear work sits behind its own scalar
+                    # cond: a batch with only a tilted face must not pay
+                    # the hand kind's K frame gathers + shear crops (and
+                    # vice versa) — the served-mask merge would discard
+                    # them anyway.
                     if face_raw is not None:
-                        kf = min(k, s)
-                        order = jnp.argsort(-tilt_f)[:kf]
-                        served = gated_f[order]
-                        sub = jax.vmap(lambda f_, ra: shear_one(
-                            f_, ra, sizes[0], packs[0]))(
-                                gather_nhwc(order), face_raw[order])
-                        base = outs[0]
-                        bsel = served.reshape(
-                            (-1,) + (1,) * (base.ndim - 1))
-                        outs[0] = base.at[order].set(
-                            jnp.where(bsel, sub, base[order]))
-                        fp = face_cover.at[order].set(
-                            jnp.where(served[:, None], face_raw[order],
-                                      face_cover[order]))
+                        def face_sub(args):
+                            base, fp0 = args
+                            kf = min(k, s)
+                            order = jnp.argsort(-tilt_f)[:kf]
+                            served = gated_f[order]
+                            sub = jax.vmap(lambda f_, ra: shear_one(
+                                f_, ra, sizes[0], packs[0]))(
+                                    gather_nhwc(order), face_raw[order])
+                            bsel = served.reshape(
+                                (-1,) + (1,) * (base.ndim - 1))
+                            merged = base.at[order].set(
+                                jnp.where(bsel, sub, base[order]))
+                            fp1 = fp0.at[order].set(
+                                jnp.where(served[:, None],
+                                          face_raw[order], fp0[order]))
+                            return merged, fp1
+
+                        outs[0], fp = jax.lax.cond(
+                            n_f > 0, face_sub, lambda a: a,
+                            (outs[0], face_cover))
                         si = 1
                     if hand_raw is not None:
                         nh_ = hand_raw.shape[1]
-                        kh = min(k, s * nh_)
-                        flat_raw = hand_raw.reshape(s * nh_, 5)
-                        order = jnp.argsort(-tilt_h.reshape(-1))[:kh]
-                        served = gated_h.reshape(-1)[order]
-                        sub = jax.vmap(lambda f_, ra: shear_one(
-                            f_, ra, sizes[si], packs[si]))(
-                                gather_nhwc(order // nh_), flat_raw[order])
                         hstack = jnp.stack(outs[si:si + nh_], axis=1)
-                        hflat = hstack.reshape((s * nh_,)
-                                               + hstack.shape[2:])
-                        bsel = served.reshape(
-                            (-1,) + (1,) * (hflat.ndim - 1))
-                        hflat = hflat.at[order].set(
-                            jnp.where(bsel, sub, hflat[order]))
-                        hstack = hflat.reshape((s, nh_) + hflat.shape[1:])
+
+                        def hand_sub(args):
+                            hstack0, hp0 = args
+                            kh = min(k, s * nh_)
+                            flat_raw = hand_raw.reshape(s * nh_, 5)
+                            order = jnp.argsort(-tilt_h.reshape(-1))[:kh]
+                            served = gated_h.reshape(-1)[order]
+                            sub = jax.vmap(lambda f_, ra: shear_one(
+                                f_, ra, sizes[si], packs[si]))(
+                                    gather_nhwc(order // nh_),
+                                    flat_raw[order])
+                            hflat = hstack0.reshape(
+                                (s * nh_,) + hstack0.shape[2:])
+                            bsel = served.reshape(
+                                (-1,) + (1,) * (hflat.ndim - 1))
+                            hflat = hflat.at[order].set(
+                                jnp.where(bsel, sub, hflat[order]))
+                            hpf = hp0.reshape(s * nh_, 5)
+                            hpf = hpf.at[order].set(
+                                jnp.where(served[:, None],
+                                          flat_raw[order], hpf[order]))
+                            return (hflat.reshape((s, nh_)
+                                                  + hflat.shape[1:]),
+                                    hpf.reshape(s, nh_, 5))
+
+                        hstack, hp = jax.lax.cond(
+                            n_h > 0, hand_sub, lambda a: a,
+                            (hstack, hand_cover))
                         for j in range(nh_):
                             outs[si + j] = hstack[:, j]
-                        hpf = hand_cover.reshape(s * nh_, 5)
-                        hpf = hpf.at[order].set(
-                            jnp.where(served[:, None], flat_raw[order],
-                                      hpf[order]))
-                        hp = hpf.reshape(s, nh_, 5)
                     return tuple(outs), fp, hp
 
                 def full_branch(_):

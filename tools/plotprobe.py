@@ -1,12 +1,13 @@
 """A/B probe: strip-wise vs full-canvas plot rasterization on hardware.
 
-Round 4 rewrote plotter.rasterize_plots to draw each graph on a local
-strip (the full-canvas masks paid ~3x their live pixels), but the bench
-multistream row moved 2,573 -> 2,374 — inside or outside strip blame?
-This probe times BOTH formulations in one process at composite
-granularity (vmapped over S streams, realistic ring shapes, carried
-scan, honest sync dispatch) so the strip question is settled by a
-direct measurement instead of cross-run bench deltas.
+Round 4 tried drawing each graph on a local strip (the full-canvas
+masks pay ~3x their live pixels), and the bench multistream row moved
+2,573 -> 2,374.  This probe times BOTH formulations in one process at
+composite granularity (vmapped over S streams, realistic ring shapes,
+carried scan, honest sync dispatch): measured on the chip, strips are
+1.38x SLOWER (1.032 vs 0.748 ms per 8-stream step) though 2.8x faster
+on CPU — so the strip rewrite was REVERTED from render/plotter.py and
+its implementation lives on only here, as the probe's "strips" arm.
 
 Usage: python tools/plotprobe.py          (TPU)
        BENCH_PLATFORM=cpu S=2 REPS=2 python tools/plotprobe.py
@@ -23,9 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _enable_compile_cache  # noqa: E402
 
 
-def old_rasterize(cfg, groups, sig_colors):
-    """The pre-strip (round 3) formulation, verbatim semantics: per-color
-    full-canvas union masks + one composite."""
+def strip_rasterize(cfg, groups, sig_colors):
+    """The round-4 STRIP formulation (kept here verbatim after it was
+    reverted from render/plotter.py): each graph rasterized on a local
+    [gh+1, gw+1] strip, composited per strip, placed by slice-assign.
+    The shipped implementation is the full-canvas one this probe
+    measured it against."""
     import jax.numpy as jnp
 
     from bp_from_video_tpu.render import colors as C
@@ -35,37 +39,45 @@ def old_rasterize(cfg, groups, sig_colors):
     w, h = cfg.window_size
     layouts = P.graph_layouts(cfg)
     ticks = []
-    grid_m = jnp.zeros((h, w), jnp.float32)
-    axes_m = jnp.zeros((h, w), jnp.float32)
-    trace_ms = [jnp.zeros((h, w), jnp.float32)
-                for _ in range(len(sig_colors))]
+    strips = []
     for gl, (xs, ys, rng4) in zip(layouts, groups):
         min_x, max_x, min_y, max_y = P._resolve_range(
             rng4, cfg.graph_default_range)
+        sh, sw = gl.height + 1, gl.width + 1
+        local = P.GraphLayout(0, 0, gl.width, gl.height)
         vvals, vn = P._vlines(min_x, max_x)
-        vcols = (vvals - min_x) / (max_x - min_x) * gl.width + gl.origin_x
+        vcols_l = (vvals - min_x) / (max_x - min_x) * gl.width
         vok = jnp.arange(P.MAX_VLINES) < vn
-        grid_m = jnp.maximum(grid_m, P._vline_mask(gl, vcols, vok, h, w))
-        axes = P._border(gl, h, w)
-        zero_col = -min_x / (max_x - min_x) * gl.width + gl.origin_x
+        grid_m = P._vline_mask(local, vcols_l, vok, sh, sw)
+        axes = P._border(local, sh, sw)
+        zero_col = -min_x / (max_x - min_x) * gl.width
         on_x = (min_x <= 0.0) & (0.0 <= max_x)
-        axes = axes + P._vline_mask(gl, zero_col[None], on_x[None], h, w)
-        zero_row = max_y / (max_y - min_y) * gl.height + gl.origin_y
+        axes = axes + P._vline_mask(local, zero_col[None], on_x[None],
+                                    sh, sw)
+        zero_row = max_y / (max_y - min_y) * gl.height
         on_y = (min_y <= 0.0) & (0.0 <= max_y)
-        axes = axes + P._hline_mask(gl, zero_row, on_y, h, w)
-        axes_m = jnp.maximum(axes_m, jnp.clip(axes, 0.0, 1.0))
+        axes = axes + P._hline_mask(local, zero_row, on_y, sh, sw)
+        axes_m = jnp.clip(axes, 0.0, 1.0)
+        trace_ms = [jnp.zeros((sh, sw), jnp.float32)
+                    for _ in range(min(len(sig_colors), xs.shape[0]))]
         for s in range(xs.shape[0]):
-            m = P.trace_mask(gl, xs[s], ys[s], min_x, max_x, min_y, max_y,
-                             h, w)
+            m = P.trace_mask(local, xs[s], ys[s], min_x, max_x, min_y,
+                             max_y, sh, sw)
             i = s % len(sig_colors)
             trace_ms[i] = jnp.maximum(trace_ms[i], m)
-        ticks.append(P.PlotTicks(vcols, vvals, vn,
+        strip = composite(
+            jnp.full((sh, sw, 3), 255.0, jnp.float32),
+            [(grid_m, C.LIGHT_GRAY), (axes_m, C.BLACK)]
+            + [(m, sig_colors[i]) for i, m in enumerate(trace_ms)])
+        strips.append(strip)
+        ticks.append(P.PlotTicks(vcols_l + gl.origin_x, vvals, vn,
                                  jnp.stack([min_x, max_x]),
                                  jnp.stack([min_y, max_y])))
     canvas = jnp.full((h, w, 3), 255.0, jnp.float32)
-    layers = ([(grid_m, C.LIGHT_GRAY), (axes_m, C.BLACK)]
-              + list(zip(trace_ms, sig_colors)))
-    canvas = composite(canvas, layers)
+    for gl, strip in zip(layouts, strips):
+        canvas = canvas.at[gl.origin_y:gl.origin_y + gl.height + 1,
+                           gl.origin_x:gl.origin_x + gl.width + 1].set(
+                               strip)
     return jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8), ticks
 
 
@@ -136,9 +148,9 @@ def main():
               flush=True)
         return best
 
-    t_new = timed("strips", P.rasterize_plots)
-    t_old = timed("full-canvas", old_rasterize)
-    print(f"strips/full ratio: {t_new / t_old:.3f}", flush=True)
+    t_full = timed("full-canvas", P.rasterize_plots)   # shipped
+    t_strip = timed("strips", strip_rasterize)
+    print(f"strips/full ratio: {t_strip / t_full:.3f}", flush=True)
 
 
 if __name__ == "__main__":

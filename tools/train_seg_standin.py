@@ -48,7 +48,7 @@ def render_person(key, with_person, fr=S):
     import jax
     import jax.numpy as jnp
 
-    ks = jax.random.split(key, 16)
+    ks = jax.random.split(key, 18)
     u = lambda k, lo, hi, shape=(): jax.random.uniform(
         k, shape, jnp.float32, lo, hi)
 
@@ -102,10 +102,13 @@ def render_person(key, with_person, fr=S):
     onehot = jax.nn.one_hot(classes, C)                    # [fr, fr, 6]
     col = jnp.einsum("hwc,ck->khw", onehot, palette)       # [3, fr, fr]
     shade = 1.0 + 0.12 * jnp.sin(yf / u(key_c[4], 25.0, 70.0))
+    # Fresh keys for the noise fields (review finding, round 4: reusing
+    # ks[5]/ks[7] here coupled the background texture to hand presence/
+    # position — a spurious correlation the net could exploit).
     img = jnp.where((classes > 0)[None], col * shade[None],
-                    bg[None] + jax.random.normal(ks[5], (fr, fr))[None] * 6.0)
+                    bg[None] + jax.random.normal(ks[16], (fr, fr))[None] * 6.0)
     img = jnp.clip(
-        img + jax.random.normal(ks[7], (3, fr, fr)) * 3.0, 0.0, 255.0)
+        img + jax.random.normal(ks[17], (3, fr, fr)) * 3.0, 0.0, 255.0)
     return img, classes
 
 
