@@ -699,8 +699,13 @@ def main():
                         if on_tpu and os.path.exists(solo_path):
                             with open(solo_path) as f:
                                 solo = json.load(f)
-                            age_h = (time.time()
-                                     - os.path.getmtime(solo_path)) / 3600
+                            # Age from the IN-FILE capture timestamp: the
+                            # file is git-tracked, so mtime resets to
+                            # checkout time on a fresh clone and would
+                            # wave ancient captures through.
+                            cap_t = solo.pop("captured_at_unix",
+                                             os.path.getmtime(solo_path))
+                            age_h = (time.time() - cap_t) / 3600
                             # Merge only a CONSISTENT solo capture: same
                             # frame shape and recent (a stale file from an
                             # older code revision must not masquerade as
@@ -781,12 +786,14 @@ def main():
         _emit(res)
         if on_tpu:
             # The dedicated solo capture IS the defensible artifact; the
-            # next BENCH_ALL merges it into BENCH_PRESETS.json.
+            # next BENCH_ALL merges it into BENCH_PRESETS.json (with an
+            # in-file capture timestamp — mtime lies on fresh checkouts).
             solo_path = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 "BENCH_HOSTLIVE_SOLO.json")
             with open(solo_path, "w") as f:
-                json.dump(res, f, indent=1)
+                json.dump(dict(res, captured_at_unix=time.time()), f,
+                          indent=1)
         return
     if preset == "hostlive_pipe":
         cfg, _ = build_config(None, 1, h, w, on_tpu)

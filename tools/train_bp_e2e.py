@@ -235,17 +235,6 @@ def main():
     ok = bool((mae < 0.3 * spread).all() and pred.shape[0]
               >= 0.9 * eval_episodes * streams)
 
-    # Export the e2e-trained head as a standalone live predictor (the
-    # CLI's --bp flag; same format as the offline trainer's export).
-    pred_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "models", "bp_e2e_predictor.npz")
-    bpr.save_predictor(pred_path, tstate.params,
-                       {"f_mu": np.asarray(norm["f_mu"]),
-                        "f_sd": np.asarray(norm["f_sd"]),
-                        "l_mu": np.asarray(norm["l_mu"]),
-                        "l_sd": np.asarray(norm["l_sd"])})
-    print(f"predictor saved: {pred_path}", flush=True)
-
     rec = {
         "metric": "bp_e2e_heldout_mae_mmhg",
         "value": round(float(mae.mean()), 2),
@@ -262,6 +251,19 @@ def main():
         "compute_dtype": cfg.compute_dtype,
     }
     print(json.dumps(rec), flush=True)
+    # Export the e2e-trained head as a standalone live predictor (the
+    # CLI's --bp format) — GATED on the quality gate: a failed/smoke run
+    # must never clobber the shipped known-good head (review finding).
+    pred_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "models", "bp_e2e_predictor.npz")
+    if not ok:
+        pred_path = pred_path.replace(".npz", ".failed.npz")
+    bpr.save_predictor(pred_path, tstate.params,
+                       {"f_mu": np.asarray(norm["f_mu"]),
+                        "f_sd": np.asarray(norm["f_sd"]),
+                        "l_mu": np.asarray(norm["l_mu"]),
+                        "l_sd": np.asarray(norm["l_sd"])})
+    print(f"predictor saved: {pred_path}", flush=True)
     if on_tpu:
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "TRAINACC_r04.json")
