@@ -702,10 +702,12 @@ def main():
                             # Age from the IN-FILE capture timestamp: the
                             # file is git-tracked, so mtime resets to
                             # checkout time on a fresh clone and would
-                            # wave ancient captures through.
-                            cap_t = solo.pop("captured_at_unix",
-                                             os.path.getmtime(solo_path))
-                            age_h = (time.time() - cap_t) / 3600
+                            # wave ancient captures through.  A legacy
+                            # file WITHOUT the timestamp is rejected for
+                            # the same reason (mtime is meaningless).
+                            cap_t = solo.pop("captured_at_unix", None)
+                            age_h = (float("inf") if cap_t is None
+                                     else (time.time() - cap_t) / 3600)
                             # Merge only a CONSISTENT solo capture: same
                             # frame shape and recent (a stale file from an
                             # older code revision must not masquerade as

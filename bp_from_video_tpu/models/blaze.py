@@ -264,20 +264,29 @@ def landmark_heads(p: dict, y: Array, input_size: int
     return lm, presence, aux
 
 
-def save_standin_npz(path: str, params: dict) -> None:
+def save_standin_npz(path: str, params: dict, meta: dict | None = None) -> None:
     """Save a stand-in params pytree (nested dicts of arrays) as a flat
-    npz keyed by '/'-joined paths — no pickling, any nesting depth."""
+    npz keyed by '/'-joined paths — no pickling, any nesting depth.
+
+    ``meta`` (int-valued) is stamped under reserved ``__meta__/`` keys —
+    the geometry fingerprint (input_size, anchor count, ...) that the
+    loader verifies so an artifact trained at a different resolution or
+    anchor grid cannot pass the head-shape check and load with
+    semantically wrong geometry (advisor r4)."""
     flat = {}
     for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = "/".join(k.key for k in kp)
         flat[key] = np.asarray(leaf)
+    for k, v in (meta or {}).items():
+        flat[f"__meta__/{k}"] = np.asarray(int(v))
     np.savez(path, **flat)
 
 
-def load_standin_npz(path: str) -> dict:
+def load_standin_npz(path: str, return_meta: bool = False):
     """Inverse of :func:`save_standin_npz` (host numpy leaves — the loaded
     pytree must stay D2H-free through the packing helpers, see
-    _conv_init)."""
+    _conv_init).  ``return_meta=True`` additionally returns the
+    ``__meta__`` fingerprint dict (empty for pre-meta artifacts)."""
     out: dict = {}
     with np.load(path) as data:
         for key in data.files:
@@ -286,6 +295,9 @@ def load_standin_npz(path: str) -> dict:
             for k in parts[:-1]:
                 node = node.setdefault(k, {})
             node[parts[-1]] = data[key]
+    meta = {k: int(v) for k, v in out.pop("__meta__", {}).items()}
+    if return_meta:
+        return out, meta
     return out
 
 

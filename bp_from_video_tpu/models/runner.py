@@ -312,17 +312,23 @@ class InferenceRunner:
             "architecture stand-in; its outputs are NOT accurate "
             "(provide the asset via InferenceConfig paths / asset_dir)", key)
 
-    def _load_trained_standin(self, key: str, standin_path, expect) -> dict | None:
+    def _load_trained_standin(self, key: str, standin_path, expect,
+                              meta_expect=None) -> dict | None:
         """Load a trained procedural stand-in npz (host numpy pytree) when
         present and shape-compatible; returns None to fall back to random
         init.  ``expect``: {path-tuple: shape} leaves that must match (the
         architecture fingerprint — a stale artifact from an older head
-        layout must not half-load)."""
+        layout must not half-load).  ``meta_expect``: {name: int} entries
+        that must match the artifact's ``__meta__`` stamp — head shapes
+        alone are input-size/anchor-layout independent (1x1 convs), so an
+        artifact trained at a different resolution or anchor grid would
+        otherwise load with semantically wrong geometry (advisor r4)."""
         self.real_weights[key] = False
         if not standin_path:
             return None
         try:
-            cand = blaze.load_standin_npz(standin_path)
+            cand, meta = blaze.load_standin_npz(standin_path,
+                                                return_meta=True)
             for path_keys, shape in expect.items():
                 node = cand
                 for k in path_keys:
@@ -331,6 +337,15 @@ class InferenceRunner:
                     raise ValueError(
                         f"{'/'.join(path_keys)} shape {node.shape} != "
                         f"expected {shape}")
+            for name, want in (meta_expect or {}).items():
+                if name not in meta:
+                    raise ValueError(
+                        f"artifact lacks __meta__/{name} stamp "
+                        f"(pre-meta artifact — retrain or migrate)")
+                if meta[name] != int(want):
+                    raise ValueError(
+                        f"__meta__/{name}={meta[name]} != expected "
+                        f"{int(want)}")
         except Exception as e:  # stale/corrupt artifact: loud, non-fatal
             logger.warning(
                 "model %r: trained stand-in %r unusable (%s) — using "
@@ -369,7 +384,10 @@ class InferenceRunner:
             params = self._load_trained_standin(
                 key, standin_path,
                 {("head8_box", "w"): (1, 1, 96, 2 * box_dim),
-                 ("head16_box", "w"): (1, 1, 96, 6 * box_dim)})
+                 ("head16_box", "w"): (1, 1, 96, 6 * box_dim)},
+                meta_expect={"input_size": fallback_size,
+                             "anchors": fallback_anchors,
+                             "kps": fallback_kps})
             if params is None:
                 self._warn_standin(key)
                 params = blaze.init_blaze_detector(
@@ -511,7 +529,9 @@ class InferenceRunner:
             g = fallback_size // 32
             params = self._load_trained_standin(
                 key, standin_path,
-                {("head_lm", "w"): (192 * g * g, 3 * num_landmarks)})
+                {("head_lm", "w"): (192 * g * g, 3 * num_landmarks)},
+                meta_expect={"input_size": fallback_size,
+                             "num_landmarks": num_landmarks})
             if params is not None:
                 # Re-derive the packed stem twin from the trained stem (the
                 # artifact may predate a packing-layout change).
@@ -569,7 +589,9 @@ class InferenceRunner:
         else:
             params = self._load_trained_standin(
                 key, standin_path,
-                {("head", "w"): (1, 1, 12, SEG_CLASSES)})
+                {("head", "w"): (1, 1, 12, SEG_CLASSES)},
+                meta_expect={"input_size": fallback_size,
+                             "classes": SEG_CLASSES})
             if params is None:
                 self._warn_standin(key)
                 params = blaze.init_segmenter(_seed(key), fallback_size,
@@ -1152,6 +1174,15 @@ class InferenceRunner:
                         si = 1
                     if hand_raw is not None:
                         nh_ = hand_raw.shape[1]
+                        # hand_sub shears ALL hand slots' flattened crops
+                        # with sizes[si]/packs[si] (the first hand slot's
+                        # values) — valid only while every hand slot shares
+                        # one crop size/pack layout (advisor r4).
+                        assert all(sizes[si + j] == sizes[si]
+                                   and packs[si + j] == packs[si]
+                                   for j in range(nh_)), (
+                            "hand slots diverge in size/pack; hand_sub "
+                            "must index per-slot like full_branch")
                         hstack = jnp.stack(outs[si:si + nh_], axis=1)
 
                         def hand_sub(args):

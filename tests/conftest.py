@@ -74,5 +74,5 @@ def _hermetic_standins(request, monkeypatch):
     from bp_from_video_tpu.models.runner import InferenceRunner
     monkeypatch.setattr(
         InferenceRunner, "_load_trained_standin",
-        lambda self, key, standin_path, expect: None)
+        lambda self, key, standin_path, expect, meta_expect=None: None)
     yield

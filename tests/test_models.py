@@ -452,7 +452,8 @@ def test_trained_standin_loader(tmp_path):
 
     trained = blaze.init_blaze_landmark(99, 224, 21)
     good = str(tmp_path / "hand.npz")
-    blaze.save_standin_npz(good, trained)
+    blaze.save_standin_npz(good, trained,
+                           meta={"input_size": 224, "num_landmarks": 21})
     base = InferenceConfig(
         face_landmarker=False, hand_landmarker=True,
         face_detector_path=None, face_landmarker_path=None,
@@ -473,6 +474,23 @@ def test_trained_standin_loader(tmp_path):
     r2 = InferenceRunner(dataclasses.replace(
         base, hand_lm_standin_path=bad), 64, 64)
     assert not r2.trained_standin.get("hand_lm", False)
+
+    # Head shapes are 1x1-conv (input-size independent), so a wrong
+    # __meta__/input_size stamp — an artifact trained at a different
+    # resolution/anchor grid — must be rejected too (advisor r4), as must
+    # a pre-meta artifact carrying no stamp at all.
+    wrong_meta = str(tmp_path / "wrongmeta.npz")
+    blaze.save_standin_npz(wrong_meta, trained,
+                           meta={"input_size": 192, "num_landmarks": 21})
+    r4 = InferenceRunner(dataclasses.replace(
+        base, hand_lm_standin_path=wrong_meta), 64, 64)
+    assert not r4.trained_standin.get("hand_lm", False)
+
+    no_meta = str(tmp_path / "nometa.npz")
+    blaze.save_standin_npz(no_meta, trained)
+    r5 = InferenceRunner(dataclasses.replace(
+        base, hand_lm_standin_path=no_meta), 64, 64)
+    assert not r5.trained_standin.get("hand_lm", False)
 
     r3 = InferenceRunner(dataclasses.replace(
         base, hand_lm_standin_path=None), 64, 64)

@@ -234,3 +234,26 @@ def test_dryrun_multihost_two_processes():
     is safe under the CPU-pinned suite."""
     import __graft_entry__ as g
     g.dryrun_multihost(n_processes=2, devices_per_process=2)
+
+
+@pytest.mark.slow
+def test_dryrun_multihost_child_death_mid_step(monkeypatch):
+    """Distributed failure semantics (VERDICT r4 next #8): one rank dies
+    AFTER compile, while its sibling enters the executed step and blocks
+    in the cross-process dp gradient all-reduce.  The spawner is the
+    failure detector (the reference's e_exit broadcast, SURVEY §5.3, at
+    the process-mesh level): it must observe the death, kill the blocked
+    sibling, and raise a clean error naming the dead rank — no hang past
+    a bounded timeout, no orphan holding the coordinator port."""
+    import time
+
+    import __graft_entry__ as g
+
+    monkeypatch.setenv("_BPTPU_DCN_FAULT", "1")   # rank 1 dies mid-step
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match=r"child 1 died \(rc=17\)"):
+        g.dryrun_multihost(n_processes=2, devices_per_process=2)
+    # Warm-cache budget: 2 attempts (the spawner retries once for port
+    # races) of ~distributed-init + compile-load + fault delay each.  A
+    # hang would blow far past this.
+    assert time.time() - t0 < 600

@@ -29,7 +29,7 @@ corr(sig_i, sig_j) convention — oracle-locked in tests/test_engine.py —
 where signal j delayed by d peaks at lag -d; ground truth is therefore
 negative.)
 
-Writes TPUACC_r04.json and prints one JSON line.  CPU smoke:
+Writes TPUACC_r05.json (full-length TPU runs only) and prints one JSON line.  CPU smoke:
 ``BENCH_PLATFORM=cpu python tools/tpu_accuracy.py`` (f32, interpret-mode
 kernels skipped — the CPU path is already covered by the suite).
 """
@@ -378,11 +378,17 @@ def main():
         "steps": STEPS,
     }
     print(json.dumps(rec), flush=True)
-    if on_tpu:
+    # The round artifact is only written by a FULL-length hardware run: an
+    # ACC_STEPS-shortened smoke (rings not settled) must not masquerade as
+    # the round's accuracy claim (advisor r4).
+    if on_tpu and STEPS >= 360:
         out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "TPUACC_r04.json")
+            os.path.abspath(__file__))), "TPUACC_r05.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=1)
+    elif on_tpu:
+        print(f"tpu_accuracy: ACC_STEPS={STEPS} < 360 — smoke run, round "
+              f"artifact NOT written", file=sys.stderr, flush=True)
     sys.exit(0 if ok else 1)
 
 

@@ -308,7 +308,8 @@ def main():
     host = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
     host["stem_p"] = blaze._pack_stem(host["stem"], 3, S)
     os.makedirs(out, exist_ok=True)
-    blaze.save_standin_npz(path, host)
+    blaze.save_standin_npz(path, host,
+                           meta={"input_size": S, "num_landmarks": 21})
     print(f"saved {path}", flush=True)
 
     # --- tracking-level validation: the runner TRACKS a moving hand -------

@@ -211,7 +211,9 @@ def main():
 
     host = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
     os.makedirs(out, exist_ok=True)
-    blaze.save_standin_npz(path, host)
+    blaze.save_standin_npz(path, host,
+                           meta={"input_size": DET_S, "anchors": 2016,
+                                 "kps": 7})
     print(f"saved {path}", flush=True)
 
     # --- acquisition validation: runner acquires UNSEEDED -----------------

@@ -223,7 +223,8 @@ def main():
 
     host = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
     os.makedirs(out, exist_ok=True)
-    blaze.save_standin_npz(path, host)
+    blaze.save_standin_npz(path, host,
+                           meta={"input_size": S, "classes": 6})
     print(f"saved {path}", flush=True)
 
     rec = {"steps": steps, "batch": batch,
