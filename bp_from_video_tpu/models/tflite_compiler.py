@@ -1047,6 +1047,15 @@ def compile_tflite(data: bytes, dtype=jnp.float32, layout: str = "NHWC",
         # pytree once at the end of construction.
         if np.issubdtype(np.asarray(val).dtype, np.floating):
             params[key] = np.asarray(val, np.float32).astype(dtype)
+        elif (np.asarray(val).dtype in (np.int8, np.uint8)
+              and info.quant is not None):
+            # Hybrid dynamic-range graphs (TF>=2.20 converter) feed int8
+            # weight constants DIRECTLY into float conv/FC ops — no
+            # DEQUANTIZE node to fold.  This float-executing compiler
+            # dequantizes them at hoist time (per-channel scales included);
+            # the interpreter's extra activation-quantization noise is why
+            # int8 parity tests gate at percent, not 1e-5, level.
+            params[key] = _dequant(info, np.asarray(val)).astype(dtype)
         else:
             params[key] = np.asarray(val)
         const_keys[idx] = key

@@ -240,3 +240,188 @@ def build_segmenter() -> bytes:
 
     m = M()
     return _convert(m, m.__call__)
+
+
+# ---------------------------------------------------------------------------
+# FAITHFUL architecture twins (VERDICT r4 next #2).
+#
+# The zero-kernel fixtures above prove plumbing with closed-form outputs; the
+# builders below prove COMPILE FIDELITY for the two absent MediaPipe
+# architectures: depthwise-separable trunks with hard-swish activations,
+# residual adds, two-scale anchor heads (palm), FC landmark heads (hand), and
+# a transpose-conv + resize-bilinear decoder (segmenter) — with RANDOM
+# NONZERO weights, so parity vs the TFLite interpreter exercises real
+# arithmetic through the whole graph, not constant folding.  Per-channel
+# int8 variants come from the converter's dynamic-range quantization.
+# Ref: /root/reference/inference_runner.py:61-64 (asset contracts).
+# ---------------------------------------------------------------------------
+
+
+def _he(rng, *shape, gain=0.7):
+    fan_in = int(np.prod(shape[:-1]))
+    return (rng.standard_normal(shape) * gain
+            * np.sqrt(2.0 / fan_in)).astype(np.float32)
+
+
+def _faithful_convert(module, fn, quantize=False):
+    import tensorflow as tf
+    conv = tf.lite.TFLiteConverter.from_concrete_functions(
+        [fn.get_concrete_function()], module)
+    if quantize:
+        # Dynamic-range: per-channel int8 weights, float activations.
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    return conv.convert()
+
+
+def _make_trunk_ops(tf, rng, plan):
+    """Constants for a depthwise-separable trunk: [(dw_k, pw_k, pw_b,
+    stride, residual), ...] per block, from a (cin, cout, stride) plan."""
+    blocks = []
+    cin = plan[0]
+    for cout, stride in plan[1:]:
+        dw = tf.constant(_he(rng, 3, 3, cin, 1))
+        pw = tf.constant(_he(rng, 1, 1, cin, cout))
+        b = tf.constant((rng.standard_normal(cout) * 0.05).astype(np.float32))
+        blocks.append((dw, pw, b, stride, stride == 1 and cin == cout))
+        cin = cout
+    return blocks
+
+
+def _hswish(tf, x):
+    # The MLIR converter fuses this exact pattern into a HARD_SWISH op.
+    return x * tf.nn.relu6(x + 3.0) / 6.0
+
+
+def _run_trunk(tf, x, blocks):
+    for dw, pw, b, stride, residual in blocks:
+        y = tf.nn.depthwise_conv2d(x, dw, [1, stride, stride, 1], "SAME")
+        y = _hswish(tf, y)
+        y = tf.nn.conv2d(y, pw, 1, "SAME") + b
+        y = _hswish(tf, y)
+        x = x + y if residual else y
+    return x
+
+
+def build_faithful_hand_landmarker(quantize=False) -> bytes:
+    """MobileNet-ish 224² trunk (dw-separable, hard-swish, one residual) +
+    GAP + 4 FC heads matching the real hand_landmarks_detector contract:
+    lm [1,63], presence [1,1], handedness [1,1], world lm [1,63]."""
+    import tensorflow as tf
+
+    rng = np.random.RandomState(101)
+    stem_k = tf.constant(_he(rng, 3, 3, 3, 16))
+    blocks = _make_trunk_ops(
+        tf, rng, [16, (24, 2), (24, 1), (40, 2), (64, 2), (96, 2)])
+    fc_lm_w = tf.constant(_he(rng, 96, 63))
+    # Landmark bias spread over the crop interior keeps downstream rect
+    # geometry sane when this blob is run through the full predict path.
+    fc_lm_b = tf.constant(rng.uniform(60.0, 160.0, 63).astype(np.float32))
+    fc_pres = (tf.constant(_he(rng, 96, 1)), tf.constant(np.float32(1.5)))
+    fc_hand = (tf.constant(_he(rng, 96, 1)), tf.constant(np.float32(0.3)))
+    fc_world = tf.constant(_he(rng, 96, 63))
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, 224, 224, 3], tf.float32)])
+        def __call__(self, x):
+            y = _hswish(tf, tf.nn.conv2d(x, stem_k, 2, "SAME"))
+            y = _run_trunk(tf, y, blocks)
+            f = tf.reduce_mean(y, axis=[1, 2])              # [1, 96]
+            return (tf.matmul(f, fc_lm_w) + fc_lm_b,
+                    tf.sigmoid(tf.matmul(f, fc_pres[0]) + fc_pres[1]),
+                    tf.sigmoid(tf.matmul(f, fc_hand[0]) + fc_hand[1]),
+                    tf.matmul(f, fc_world))
+
+    m = M()
+    return _faithful_convert(m, m.__call__, quantize)
+
+
+def build_faithful_palm_detector(quantize=False) -> bytes:
+    """BlazePalm-shaped 192² detector: dw-separable trunk to strides 8 and
+    16, two-scale 1x1 heads reshaped and concatenated into the real
+    contract — regressors [1,2016,18] + logits [1,2016,1] (24·24·2
+    stride-8 anchors then 12·12·6 stride-16, cell-major)."""
+    import tensorflow as tf
+
+    rng = np.random.RandomState(103)
+    stem_k = tf.constant(_he(rng, 3, 3, 3, 16))
+    trunk8 = _make_trunk_ops(tf, rng, [16, (24, 2), (24, 1), (48, 2)])
+    trunk16 = _make_trunk_ops(tf, rng, [48, (64, 2)])
+    h8_reg = tf.constant(_he(rng, 1, 1, 48, 2 * 18))
+    h16_reg = tf.constant(_he(rng, 1, 1, 64, 6 * 18))
+    # Negative logit bias keeps random-weight detections sparse so the
+    # full predict path stays well-behaved on this blob.
+    h8_log = (tf.constant(_he(rng, 1, 1, 48, 2)),
+              tf.constant(np.float32(-3.0)))
+    h16_log = (tf.constant(_he(rng, 1, 1, 64, 6)),
+               tf.constant(np.float32(-3.0)))
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, 192, 192, 3], tf.float32)])
+        def __call__(self, x):
+            y = _hswish(tf, tf.nn.conv2d(x, stem_k, 2, "SAME"))
+            f8 = _run_trunk(tf, y, trunk8)                  # [1, 24, 24, 48]
+            f16 = _run_trunk(tf, f8, trunk16)               # [1, 12, 12, 64]
+            reg = tf.concat([
+                tf.reshape(tf.nn.conv2d(f8, h8_reg, 1, "SAME"),
+                           [1, 24 * 24 * 2, 18]),
+                tf.reshape(tf.nn.conv2d(f16, h16_reg, 1, "SAME"),
+                           [1, 12 * 12 * 6, 18])], axis=1)
+            log = tf.concat([
+                tf.reshape(tf.nn.conv2d(f8, h8_log[0], 1, "SAME")
+                           + h8_log[1], [1, 24 * 24 * 2, 1]),
+                tf.reshape(tf.nn.conv2d(f16, h16_log[0], 1, "SAME")
+                           + h16_log[1], [1, 12 * 12 * 6, 1])], axis=1)
+            return reg, log
+
+    m = M()
+    return _faithful_convert(m, m.__call__, quantize)
+
+
+def build_faithful_segmenter(quantize=False) -> bytes:
+    """selfie_multiclass-shaped 256² segmenter: dw-separable encoder,
+    residual mid block, TRANSPOSE_CONV + RESIZE_BILINEAR decoder with
+    encoder skip adds, 6-class softmax at full resolution."""
+    import tensorflow as tf
+
+    rng = np.random.RandomState(107)
+    stem_k = tf.constant(_he(rng, 3, 3, 3, 12))
+    enc1 = _make_trunk_ops(tf, rng, [12, (16, 2)])
+    enc2 = _make_trunk_ops(tf, rng, [16, (24, 2)])
+    mid = _make_trunk_ops(tf, rng, [24, (24, 1)])
+    up1_k = tf.constant(_he(rng, 3, 3, 16, 24))    # transpose conv 24->16
+    dec2_k = tf.constant(_he(rng, 1, 1, 16, 12))
+    head_k = tf.constant(_he(rng, 1, 1, 12, 6))
+    head_b = tf.constant((rng.standard_normal(6) * 0.3).astype(np.float32))
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, 256, 256, 3], tf.float32)])
+        def __call__(self, x):
+            s = _hswish(tf, tf.nn.conv2d(x, stem_k, 2, "SAME"))  # 128, 12
+            e1 = _run_trunk(tf, s, enc1)                         # 64, 16
+            e2 = _run_trunk(tf, e1, enc2)                        # 32, 24
+            m_ = _run_trunk(tf, e2, mid)                         # 32, 24
+            d1 = tf.nn.conv2d_transpose(
+                m_, up1_k, [1, 64, 64, 16], strides=2, padding="SAME")
+            d1 = _hswish(tf, d1 + e1)                            # 64, 16
+            d2 = tf.image.resize(d1, [128, 128], "bilinear")
+            d2 = _hswish(tf, tf.nn.conv2d(d2, dec2_k, 1, "SAME") + s)
+            logits = tf.nn.conv2d(d2, head_k, 1, "SAME") + head_b
+            full = tf.image.resize(logits, [256, 256], "bilinear")
+            return tf.nn.softmax(full)
+
+    m = M()
+    return _faithful_convert(m, m.__call__, quantize)
+
+
+def build_faithful_hand_task_bundle() -> bytes:
+    """hand_landmarker.task twin with FAITHFUL nets under the real bundle's
+    member names."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("palm_detection.tflite", build_faithful_palm_detector())
+        z.writestr("hand_landmarks_detector.tflite",
+                   build_faithful_hand_landmarker())
+    return buf.getvalue()
