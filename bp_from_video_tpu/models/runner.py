@@ -194,6 +194,19 @@ def _safe_rect(a: Array, width: int, height: int) -> warp.Rect:
     return _arr_rect(a)
 
 
+def _pow2_ladder(m: int) -> list[int]:
+    """[1, 2, 4, ...] capped by (and always ending at) ``m`` — the static
+    sub-batch sizes a scalar switch picks from so a compacted gather pays
+    for the gated count's power-of-two, not the full budget."""
+    out = []
+    p = 1
+    while p < m:
+        out.append(p)
+        p *= 2
+    out.append(m)
+    return out
+
+
 class InferenceRunner:
     """Builds the compiled model set and exposes a pure ``predict`` step.
 
@@ -1151,25 +1164,40 @@ class InferenceRunner:
                     # vice versa) — the served-mask merge would discard
                     # them anyway.
                     if face_raw is not None:
-                        def face_sub(args):
-                            base, fp0 = args
-                            kf = min(k, s)
-                            order = jnp.argsort(-tilt_f)[:kf]
-                            served = gated_f[order]
-                            sub = jax.vmap(lambda f_, ra: shear_one(
-                                f_, ra, sizes[0], packs[0]))(
-                                    gather_nhwc(order), face_raw[order])
-                            bsel = served.reshape(
-                                (-1,) + (1,) * (base.ndim - 1))
-                            merged = base.at[order].set(
-                                jnp.where(bsel, sub, base[order]))
-                            fp1 = fp0.at[order].set(
-                                jnp.where(served[:, None],
-                                          face_raw[order], fp0[order]))
-                            return merged, fp1
+                        def make_face_sub(kf):
+                            def face_sub(args):
+                                base, fp0 = args
+                                order = jnp.argsort(-tilt_f)[:kf]
+                                served = gated_f[order]
+                                sub = jax.vmap(lambda f_, ra: shear_one(
+                                    f_, ra, sizes[0], packs[0]))(
+                                        gather_nhwc(order), face_raw[order])
+                                bsel = served.reshape(
+                                    (-1,) + (1,) * (base.ndim - 1))
+                                merged = base.at[order].set(
+                                    jnp.where(bsel, sub, base[order]))
+                                fp1 = fp0.at[order].set(
+                                    jnp.where(served[:, None],
+                                              face_raw[order], fp0[order]))
+                                return merged, fp1
+                            return face_sub
 
+                        # Pay only for what is served: the compacted
+                        # sub-batch is sized to the GATED count in powers
+                        # of two behind a scalar switch, so one tilted
+                        # subject costs a 1-crop shear regardless of the
+                        # configured budget (VERDICT r4 next #4 — budget 8
+                        # used to run 8 mostly-idle shear crops).
+                        kfs = _pow2_ladder(min(k, s))
+                        idx_f = jnp.clip(jnp.searchsorted(
+                            jnp.asarray(kfs, jnp.int32),
+                            n_f.astype(jnp.int32)), 0, len(kfs) - 1)
                         outs[0], fp = jax.lax.cond(
-                            n_f > 0, face_sub, lambda a: a,
+                            n_f > 0,
+                            lambda a: jax.lax.switch(
+                                idx_f, [make_face_sub(kf) for kf in kfs],
+                                a),
+                            lambda a: a,
                             (outs[0], face_cover))
                         si = 1
                     if hand_raw is not None:
@@ -1185,32 +1213,43 @@ class InferenceRunner:
                             "must index per-slot like full_branch")
                         hstack = jnp.stack(outs[si:si + nh_], axis=1)
 
-                        def hand_sub(args):
-                            hstack0, hp0 = args
-                            kh = min(k, s * nh_)
-                            flat_raw = hand_raw.reshape(s * nh_, 5)
-                            order = jnp.argsort(-tilt_h.reshape(-1))[:kh]
-                            served = gated_h.reshape(-1)[order]
-                            sub = jax.vmap(lambda f_, ra: shear_one(
-                                f_, ra, sizes[si], packs[si]))(
-                                    gather_nhwc(order // nh_),
-                                    flat_raw[order])
-                            hflat = hstack0.reshape(
-                                (s * nh_,) + hstack0.shape[2:])
-                            bsel = served.reshape(
-                                (-1,) + (1,) * (hflat.ndim - 1))
-                            hflat = hflat.at[order].set(
-                                jnp.where(bsel, sub, hflat[order]))
-                            hpf = hp0.reshape(s * nh_, 5)
-                            hpf = hpf.at[order].set(
-                                jnp.where(served[:, None],
-                                          flat_raw[order], hpf[order]))
-                            return (hflat.reshape((s, nh_)
-                                                  + hflat.shape[1:]),
-                                    hpf.reshape(s, nh_, 5))
+                        def make_hand_sub(kh):
+                            def hand_sub(args):
+                                hstack0, hp0 = args
+                                flat_raw = hand_raw.reshape(s * nh_, 5)
+                                order = jnp.argsort(
+                                    -tilt_h.reshape(-1))[:kh]
+                                served = gated_h.reshape(-1)[order]
+                                sub = jax.vmap(lambda f_, ra: shear_one(
+                                    f_, ra, sizes[si], packs[si]))(
+                                        gather_nhwc(order // nh_),
+                                        flat_raw[order])
+                                hflat = hstack0.reshape(
+                                    (s * nh_,) + hstack0.shape[2:])
+                                bsel = served.reshape(
+                                    (-1,) + (1,) * (hflat.ndim - 1))
+                                hflat = hflat.at[order].set(
+                                    jnp.where(bsel, sub, hflat[order]))
+                                hpf = hp0.reshape(s * nh_, 5)
+                                hpf = hpf.at[order].set(
+                                    jnp.where(served[:, None],
+                                              flat_raw[order], hpf[order]))
+                                return (hflat.reshape((s, nh_)
+                                                      + hflat.shape[1:]),
+                                        hpf.reshape(s, nh_, 5))
+                            return hand_sub
 
+                        # Same pay-per-serve ladder as the face kind.
+                        khs = _pow2_ladder(min(k, s * nh_))
+                        idx_h = jnp.clip(jnp.searchsorted(
+                            jnp.asarray(khs, jnp.int32),
+                            n_h.astype(jnp.int32)), 0, len(khs) - 1)
                         hstack, hp = jax.lax.cond(
-                            n_h > 0, hand_sub, lambda a: a,
+                            n_h > 0,
+                            lambda a: jax.lax.switch(
+                                idx_h, [make_hand_sub(kh) for kh in khs],
+                                a),
+                            lambda a: a,
                             (hstack, hand_cover))
                         for j in range(nh_):
                             outs[si + j] = hstack[:, j]

@@ -211,3 +211,41 @@ def test_hybrid_gate_ignores_stale_untracked_rects():
     # pre-fix the stale 30-degree rect tripped the gate onto shear.
     np.testing.assert_allclose(p_h, p_c, atol=1.0)
     assert np.nanmean(np.abs(p_h - p_c)) < 0.05
+
+
+def test_pow2_ladder_unit():
+    from bp_from_video_tpu.models.runner import _pow2_ladder
+    assert _pow2_ladder(1) == [1]
+    assert _pow2_ladder(2) == [1, 2]
+    assert _pow2_ladder(4) == [1, 2, 4]
+    assert _pow2_ladder(5) == [1, 2, 4, 5]
+    assert _pow2_ladder(8) == [1, 2, 4, 8]
+
+
+@pytest.mark.slow
+def test_hybrid_ladder_intermediate_count_serves_all_gated():
+    """3 of 4 streams tilted with budget 4: the pay-per-serve switch picks
+    the 4-crop rung (first pow2 >= 3) and every gated stream must still
+    get the shear-grade view while the upright one stays on cover
+    (VERDICT r4 next #4 — sizing must never trade fidelity)."""
+    frame = _frame()
+    frames = jnp.stack([frame] * 4)
+    hybrid = _runner("hybrid", use_pallas=True, pallas_interpret=True,
+                     shear_subbatch=4)
+    shear = _runner("shear")
+    cover = _runner("cover", use_pallas=True, pallas_interpret=True)
+
+    degs = (0.0, 25.0, 30.0, 35.0)
+    st_b = jax.tree.map(lambda *a: jnp.stack(a),
+                        *[_tracked_state(hybrid, d) for d in degs])
+    _, res = jax.jit(hybrid.predict_batch)(hybrid.params, st_b, frames)
+    got = np.asarray(res.face_landmarker.points, np.float64)
+
+    for i, deg in enumerate(degs[1:], start=1):
+        p_s = _points(shear, deg, frame)
+        finite = (np.isfinite(got[i]).all(axis=-1)
+                  & np.isfinite(p_s[0]).all(axis=-1))
+        d = np.linalg.norm(got[i] - p_s[0], axis=-1)[finite]
+        assert np.mean(d) < 3.0, (i, np.mean(d))
+    p_c0 = _points(cover, 0.0, frame)
+    np.testing.assert_allclose(got[0], p_c0, atol=1.0)
