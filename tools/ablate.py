@@ -438,11 +438,20 @@ def main():
             scan_time("correlation only", step, carry0, clip_len, streams)
 
         elif v == "flm":
+            # Whole-batch call when the graph was compiled batch_flexible
+            # (the production predict_batch path); vmapping batch-1 calls
+            # through the PALLAS_BN chain breaks at small S and would
+            # mis-attribute anyway.
+            def flm_call(x256):
+                if "flm_lm_batch" in eng.runner._fns:
+                    return eng.runner._fns["flm_lm_batch"](
+                        ms.params["flm_lm"], x256)
+                return jax.vmap(lambda x: eng.runner._fns["flm_lm"](
+                    ms.params["flm_lm"], x[None]))(x256)
+
             def step(carry, i):
                 x256 = carry
-                lm, pres, _ = jax.vmap(
-                    lambda x: eng.runner._fns["flm_lm"](
-                        ms.params["flm_lm"], x[None]))(x256)
+                lm, pres, _ = flm_call(x256)
                 x256_2 = x256 + 0.001 * jnp.mean(lm).astype(x256.dtype)
                 return x256_2, jnp.mean(lm)
             shape = ((streams, 12, 128, 128)
@@ -468,11 +477,16 @@ def main():
 
         elif v == "nets":
             # Landmark nets on pre-cropped inputs, varying via carry.
+            def nets_flm_call(x256):
+                if "flm_lm_batch" in eng.runner._fns:
+                    return eng.runner._fns["flm_lm_batch"](
+                        ms.params["flm_lm"], x256)
+                return jax.vmap(lambda x: eng.runner._fns["flm_lm"](
+                    ms.params["flm_lm"], x[None]))(x256)
+
             def step(carry, i):
                 x256, x224 = carry
-                lm, pres, _ = jax.vmap(
-                    lambda x: eng.runner._fns["flm_lm"](
-                        ms.params["flm_lm"], x[None]))(x256)
+                lm, pres, _ = nets_flm_call(x256)
                 hl, hp, _ = jax.vmap(jax.vmap(
                     lambda x: eng.runner._fns["hand_lm"](
                         ms.params["hand_lm"], x[None])))(x224)

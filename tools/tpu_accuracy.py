@@ -309,6 +309,80 @@ def main():
     got_c, _, ftr_c, htr_c = measure_phase_c((0.0, 0.0))
     got_cb, got_cptt, ftr_cb, htr_cb = measure_phase_c((0.35, 0.2))
 
+    # --- Phase D: hand exit/re-entry under motion (VERDICT r4 next #7) ----
+    # Same composite scene and engine as phase C, but the hand VANISHES
+    # for ~1 s mid-run and returns at a different position AND scale
+    # (0.10h -> 0.16h palm radius, opposite corner, different rotation).
+    # Gates: the trained palm detector re-acquires within a bounded frame
+    # count, tracking actually DROPS while the hand is gone (no ghost
+    # rect), and HR + face->palm PTT recover on the NaN-masked rings —
+    # the reference's VIDEO-mode re-detection semantics
+    # (inference_runner.py:135-151) under stress, on hardware.
+    T1 = (5 * STEPS) // 12
+    GAP = max(STEPS // 12, 2)
+    T2 = T1 + GAP
+    REACQ_GATE_FRAMES = 45                        # 1.5 s at 30 Hz
+    himg2, hkps2, _, hmask2 = render_hand(
+        jax.random.key(5), True, fr=h,
+        pose=(jnp.float32(0.30 * h), jnp.float32(0.35 * h),
+              jnp.float32(-0.4), jnp.float32(0.16 * h)), with_mask=True)
+    bg_img, _, _, _ = render_hand(jax.random.key(5), False, fr=h,
+                                  with_mask=True)
+
+    def compose_right(right_img):
+        return jnp.concatenate(
+            [jnp.asarray(synth_face().transpose(2, 0, 1)),
+             jnp.clip(right_img, 0, 255).astype(jnp.uint8)], axis=2)
+
+    bases_d = jax.device_put(jnp.stack(
+        [base_c, compose_right(bg_img), compose_right(himg2)]))
+    masks_d = jax.device_put(jnp.stack(
+        [hand_c,
+         jnp.zeros((h, w_c), bool),
+         jnp.concatenate([jnp.zeros((h, w), dtype=bool),
+                          hmask2], axis=1)]))
+    hrv_d = jnp.asarray((0.35, 0.2), jnp.float32)
+
+    def body_d(params, carry, i):
+        st = carry
+        t = (i + 1.0) / FS
+        seg = (i >= T1).astype(jnp.int32) + (i >= T2).astype(jnp.int32)
+        base_d = bases_d[seg]
+        mask_d = masks_d[seg]
+        amp_face = 12.0 * pulse(hr_hz, t, hrv_d)
+        amp_hand = 12.0 * pulse(hr_hz, t - ptt_s, hrv_d)
+        g = (base_d[1].astype(jnp.int16)[None]
+             + jnp.where(upper_c[None], amp_face[:, None, None], 0.0
+                         ).astype(jnp.int16)
+             + jnp.where(mask_d[None], amp_hand[:, None, None], 0.0
+                         ).astype(jnp.int16))
+        frames = jnp.broadcast_to(base_d[None], (streams, 3, h, w_c))
+        frames = frames.at[:, 1].set(
+            jnp.clip(g, 0, 255).astype(jnp.uint8))
+        ts = t * jnp.ones((streams,), jnp.float32)
+        st, out = ms_c.engine.batch_step(params, st, frames, ts)
+        return st, (out.bpm, out.ptt, st.track.face_tracking,
+                    jnp.all(st.track.hand_tracking, axis=-1))
+
+    @jax.jit
+    def run_d(params, st):
+        return jax.lax.scan(functools.partial(body_d, params), st,
+                            jnp.arange(STEPS, dtype=jnp.float32))
+
+    _, (bpm_d, ptt_d, ftr_d, htr_d) = run_d(ms_c.params,
+                                            ms_c.init_states())
+    jax.block_until_ready(bpm_d)
+    htr_d = np.asarray(htr_d)                     # [STEPS, S] tracked
+    got_d = np.asarray(bpm_d, np.float64)[-1]
+    got_dptt = np.asarray(ptt_d, np.float64)[-1, :, 0]
+    d_pre = float(htr_d[T1 // 2:T1].mean())       # settled on pose 1
+    d_gap = float(htr_d[min(T1 + 10, T2 - 1):T2].mean())  # actually lost
+    post = htr_d[T2:]
+    d_never = ~post.any(axis=0)
+    d_reacq = np.where(d_never, post.shape[0],
+                       np.argmax(post, axis=0)).astype(np.float64)
+    ftr_d_frac = float(np.asarray(ftr_d)[STEPS // 4:].mean())
+
     want = 60.0 * np.asarray(hr_hz)
     err = np.abs(got - want[:, None])
     err_b = np.abs(got_b - want[:, None])
@@ -320,6 +394,17 @@ def main():
     err_c = np.abs(got_c - want[:, None])
     err_cb = np.abs(got_cb - want[:, None])
     err_cptt = np.abs(got_cptt - want_ptt)
+    # Phase D (exit/re-entry stress): HRV-window HR gate on both ROIs,
+    # PTT within one sample, plus the lifecycle gates computed above.
+    err_d = np.abs(got_d - want[:, None])
+    err_dptt = np.abs(got_dptt - want_ptt)
+    ok_d = bool(d_pre > 0.99 and d_gap <= 0.05
+                and not d_never.any()
+                and d_reacq.max() <= REACQ_GATE_FRAMES
+                and ftr_d_frac > 0.99
+                and np.isfinite(got_d).all() and (err_d <= 8.0).all()
+                and np.isfinite(got_dptt).all()
+                and (err_dptt <= GATE_PTT_MS).all())
     ok = bool(np.isfinite(got).all() and (err <= GATE_BPM).all()
               and np.isfinite(got_ptt).all()
               and (err_ptt <= GATE_PTT_MS).all()
@@ -331,7 +416,8 @@ def main():
               and (err_cptt <= GATE_PTT_MS).all()
               and np.isfinite(got_cb).all() and (err_cb <= 8.0).all()
               and min(ftr_c, ftr_cb) > 0.99
-              and min(htr_c, htr_cb) > 0.99)
+              and min(htr_c, htr_cb) > 0.99
+              and ok_d)
 
     rec = {
         "metric": "rppg_tpu_accuracy_max_bpm_err",
@@ -374,6 +460,24 @@ def main():
             if np.isfinite(got_cb).all() else None,
             "face_track_frac": round(min(ftr_c, ftr_cb), 4),
             "hand_track_frac": round(min(htr_c, htr_cb), 4),
+        },
+        "hand_stress_phase": {
+            "ok": ok_d,
+            "timeline_frames": {"pose1": T1, "gap": GAP,
+                                "pose2": STEPS - T2},
+            "pose_change": "palm radius 0.10h -> 0.16h, opposite corner, "
+                           "rotation 0.35 -> -0.4 rad",
+            "tracked_frac_pose1_settled": round(d_pre, 4),
+            "tracked_frac_while_gone": round(d_gap, 4),
+            "reacq_latency_frames_max": round(float(d_reacq.max()), 1),
+            "reacq_latency_frames_mean": round(float(d_reacq.mean()), 1),
+            "reacq_gate_frames": REACQ_GATE_FRAMES,
+            "never_reacquired_streams": int(d_never.sum()),
+            "max_bpm_err": round(float(err_d.max()), 2)
+            if np.isfinite(got_d).all() else None,
+            "max_ptt_err_ms": round(float(err_dptt.max()), 2)
+            if np.isfinite(got_dptt).all() else None,
+            "face_track_frac": round(ftr_d_frac, 4),
         },
         "steps": STEPS,
     }

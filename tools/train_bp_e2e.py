@@ -20,7 +20,7 @@ MAE(SBP/DBP) vs the label spread.  Checkpoint/resume is exercised
 mid-run through runtime.recorder.save_state/load_state (the round-3 ask:
 "resume/checkpoint exercised in the run").
 
-Writes TRAINACC_r04.json.  CPU smoke:
+Writes TRAINACC_r05.json.  CPU smoke:
 ``BENCH_PLATFORM=cpu EPISODES=2 EVAL_EPISODES=1 WARMUP=40 TRAIN_T=10
 ACC_STREAMS=2 python tools/train_bp_e2e.py``
 """
@@ -123,25 +123,6 @@ def main():
     tstate, _ = bpr.init_train_state(jax.random.key(0), in_dim=6)
     tstate = bpr.TrainState(tstate.params, opt.init(tstate.params),
                             tstate.step)
-    # Standardization constants from the generative truth distribution
-    # (Monte-Carlo; the offline trainer standardizes on training-split
-    # stats — raw mmHg/BPM scales through a unit-scale MLP underfit at
-    # any reasonable step budget, measured 15.5 mmHg SBP MAE vs 11.7
-    # spread before this).
-    mc = np.random.default_rng(1)
-    hr_mc = mc.uniform(60.0, 105.0, (10000,)).astype(np.float32)
-    ptt_mc = ((1000.0 / FS) * mc.uniform(2.0, 9.0, (10000,))
-              ).astype(np.float32)
-    feats_mc = np.stack([hr_mc, hr_mc, -ptt_mc], -1)
-    lab_mc = bp_labels(hr_mc, ptt_mc)
-    f_mu = np.concatenate([feats_mc.mean(0), np.full(3, 0.5)])
-    f_sd = np.concatenate([np.maximum(feats_mc.std(0), 1e-3),
-                           np.full(3, 0.5)])
-    l_mu, l_sd = lab_mc.mean(0), np.maximum(lab_mc.std(0), 1e-3)
-    norm = {k: jnp.asarray(v, jnp.float32) for k, v in
-            (("f_mu", f_mu), ("f_sd", f_sd), ("l_mu", l_mu),
-             ("l_sd", l_sd))}
-    e2e = bpr.make_e2e_train_step(ms.engine.batch_step, opt, norm=norm)
 
     def warm_body(hr_hz, ptt_s, st, i):
         t = (i + 1.0) / FS
@@ -170,7 +151,7 @@ def main():
         return tstate, losses[-1]
 
     @jax.jit
-    def eval_episode(hr_hz, ptt_s, tstate):
+    def eval_episode(hr_hz, ptt_s, tstate, norm):
         st = ms.init_states()
         st, _ = jax.lax.scan(
             functools.partial(warm_body, hr_hz, ptt_s), st,
@@ -194,16 +175,67 @@ def main():
         return (jnp.asarray(hr_hz), jnp.asarray(ptt_ms / 1000.0),
                 hr_hz * 60.0, ptt_ms.astype(np.float32))
 
+    rng = np.random.default_rng(7)
+    label_noise = float(os.environ.get("LABEL_NOISE_MMHG", "2.5"))
+
+    def noisy_labels(hr_bpm, ptt_ms):
+        """Training labels = the monotone map + Gaussian cuff noise: the
+        synthetic task must not be noise-free (VERDICT r4 weak #6 — the
+        1.45 mmHg result needed to survive label noise to mean anything).
+        Held-out eval scores against the CLEAN map, so fitting the noise
+        cannot help."""
+        lab = bp_labels(hr_bpm, ptt_ms)
+        return lab + rng.normal(0.0, label_noise, lab.shape
+                                ).astype(np.float32)
+
+    # --- standardization from the TRAINING SPLIT ONLY -----------------------
+    # Raw mmHg/BPM scales through a unit-scale MLP underfit badly (15.5
+    # mmHg SBP MAE vs 11.7 spread, round 4), so standardization stays —
+    # but the constants now come from CALIBRATION episodes' own ENGINE
+    # features and (noisy) labels, exactly like the offline trainer's
+    # training-split stats, not from the generative truth distribution
+    # (VERDICT r4 weak #6: that leaked the label map into the norm).
+    # Validity dims keep the fixed 0.5/0.5 encoding (a constant-1 training
+    # split would otherwise give them a degenerate scale).
+    calib_episodes = int(os.environ.get("CALIB_EPISODES", "3"))
+    ident = {"f_mu": jnp.zeros((6,), jnp.float32),
+             "f_sd": jnp.ones((6,), jnp.float32),
+             "l_mu": jnp.zeros((2,), jnp.float32),
+             "l_sd": jnp.ones((2,), jnp.float32)}
+    cal_f, cal_l = [], []
+    for _ in range(calib_episodes):
+        hr_hz, ptt_s, hr_bpm, ptt_ms = sample_truth(rng)
+        _, feats = eval_episode(hr_hz, ptt_s, tstate, ident)
+        f = np.asarray(feats, np.float64)
+        lab = noisy_labels(hr_bpm, ptt_ms)
+        ok_rows = np.isfinite(f).all(axis=-1)
+        cal_f.append(f[ok_rows])
+        cal_l.append(lab[ok_rows])
+    cal_f = np.concatenate(cal_f)
+    cal_l = np.concatenate(cal_l)
+    assert cal_f.shape[0] >= 2, "calibration episodes produced <2 valid rows"
+    f_mu = np.concatenate([cal_f[:, :3].mean(0), np.full(3, 0.5)])
+    f_sd = np.concatenate([np.maximum(cal_f[:, :3].std(0), 1e-3),
+                           np.full(3, 0.5)])
+    l_mu = cal_l.mean(0)
+    l_sd = np.maximum(cal_l.std(0), 1e-3)
+    norm = {k: jnp.asarray(v, jnp.float32) for k, v in
+            (("f_mu", f_mu), ("f_sd", f_sd), ("l_mu", l_mu),
+             ("l_sd", l_sd))}
+    print(f"calibration: {cal_f.shape[0]} rows, f_mu={f_mu[:3].round(2)}, "
+          f"f_sd={f_sd[:3].round(2)}, l_mu={l_mu.round(1)}, "
+          f"l_sd={l_sd.round(1)}", flush=True)
+    e2e = bpr.make_e2e_train_step(ms.engine.batch_step, opt, norm=norm)
+
     ckpt_dir = os.environ.get(
         "CKPT_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "..", ".bp_e2e_ckpt"))
-    rng = np.random.default_rng(7)
     resumed = False
     for ep in range(episodes):
         hr_hz, ptt_s, hr_bpm, ptt_ms = sample_truth(rng)
         # The engine's lag sign convention: delayed-by-d peaks at -d —
         # the regressor sees negative PTT features; labels use |PTT|.
-        labels = jnp.asarray(bp_labels(hr_bpm, ptt_ms))
+        labels = jnp.asarray(noisy_labels(hr_bpm, ptt_ms))
         tstate, loss = run_episode(hr_hz, ptt_s, labels, tstate)
         print(f"episode {ep + 1}/{episodes}: loss={float(loss):.3f}",
               flush=True)
@@ -219,8 +251,10 @@ def main():
     preds, labs = [], []
     for _ in range(eval_episodes):
         hr_hz, ptt_s, hr_bpm, ptt_ms = sample_truth(rng)
-        pred, feats = eval_episode(hr_hz, ptt_s, tstate)
+        pred, feats = eval_episode(hr_hz, ptt_s, tstate, norm)
         pred = np.asarray(pred, np.float64)
+        # Held-out labels are the CLEAN map: the score measures recovery
+        # of the underlying relation, not the training noise.
         lab = bp_labels(hr_bpm, ptt_ms)
         valid = np.isfinite(pred).all(axis=-1)
         preds.append(pred[valid])
@@ -249,6 +283,10 @@ def main():
         "resume_exercised": resumed,
         "backend": jax.default_backend(),
         "compute_dtype": cfg.compute_dtype,
+        "label_noise_mmhg": label_noise,
+        "norm_source": (f"training-split engine features/labels "
+                        f"({calib_episodes} calibration episodes); "
+                        f"no generative-truth constants"),
     }
     print(json.dumps(rec), flush=True)
     # Export the e2e-trained head as a standalone live predictor (the
@@ -266,7 +304,7 @@ def main():
     print(f"predictor saved: {pred_path}", flush=True)
     if on_tpu:
         out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "TRAINACC_r04.json")
+            os.path.abspath(__file__))), "TRAINACC_r05.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=1)
     sys.exit(0 if ok else 1)

@@ -63,6 +63,54 @@ def palm_gt(kps):
     return c, side, kp7
 
 
+def render_face_distractor(key, fr):
+    """Procedural face-like distractor: skin ellipse + hair crescent +
+    eyes/mouth, randomized geometry and palette.  Returns (rgb [3,fr,fr],
+    mask [fr,fr]).
+
+    Round-5 finding (TPUACC phase D): a palm detector trained only on
+    hand scenes FALSE-POSITIVES on faces — a skin ellipse looks like a
+    palm blob — so when the hand leaves the frame it 're-acquires' the
+    subject's face and the hand lifecycle silently corrupts.  Faces are
+    hard negatives here, in the same procedural family as (but not
+    identical to) the accuracy tools' synth_face."""
+    import jax
+    import jax.numpy as jnp
+
+    ks = jax.random.split(key, 10)
+    u = lambda k, lo, hi, shape=(): jax.random.uniform(
+        k, shape, jnp.float32, lo, hi)
+    yy, xx = jnp.mgrid[0:fr, 0:fr]
+    xf, yf = xx.astype(jnp.float32), yy.astype(jnp.float32)
+
+    def ellipse(cx, cy, rx, ry):
+        return (((xf - cx) / rx) ** 2 + ((yf - cy) / ry) ** 2) <= 1.0
+
+    cx = u(ks[0], 0.22 * fr, 0.78 * fr)
+    cy = u(ks[1], 0.22 * fr, 0.78 * fr)
+    rx = u(ks[2], 0.10 * fr, 0.24 * fr)
+    ry = rx * u(ks[3], 1.15, 1.45)
+    face = ellipse(cx, cy, rx, ry)
+    hair = ellipse(cx, cy - 0.30 * ry, 1.22 * rx, 1.12 * ry) & ~face
+    eye_l = ellipse(cx - 0.40 * rx, cy - 0.18 * ry, 0.16 * rx, 0.10 * ry)
+    eye_r = ellipse(cx + 0.40 * rx, cy - 0.18 * ry, 0.16 * rx, 0.10 * ry)
+    mouth = ellipse(cx, cy + 0.48 * ry, 0.42 * rx, 0.12 * ry)
+
+    skin = (jnp.asarray([205.0, 170.0, 140.0])
+            + u(ks[4], -45.0, 45.0, (3,)))
+    hair_c = u(ks[5], 20.0, 90.0, (3,))
+    dark = u(ks[6], 20.0, 70.0, (3,))
+    img = jnp.zeros((3, fr, fr))
+    for m, c in ((face, skin), (hair, hair_c), (eye_l, dark),
+                 (eye_r, dark), (mouth, dark)):
+        img = jnp.where(m[None], c[:, None, None], img)
+    shade = 1.0 + 0.10 * jnp.sin(yf / u(ks[7], 25.0, 60.0))
+    img = jnp.clip(img * shade[None]
+                   + jax.random.normal(ks[8], (3, fr, fr)) * 3.0,
+                   0.0, 255.0)
+    return img, face | hair
+
+
 def main():
     if not os.environ.get("BENCH_PLATFORM"):
         from bp_from_video_tpu.utils.tunnel import wait_for_tpu
@@ -99,8 +147,18 @@ def main():
     opt_state = opt.init(params)
 
     def sample(key, with_hand):
-        """One letterboxed training frame + decode-inverse targets."""
-        img, kps, pres = render_hand(key, with_hand, FR)   # [3, FR, FR]
+        """One letterboxed training frame + decode-inverse targets.
+
+        Half the frames (hand-present AND hand-free alike) carry a
+        face-like distractor painted UNDER the hand — a hard negative the
+        logits must reject (see render_face_distractor)."""
+        k_hand, k_face, k_gate = jax.random.split(key, 3)
+        img, kps, pres, hmask = render_hand(k_hand, with_hand, FR,
+                                            with_mask=True)
+        fimg, fmask = render_face_distractor(k_face, FR)
+        put_face = (jax.random.uniform(k_gate, ()) < 0.5)
+        paint = fmask & ~hmask & put_face
+        img = jnp.where(paint[None], fimg, img)
         lb = warp.letterbox(jnp.transpose(img, (1, 2, 0)), DET_S)
         x = jnp.transpose(lb.image, (2, 0, 1)) / 255.0     # planar, zero1
         # Frame px -> letterbox-normalized (the decode coordinate space):
@@ -182,7 +240,11 @@ def main():
     hits, c_errs, rot_errs = [], [], []
     for i in range(64):
         key = jax.random.key(9000 + i)
-        img, kps, _ = render_hand(key, True, FR)
+        img, kps, _, hmask = render_hand(key, True, FR, with_mask=True)
+        if i % 2 == 1:   # half the eval scenes carry the face distractor
+            fimg, fmask = render_face_distractor(
+                jax.random.key(500 + i), FR)
+            img = jnp.where((fmask & ~hmask)[None], fimg, img)
         lb = warp.letterbox(jnp.transpose(img, (1, 2, 0)), DET_S)
         x = jnp.transpose(lb.image, (2, 0, 1)) / 255.0
         nms = detect_one(params, x)
@@ -209,19 +271,43 @@ def main():
           f"{np.mean(c_errs):.1f} px, rot err {np.mean(rot_errs):.1f} deg",
           flush=True)
 
+    # Face-only rejection: hand-free scenes with ONLY the face distractor
+    # must yield zero detections (the phase-D lifecycle depends on it —
+    # a false palm on the face silently corrupts the hand ROI when the
+    # real hand leaves the frame).
+    false_pos = 0
+    n_reject = 48
+    for i in range(n_reject):
+        img, _, _, _ = render_hand(jax.random.key(12000 + i), False, FR,
+                                   with_mask=True)
+        fimg, fmask = render_face_distractor(jax.random.key(700 + i), FR)
+        img = jnp.where(fmask[None], fimg, img)
+        lb = warp.letterbox(jnp.transpose(img, (1, 2, 0)), DET_S)
+        nms = detect_one(params,
+                         jnp.transpose(lb.image, (2, 0, 1)) / 255.0)
+        false_pos += int(int(nms.count) > 0)
+    face_fp_rate = false_pos / n_reject
+    print(f"face-only rejection: {false_pos}/{n_reject} false acquires "
+          f"({face_fp_rate:.3f})", flush=True)
+
     host = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
     os.makedirs(out, exist_ok=True)
-    blaze.save_standin_npz(path, host,
+    # Candidate-then-promote: the acquisition validation below loads the
+    # artifact through the runner path, but a failed/smoke run must never
+    # clobber the shipped known-good detector.
+    cand_path = path.replace(".npz", ".candidate.npz")
+    blaze.save_standin_npz(cand_path, host,
                            meta={"input_size": DET_S, "anchors": 2016,
                                  "kps": 7})
-    print(f"saved {path}", flush=True)
+    print(f"saved candidate {cand_path}", flush=True)
 
     # --- acquisition validation: runner acquires UNSEEDED -----------------
     from bp_from_video_tpu.config import InferenceConfig, RunningMode
     from bp_from_video_tpu.models.runner import InferenceRunner
 
     cfg = InferenceConfig(face_landmarker=False, hand_landmarker=True,
-                          running_mode=RunningMode.VIDEO, max_hands=1)
+                          running_mode=RunningMode.VIDEO, max_hands=1,
+                          palm_det_standin_path=cand_path)
     H = W = 256
     runner = InferenceRunner(cfg, H, W)
     predict = jax.jit(runner.predict)
@@ -262,13 +348,27 @@ def main():
            if c_errs else None,
            "held_out_rot_err_deg": round(float(np.mean(rot_errs)), 1)
            if rot_errs else None,
+           "face_only_false_acquire_rate": round(face_fp_rate, 3),
+           "face_reject_gate": 0.05,
            "acq_first_hit_frame": first,
            "acq_steady_tracked": round(acq_frac, 3),
-           "acq_mean_landmark_px": round(mean_err, 2),
+           "acq_mean_landmark_px": (round(mean_err, 2)
+                                    if np.isfinite(mean_err) else None),
+           "ok": bool(hit_rate >= 0.9 and face_fp_rate <= 0.05
+                      and acq_frac >= 0.9),
            "backend": jax.default_backend()}
     print(json.dumps(rec), flush=True)
-    with open(os.path.join(out, "palm_det_standin_synth.json"), "w") as f:
+    if rec["ok"]:
+        os.replace(cand_path, path)
+        print(f"promoted {path}", flush=True)
+    else:
+        print(f"gates failed — candidate left at {cand_path}, shipped "
+              f"artifact untouched", flush=True)
+    with open(os.path.join(out, "palm_det_standin_synth.json"
+                           if rec["ok"] else
+                           "palm_det_standin_synth.failed.json"), "w") as f:
         json.dump(rec, f, indent=1)
+    sys.exit(0 if rec["ok"] else 1)
 
 
 if __name__ == "__main__":
