@@ -117,7 +117,8 @@ def build_config(preset: str | None, streams: int, h: int, w: int,
 def measure(cfg, metric: str, clip_len: int, reps: int,
             render: bool = False, lost: int | None = None,
             tilt_deg: float | None = None,
-            tilt_k: int | None = None) -> dict:
+            tilt_k: int | None = None,
+            micro_batch: int | None = None) -> dict:
     """Compile the fused multi-stream step for ``cfg`` and measure
     steady-state frames/sec/chip over ``reps`` scans of ``clip_len``.
 
@@ -176,11 +177,27 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
             tmask = (jnp.arange(streams) < tilt_k)[:, None]
             tilt_rect = jnp.where(tmask, tilt_rect[None], up[None])  # [S,5]
 
+    f_n = micro_batch or 1
+
     def body(params, frame_buf, carry, i):
         st, key = carry
-        frames = jax.lax.dynamic_index_in_dim(
-            frame_buf, jnp.mod(i.astype(jnp.int32), n_buf), keepdims=False)
-        ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
+        if micro_batch:
+            # Lagged-rect micro-batch: F frames per dispatch (frames
+            # [F, S, 3, H, W], per-frame timestamps).  ``i`` counts
+            # windows; frame j of window i is global frame i*F + j.
+            frames = jnp.stack([
+                jax.lax.dynamic_index_in_dim(
+                    frame_buf,
+                    jnp.mod((i.astype(jnp.int32) * f_n + j), n_buf),
+                    keepdims=False)
+                for j in range(f_n)])
+            ts = ((i * f_n + 1.0 + jnp.arange(f_n, dtype=jnp.float32))
+                  [:, None] * dt * jnp.ones((1, streams), jnp.float32))
+        else:
+            frames = jax.lax.dynamic_index_in_dim(
+                frame_buf, jnp.mod(i.astype(jnp.int32), n_buf),
+                keepdims=False)
+            ts = (i + 1.0) * dt * jnp.ones((streams,), jnp.float32)
         # Hold steady tracking: the operating point with a subject in frame
         # (random frames cannot engage real-weight tracking by themselves).
         # BENCH_LOST=k forces k streams' tracking OFF every step instead —
@@ -200,8 +217,13 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
             tr = tr._replace(
                 face_rect=jnp.broadcast_to(tilt_rect, tr.face_rect.shape),
                 hand_rects=jnp.broadcast_to(hand_r, tr.hand_rects.shape))
-        st, out = ms.engine.batch_step(params, EngineState(st.signals, tr),
-                                       frames, ts)
+        if micro_batch:
+            st, out = ms.engine.batch_step_lagged(
+                params, EngineState(st.signals, tr), frames, ts)
+            frames = frames[-1]      # display composes the LAST frame
+        else:
+            st, out = ms.engine.batch_step(
+                params, EngineState(st.signals, tr), frames, ts)
         extra = jnp.float32(0.0)
         if drawer is not None and render == "display":
             sel = jax.tree.map(lambda a: a[0], out)
@@ -243,9 +265,9 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
                               jnp.float32((r + 1) * clip_len))
         jax.block_until_ready(bpm)
         elapsed = time.perf_counter() - t0
-        best = max(best, (clip_len * streams) / elapsed)
+        best = max(best, (clip_len * streams * f_n) / elapsed)
 
-    return {
+    res = {
         "metric": metric,
         "value": round(best, 2),
         "unit": "frames/sec/chip",
@@ -254,6 +276,12 @@ def measure(cfg, metric: str, clip_len: int, reps: int,
         "clip_len": clip_len,
         "frame_hw": [h, w],
     }
+    if micro_batch:
+        res["micro_batch"] = micro_batch
+        res["note"] = ("lagged-rect temporal micro-batch: crops use the "
+                       "pre-window tracking rects (lag <= F frames), "
+                       "vitals/analysis update once per F frames")
+    return res
 
 
 def measure_hostlive(cfg, metric: str, n_frames: int = 24) -> dict:
@@ -601,6 +629,7 @@ def main():
                  for p in ("butter_welch_face", "dual_roi_ls",
                            "segmenter_fir", "ptt_filtered", "multistream")]
         specs.append(("multistream_disp", 8))
+        specs.append(("multistream_mb4", 8))
         specs.append(("live", 1))
         specs.append(("hostlive", 1))
         specs.append(("hostlive_pipe", 1))
@@ -623,11 +652,14 @@ def main():
             res = None
             live = preset == "live"
             lost1 = preset == "lost1"
+            mb = (int(preset.rsplit("mb", 1)[1])
+                  if preset and preset.startswith("multistream_mb")
+                  else None)
             special = preset in ("live", "lost1", "hostlive",
                                  "hostlive_pipe", "lifecycle",
                                  "hybrid_up", "hybrid_tilt25",
                                  "hybrid_tilt25_k1", "segskin",
-                                 "multistream_disp")
+                                 "multistream_disp") or mb is not None
             single = preset in ("live", "hostlive", "hostlive_pipe")
             for attempt, s_try in enumerate((s, s, max(s // 2, 8),
                                              max(s // 4, 8)) if not single
@@ -635,7 +667,8 @@ def main():
                 cfg, metric = build_config(
                     "butter_welch_face" if preset == "lifecycle"
                     else "segmenter_fir" if preset == "segskin"
-                    else "multistream" if preset == "multistream_disp"
+                    else "multistream" if (preset == "multistream_disp"
+                                           or mb is not None)
                     else (None if special else preset), s_try, h, w, on_tpu)
                 if live:
                     metric = "rppg_live_step_latency"
@@ -677,6 +710,11 @@ def main():
                     # point, priced ≥ ~9k fps).
                     cfg = dataclasses.replace(cfg, inference=dataclasses.replace(
                         cfg.inference, rotation_mode="hybrid"))
+                    metric = f"rppg_fused_throughput_{preset}"
+                elif mb is not None:
+                    # The lagged-rect temporal micro-batch operating point
+                    # on the multistream preset (round-5 wall mitigation):
+                    # F frames per dispatch, one displayed window.
                     metric = f"rppg_fused_throughput_{preset}"
                 elif lost1:
                     # Mixed-tracking operating point: 1 of S streams loses
@@ -735,8 +773,10 @@ def main():
                     else:
                         res = measure(
                             cfg, metric, clip_len, reps,
-                            render=("display" if preset == "multistream_disp"
+                            render=("display" if (preset == "multistream_disp"
+                                                  or mb is not None)
                                     else preset == "multistream"),
+                            micro_batch=mb,
                             lost=1 if lost1 else None,
                             tilt_deg=(0.0 if preset == "hybrid_up" else
                                       25.0 if preset in ("hybrid_tilt25",
@@ -829,6 +869,12 @@ def main():
         cfg, _ = build_config("multistream", streams, h, w, on_tpu)
         _emit(measure(cfg, "rppg_fused_throughput_multistream_disp",
                       clip_len, reps, render="display"))
+        return
+    if preset and preset.startswith("multistream_mb"):
+        f_n = int(preset.rsplit("mb", 1)[1])
+        cfg, _ = build_config("multistream", streams, h, w, on_tpu)
+        _emit(measure(cfg, f"rppg_fused_throughput_{preset}", clip_len,
+                      reps, render="display", micro_batch=f_n))
         return
     cfg, metric = build_config(preset, streams, h, w, on_tpu)
     _emit(measure(cfg, metric, clip_len, reps,

@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "throughput); prints the settled HR per stream")
     p.add_argument("--headless", action="store_true",
                    help="no display windows (prints HR/PTT instead)")
+    p.add_argument("--micro-batch", type=int, default=None,
+                   help="offline mode: lagged-rect temporal micro-batch "
+                        "size F (F frames per dispatch, crops use the "
+                        "pre-window tracking rects, vitals update once "
+                        "per window — throughput operating point)")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--asset-dir", default=None,
                    help="directory containing the models/ TFLite assets")
@@ -249,9 +254,21 @@ def main(argv=None) -> int:
             paths, cfg, asset_dir=args.asset_dir,
             max_frames=args.max_frames, target_res=captures[0].target_res,
             crop_portrait=captures[0].crop_portrait,
-            flip_horizontally=captures[0].flip_horizontally)
+            flip_horizontally=captures[0].flip_horizontally,
+            micro_batch=args.micro_batch)
         if recorder is not None:
-            recorder.add_clip(clip_ts[:, 0], out)
+            rec_ts = clip_ts[:, 0]
+            rec_out = out
+            if args.micro_batch and args.micro_batch > 1:
+                # Micro-batch outputs are per window; record window-end
+                # timestamps so rows stay aligned (a trailing partial
+                # window has no in-range end frame — drop it).
+                rec_ts = rec_ts[args.micro_batch - 1::args.micro_batch]
+                n = min(rec_ts.shape[0], out.bpm.shape[0])
+                rec_ts = rec_ts[:n]
+                rec_out = type(out)(*(np.asarray(getattr(out, f))[:n]
+                                      for f in out._fields))
+            recorder.add_clip(rec_ts, rec_out)
             print(f"recorded clip -> {recorder.save()}")
         settled = np.asarray(out.bpm)[out.bpm.shape[0] // 2:]
         settled_ptt = np.asarray(out.ptt)[out.ptt.shape[0] // 2:]

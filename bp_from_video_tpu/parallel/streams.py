@@ -63,6 +63,7 @@ class MultiStreamEngine:
         if mesh is None:
             self.step = jax.jit(self._vstep)
             self.run_clip = jax.jit(self._run_clip)
+            self.run_clip_lagged = jax.jit(self._run_clip_lagged)
         else:
             # Streams are independent -> shard_map over the dp axis (each
             # device runs a local vmap over its stream shard; zero
@@ -83,6 +84,13 @@ class MultiStreamEngine:
             self.run_clip = jax.jit(jax.shard_map(
                 self._run_clip, mesh=mesh,
                 in_specs=(P(), P(dp), P(None, dp), P(None, dp)),
+                out_specs=(P(dp), P(None, dp)),
+                axis_names={dp}, check_vma=False))
+            # Lagged micro-batch clip: frames [Tw, F, S, ...] — streams on
+            # axis 2, so the dp shard spec skips two leading time axes.
+            self.run_clip_lagged = jax.jit(jax.shard_map(
+                self._run_clip_lagged, mesh=mesh,
+                in_specs=(P(), P(dp), P(None, None, dp), P(None, None, dp)),
                 out_specs=(P(dp), P(None, dp)),
                 axis_names={dp}, check_vma=False))
 
@@ -156,6 +164,22 @@ class MultiStreamEngine:
         def body(st, xs):
             frame_t, ts_t = xs
             st, out = self._vstep_local(params, st, frame_t, ts_t)
+            return st, ClipOutputs(out.bpm, out.ptt, out.curr_fs)
+
+        return jax.lax.scan(body, state, (frames, timestamps))
+
+    def _run_clip_lagged(self, params, state: EngineState, frames: Array,
+                         timestamps: Array
+                         ) -> tuple[EngineState, ClipOutputs]:
+        """Scan the lagged micro-batch step over window-major frames.
+
+        frames: uint8 ``[Tw, F, S, ...]``; timestamps: ``[Tw, F, S]``.
+        Outputs are per WINDOW (one analysis per F frames — the
+        throughput operating point; engine.batch_step_lagged docstring)."""
+        def body(st, xs):
+            frame_w, ts_w = xs
+            st, out = self.engine.batch_step_lagged(params, st, frame_w,
+                                                    ts_w)
             return st, ClipOutputs(out.bpm, out.ptt, out.curr_fs)
 
         return jax.lax.scan(body, state, (frames, timestamps))

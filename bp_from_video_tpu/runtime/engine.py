@@ -170,8 +170,6 @@ class Engine:
                     timestamp: Array) -> tuple[SignalState, StepOutputs]:
         """Steps 5-11: rings, DSP chain, spectra, correlation, peaks, plot
         ranges — everything after pixel sampling."""
-        cfg = self.config.signal
-
         # 5. Raw ring push (reference :307), gated off for a stale re-send
         # of the frame already at the ring tail (roi_stage comment).
         fresh = jnp.isfinite(timestamp) & (timestamp != st.raw_x[-1])
@@ -179,6 +177,20 @@ class Engine:
                                    jnp.swapaxes(st.raw_y, 0, 1),
                                    timestamp, samples)
         raw_y = jnp.swapaxes(raw_y, 0, 1)
+        st = SignalState(roi_x, roi_y, raw_x, raw_y,
+                         st.bpm_x, st.bpm_y, st.ptt_x, st.ptt_y)
+        return self.signal_analyze(st, rois, models, timestamp, fresh)
+
+    def signal_analyze(self, st: SignalState, rois: Array,
+                       models: ModelResults, timestamp: Array,
+                       fresh: Array) -> tuple[SignalState, StepOutputs]:
+        """Steps 6-11 on ALREADY-PUSHED rings: DSP chain, spectra,
+        correlation, peak rings, HUD stats, plot ranges.  Split from
+        :meth:`signal_post` so the lagged micro-batch step can push F raw
+        samples and analyze the window once (batch_step_lagged)."""
+        cfg = self.config.signal
+        roi_x, roi_y = st.roi_x, st.roi_y
+        raw_x, raw_y = st.raw_x, st.raw_y
 
         # 6. DSP chain (reference :308).
         proc_x, proc_y = jax.vmap(
@@ -274,6 +286,80 @@ class Engine:
         signals, out = jax.vmap(self.signal_post)(
             state.signals, roi_x, roi_y, rois, models, samples, timestamps)
         return EngineState(signals, track), out
+
+    def batch_step_lagged(self, params, state: EngineState,
+                          frames_rgb: Array, timestamps: Array
+                          ) -> tuple[EngineState, StepOutputs]:
+        """Lagged-rect temporal micro-batch: F frames per stream in ONE
+        dispatch (frames [F, S, ...], timestamps [F, S]).
+
+        The multistream wall at small S is per-frame fixed cost, not net
+        FLOPs (round-5 ablation: nets are ~batch-insensitive per stream,
+        the non-net floor is ~4x worse per stream at S=8 than S=64).
+        This operating point amortizes it: all F frames are cropped with
+        the tracking rects from BEFORE the window (MediaPipe VIDEO mode
+        already crops frame t with the rect from t-1; here the lag grows
+        to at most F), the nets run once at batch F*S, F raw samples are
+        pushed into the rings, and the window analysis (DSP -> spectra ->
+        correlation -> peak rings) runs ONCE per step — so displayed
+        vitals update every F frames instead of every frame, a documented
+        fidelity-vs-throughput trade swept like hybrid rotation was.
+        Tracking state advances from the LAST frame; a stream that loses
+        tracking re-acquires with up to F frames of extra latency."""
+        f_n, s_n = timestamps.shape
+        flat = frames_rgb.reshape((f_n * s_n,) + frames_rgb.shape[2:])
+        tiled = jax.tree.map(
+            lambda a: jnp.tile(a, (f_n,) + (1,) * (a.ndim - 1)),
+            state.track)
+        track_flat, models_flat = self.runner.predict_batch(params, tiled,
+                                                            flat)
+        new_track = jax.tree.map(lambda a: a[(f_n - 1) * s_n:], track_flat)
+        models_f = jax.tree.map(
+            lambda a: a.reshape((f_n, s_n) + a.shape[1:]), models_flat)
+
+        weights_f = None
+        if self.config.inference.person_segmenter:
+            weights_f = jax.tree.map(
+                lambda a: a.reshape((f_n, s_n) + a.shape[1:]),
+                runner_mod.skin_confidence(models_flat.seg_conf))
+
+        def push_one(sig_st, inp):
+            models_1, frames_1, ts_1, w_1 = inp
+            if not self.config.inference.person_segmenter:
+                w_1 = None
+            roi_x, roi_y, rois = jax.vmap(self.roi_stage)(sig_st, models_1,
+                                                          ts_1)
+            samples = roi_ops.sample_rois_batch(
+                frames_1, rois, self.config.signal.color_channel, w_1,
+                use_pallas=self.config.inference.use_pallas,
+                interpret=self.config.inference.pallas_interpret)
+
+            def raw_push(st1, roi_x1, roi_y1, samples1, ts1):
+                fresh = jnp.isfinite(ts1) & (ts1 != st1.raw_x[-1])
+                raw_x, raw_y = sig.push_if(fresh, st1.raw_x,
+                                           jnp.swapaxes(st1.raw_y, 0, 1),
+                                           ts1, samples1)
+                return SignalState(roi_x1, roi_y1, raw_x,
+                                   jnp.swapaxes(raw_y, 0, 1),
+                                   st1.bpm_x, st1.bpm_y,
+                                   st1.ptt_x, st1.ptt_y)
+            sig_st = jax.vmap(raw_push)(sig_st, roi_x, roi_y, samples,
+                                        ts_1)
+            return sig_st, rois
+
+        wf = (weights_f if weights_f is not None
+              else jnp.zeros((f_n,), jnp.float32))
+        sig_st, rois_hist = jax.lax.scan(
+            push_one, state.signals,
+            (models_f, frames_rgb, timestamps, wf))
+
+        ts_last = timestamps[-1]
+        models_last = jax.tree.map(lambda a: a[-1], models_f)
+        fresh_last = jnp.isfinite(ts_last) & jax.vmap(
+            lambda st1, t1: t1 != st1.bpm_x[-1])(sig_st, ts_last)
+        signals, out = jax.vmap(self.signal_analyze)(
+            sig_st, rois_hist[-1], models_last, ts_last, fresh_last)
+        return EngineState(signals, new_track), out
 
     def jit_step(self):
         return jax.jit(self.step)

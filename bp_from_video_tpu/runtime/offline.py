@@ -55,7 +55,8 @@ def process_videos(paths: Sequence[str], config: EngineConfig | None = None,
                    max_frames: int | None = None, chunk: int = 256,
                    target_res: tuple[int, int] | None = None,
                    crop_portrait: bool = False,
-                   flip_horizontally: bool | None = None
+                   flip_horizontally: bool | None = None,
+                   micro_batch: int | None = None
                    ) -> tuple[ClipOutputs, np.ndarray]:
     """Run the full pipeline over recorded videos in batch.
 
@@ -63,7 +64,13 @@ def process_videos(paths: Sequence[str], config: EngineConfig | None = None,
     ``target_res`` when given — required for mixed-resolution inputs),
     stacked as streams, and scanned through the fused step in
     ``chunk``-frame device blocks.  Returns (time-major ClipOutputs
-    [T, S, ...], timestamps [T, S] seconds)."""
+    [T, S, ...], timestamps [T, S] seconds).
+
+    ``micro_batch=F`` switches to the lagged-rect temporal micro-batch
+    operating point (engine.batch_step_lagged): F frames per dispatch
+    with pre-window tracking rects, one analysis per window — output
+    rows are per WINDOW (T//F of them, each at its window-end frame),
+    trading vitals update rate for throughput."""
     config = config or EngineConfig()
     decoded = [decode_clip(p, max_frames=max_frames, target_res=target_res,
                            crop_portrait=crop_portrait,
@@ -78,6 +85,10 @@ def process_videos(paths: Sequence[str], config: EngineConfig | None = None,
                                  num_streams=len(paths))
     ms = MultiStreamEngine(config, asset_dir=asset_dir)
     state = ms.init_states()
+    if micro_batch and micro_batch > 1:
+        # Window-align the chunk so every device block reshapes cleanly to
+        # [chunk // F, F, S, ...].
+        chunk = max(micro_batch, chunk - chunk % micro_batch)
     outs = []
     for i in range(0, t_len, chunk):
         fb = frames[i:i + chunk]
@@ -95,8 +106,27 @@ def process_videos(paths: Sequence[str], config: EngineConfig | None = None,
             fb = np.concatenate([fb, np.repeat(fb[-1:], pad, axis=0)])
             tb = np.concatenate(
                 [tb, np.full((pad,) + tb.shape[1:], np.nan, np.float32)])
-        state, out = ms.run_clip(ms.params, state, jnp.asarray(fb),
-                                 jnp.asarray(tb))
-        outs.append(jax.tree.map(lambda a: np.asarray(a)[:rem], out))
+        if micro_batch and micro_batch > 1:
+            f_n = micro_batch
+            if fb.shape[0] % f_n:
+                # First-and-only block shorter than one chunk: pad to a
+                # whole number of windows (NaN pad timestamps gate the
+                # ring pushes off, as above).
+                pad = f_n - fb.shape[0] % f_n
+                fb = np.concatenate([fb, np.repeat(fb[-1:], pad, axis=0)])
+                tb = np.concatenate(
+                    [tb, np.full((pad,) + tb.shape[1:], np.nan,
+                                 np.float32)])
+            fbw = fb.reshape((fb.shape[0] // f_n, f_n) + fb.shape[1:])
+            tbw = tb.reshape((tb.shape[0] // f_n, f_n) + tb.shape[1:])
+            state, out = ms.run_clip_lagged(ms.params, state,
+                                            jnp.asarray(fbw),
+                                            jnp.asarray(tbw))
+            kept = (rem + f_n - 1) // f_n
+            outs.append(jax.tree.map(lambda a: np.asarray(a)[:kept], out))
+        else:
+            state, out = ms.run_clip(ms.params, state, jnp.asarray(fb),
+                                     jnp.asarray(tb))
+            outs.append(jax.tree.map(lambda a: np.asarray(a)[:rem], out))
     return (ClipOutputs(*[np.concatenate([getattr(o, f) for o in outs])
                           for f in ClipOutputs._fields]), ts)

@@ -239,3 +239,57 @@ def test_stale_batch_resend_does_not_advance_rings():
     # A genuinely fresh timestamp advances again.
     state3, _ = step(eng.params, state2, frame, jnp.float32(5 / 30.0))
     assert float(np.asarray(state3.signals.raw_x)[-1]) == np.float32(5 / 30.0)
+
+
+def _tiny_lagged_engine(streams=2):
+    cfg = EngineConfig(
+        frame_height=48, frame_width=64, num_streams=streams,
+        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
+        inference=InferenceConfig(
+            face_detector_path=None, face_landmarker_path=None,
+            hand_landmarker_path=None, person_segmenter_path=None))
+    eng = Engine(cfg)
+    state = jax.tree.map(
+        lambda x: jnp.stack([x] * streams), eng.init_state())
+    return eng, state
+
+
+def test_batch_step_lagged_f1_equals_batch_step():
+    """F=1 micro-batch is EXACTLY the per-frame batch step (same rects,
+    same pushes, same analysis) — the lagged path's base contract."""
+    eng, state = _tiny_lagged_engine()
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 48, 64, 3), np.uint8))
+    ts = jnp.asarray([1 / 30.0, 1 / 30.0], jnp.float32)
+    st_a, out_a = jax.jit(eng.batch_step)(eng.params, state, frames, ts)
+    st_b, out_b = jax.jit(eng.batch_step_lagged)(
+        eng.params, state, frames[None], ts[None])
+    for a, b in zip(jax.tree.leaves((st_a, out_a)),
+                    jax.tree.leaves((st_b, out_b))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_step_lagged_ring_mechanics():
+    """F=3: the raw ring advances by exactly the 3 window timestamps per
+    step while the vitals rings advance by ONE (analysis runs once per
+    window — the documented micro-batch operating point)."""
+    eng, state = _tiny_lagged_engine()
+    rng = np.random.default_rng(5)
+    f_n = 3
+    lag = jax.jit(eng.batch_step_lagged)
+    for k in range(2):
+        frames = jnp.asarray(rng.integers(
+            0, 256, (f_n, 2, 48, 64, 3), np.uint8))
+        base = (k * f_n + 1) / 30.0
+        ts = jnp.asarray(base + jnp.arange(f_n)[:, None] / 30.0
+                         + jnp.zeros((1, 2)), jnp.float32)
+        state, out = lag(eng.params, state, frames, ts)
+    raw_x = np.asarray(state.signals.raw_x)     # [S, N]
+    want_tail = np.asarray(ts)[:, 0]
+    np.testing.assert_allclose(raw_x[0, -f_n:], want_tail, rtol=1e-6)
+    # 6 frames pushed total; the rest of the ring is still NaN-prefilled.
+    assert np.isfinite(raw_x[0]).sum() == 2 * f_n
+    # vitals rings: one push per lagged step.
+    assert np.isfinite(np.asarray(state.signals.bpm_x)[0]).sum() == 2
+    # models output is the LAST frame's results (shape contract).
+    assert out.models.face_landmarker.points.shape[0] == 2

@@ -17,6 +17,7 @@ import logging
 import zipfile
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -40,6 +41,17 @@ def seg_tflite(tmp_path_factory):
     p = tmp_path_factory.mktemp("assets") / "selfie_multiclass.tflite"
     p.write_bytes(fx.build_segmenter())
     return str(p)
+
+
+@pytest.fixture(scope="module")
+def video_runner(hand_task):
+    """ONE shared VIDEO-mode runner + jitted predict for every test that
+    drives the fixture bundle (construction compiles both hand graphs and
+    predict traces the 2016-anchor decode — repeating that per test made
+    this module a suite-time hog).  The runner is stateless; each test
+    starts from its own init_state()."""
+    runner = InferenceRunner(_hand_cfg(hand_task), 192, 192)
+    return runner, jax.jit(runner.predict)
 
 
 def _hand_cfg(path, mode=RunningMode.VIDEO):
@@ -66,14 +78,14 @@ def expected_hand_points(frame_wh=192):
     return np.stack([x, y], axis=-1)
 
 
-def test_hand_bundle_resolves_and_decodes(hand_task):
+def test_hand_bundle_resolves_and_decodes(video_runner):
     rng = np.random.RandomState(0)
-    runner = InferenceRunner(_hand_cfg(hand_task), 192, 192)
+    runner, predict = video_runner
     assert runner.real_weights == {"palm_det": True, "hand_lm": True}
 
     state = runner.init_state()
     frame = jnp.asarray(rng.randint(0, 255, (192, 192, 3)), jnp.uint8)
-    new_state, res = runner.predict(runner.params, state, frame)
+    new_state, res = predict(runner.params, state, frame)
 
     hands = res.hand_landmarker
     assert int(hands.count) == 1
@@ -88,15 +100,15 @@ def test_hand_bundle_resolves_and_decodes(hand_task):
     assert np.isnan(np.asarray(hands.bbox[1])).all()
 
 
-def test_hand_video_mode_tracks_across_frames(hand_task):
+def test_hand_video_mode_tracks_across_frames(video_runner):
     rng = np.random.RandomState(1)
-    runner = InferenceRunner(_hand_cfg(hand_task), 192, 192)
+    runner, predict = video_runner
     state = runner.init_state()
     frame = jnp.asarray(rng.randint(0, 255, (192, 192, 3)), jnp.uint8)
-    state, res1 = runner.predict(runner.params, state, frame)
+    state, res1 = predict(runner.params, state, frame)
     # Frame 2: slot 0 tracked -> landmark rect comes from frame 1's
     # landmarks; presence stays 0.9 so the hand persists.
-    state, res2 = runner.predict(runner.params, state, frame)
+    state, res2 = predict(runner.params, state, frame)
     assert int(res2.hand_landmarker.count) == 1
     assert bool(state.hand_tracking[0])
     pts = np.asarray(res2.hand_landmarker.points[0])
@@ -216,16 +228,16 @@ def test_resize_nearest_compiles_to_interpreter_parity():
             np.testing.assert_allclose(g, w, atol=1e-6)
 
 
-def test_lost_slot_does_not_steal_tracked_hand(hand_task):
+def test_lost_slot_does_not_steal_tracked_hand(video_runner):
     """VIDEO mode, slot 0 tracking the fixture's only hand, slot 1 lost:
     the re-run palm detector's lone detection overlaps slot 0's tracked
     rect and must be SUPPRESSED (MediaPipe's association calculator) —
     without it, slot 1 locks onto the same physical hand forever."""
     rng = np.random.RandomState(5)
-    runner = InferenceRunner(_hand_cfg(hand_task), 192, 192)
+    runner, predict = video_runner
     state = runner.init_state()
     frame = jnp.asarray(rng.randint(0, 255, (192, 192, 3)), jnp.uint8)
-    state, _ = runner.predict(runner.params, state, frame)
+    state, _ = predict(runner.params, state, frame)
     assert list(np.asarray(state.hand_tracking)) == [True, False]
     # Frame 2: slot 1 is lost, the detector re-runs, and its lone
     # detection (IoU ~0.55 with slot 0's tracked rect) must be suppressed.
@@ -233,7 +245,7 @@ def test_lost_slot_does_not_steal_tracked_hand(hand_task):
     # net inflates the tracked rect ~1.5x per frame, so by frame 3 the
     # overlap legitimately drops below the 0.5 association threshold —
     # real landmark nets track the same physical hand at a stable rect.)
-    state, res = runner.predict(runner.params, state, frame)
+    state, res = predict(runner.params, state, frame)
     assert list(np.asarray(state.hand_tracking)) == [True, False]
     assert int(res.hand_landmarker.count) == 1
 

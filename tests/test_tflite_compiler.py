@@ -31,6 +31,22 @@ def _models():
     return blobs
 
 
+# Module-scoped compile cache: the suite is trace-bound and half this
+# module used to compile the SAME 471-op face-mesh graph over and over
+# (round-5 durations: planar 58 s, batch_flexible 42 s, ...).  Tests share
+# one (fn, params, jitted) triple per (model, compile-options) key; fn is
+# pure and params are never mutated, so sharing is safe.
+_COMPILE_CACHE: dict = {}
+
+
+def get_compiled(name: str, **kw):
+    key = (name, tuple(sorted(kw.items())))
+    if key not in _COMPILE_CACHE:
+        fn, params = tc.compile_tflite(_models()[name], **kw)
+        _COMPILE_CACHE[key] = (fn, params, jax.jit(fn))
+    return _COMPILE_CACHE[key]
+
+
 @pytest.mark.parametrize("layout", ["NHWC", "NCHW"])
 @pytest.mark.parametrize("name,atol", [
     ("face_detector.tflite", 5e-4),
@@ -39,7 +55,7 @@ def _models():
 ])
 def test_compiled_matches_interpreter(name, atol, layout):
     data = _models()[name]
-    fn, params = tc.compile_tflite(data, layout=layout)
+    fn, params, jfn = get_compiled(name, layout=layout)
     rng = np.random.RandomState(0)
     inputs = []
     for shape in fn.input_shapes:
@@ -49,7 +65,7 @@ def test_compiled_matches_interpreter(name, atol, layout):
             x = rng.uniform(0, 1, size=shape).astype(np.float32)
         inputs.append(x)
     ref = tflite_reference(data, inputs)
-    mine = jax.jit(fn)(params, *[jnp.asarray(x) for x in inputs])
+    mine = jfn(params, *[jnp.asarray(x) for x in inputs])
     # The interpreter may order outputs differently from graph.outputs; match
     # by shape + value proximity.
     assert len(mine) == len(ref)
@@ -64,13 +80,14 @@ def test_compiled_matches_interpreter(name, atol, layout):
 
 def test_planar_inputs_match_nhwc():
     """planar_inputs=True takes [N, C, H, W] images and matches exactly."""
-    data = _models()["face_landmarks_detector.tflite"]
-    fn, p = tc.compile_tflite(data)
-    fnp, pp = tc.compile_tflite(data, layout="NCHW", planar_inputs=True)
+    fn, p, jfn = get_compiled("face_landmarks_detector.tflite",
+                              layout="NHWC")
+    fnp, pp, jfnp = get_compiled("face_landmarks_detector.tflite",
+                                 layout="NCHW", planar_inputs=True)
     rng = np.random.RandomState(7)
     x = rng.uniform(0, 1, size=fn.input_shapes[0]).astype(np.float32)
-    a = fn(p, jnp.asarray(x))
-    b = fnp(pp, jnp.transpose(jnp.asarray(x), (0, 3, 1, 2)))
+    a = jfn(p, jnp.asarray(x))
+    b = jfnp(pp, jnp.transpose(jnp.asarray(x), (0, 3, 1, 2)))
     for m, n in zip(a, b):
         np.testing.assert_allclose(np.asarray(m), np.asarray(n),
                                    rtol=1e-6, atol=1e-6)
@@ -78,8 +95,7 @@ def test_planar_inputs_match_nhwc():
 
 @pytest.mark.slow
 def test_vmap_over_compiled_model():
-    data = _models()["face_detector.tflite"]
-    fn, params = tc.compile_tflite(data)
+    fn, params, _ = get_compiled("face_detector.tflite", layout="NHWC")
     rng = np.random.RandomState(1)
     batch = rng.uniform(0, 1, size=(3, 1, 128, 128, 3)).astype(np.float32)
     single = [np.asarray(fn(params, jnp.asarray(batch[i]))[0]) for i in range(3)]
@@ -90,9 +106,9 @@ def test_vmap_over_compiled_model():
 
 @pytest.mark.slow  # the TPU bench drives the bf16 compile path every round
 def test_bf16_compile_is_close():
-    data = _models()["face_detector.tflite"]
-    fn32, p32 = tc.compile_tflite(data)
-    fn16, p16 = tc.compile_tflite(data, dtype=jnp.bfloat16)
+    fn32, p32, _ = get_compiled("face_detector.tflite", layout="NHWC")
+    fn16, p16, _ = get_compiled("face_detector.tflite",
+                                dtype=jnp.bfloat16)
     rng = np.random.RandomState(2)
     x = rng.uniform(0, 1, size=(1, 128, 128, 3)).astype(np.float32)
     o32 = np.asarray(fn32(p32, jnp.asarray(x))[1], np.float32)
@@ -111,19 +127,19 @@ def test_graph_optimizations_are_exact(name):
     to f32 round-off, not merely to a loose behavioral tolerance.
     """
     data = _models()[name]
-    fn0, p0 = tc.compile_tflite(data, fuse_dw_pw=False)
+    fn0, p0, _ = get_compiled(name, fuse_dw_pw=False)
     rng = np.random.RandomState(3)
     x = rng.uniform(0, 1, size=fn0.input_shapes[0]).astype(np.float32)
     ref = tflite_reference(data, [x])
     ref_by_shape = {tuple(r.shape): r for r in ref}
-    fused, pf = tc.compile_tflite(data, fuse_dw_pw=True)
-    packed, ppk = tc.compile_tflite(data, fuse_dw_pw=True, pack_s2d=64)
+    fused, pf, jfused = get_compiled(name, fuse_dw_pw=True)
+    packed, ppk, jpacked = get_compiled(name, fuse_dw_pw=True, pack_s2d=64)
     # The packed graph must actually have packed ops (and no depthwise left).
     opcodes = [op.opcode for op in packed.graph.ops]
     assert "SPACE_TO_DEPTH" in opcodes
     assert "DEPTHWISE_CONV_2D" not in opcodes
-    for fn, p in ((fused, pf), (packed, ppk)):
-        for m in jax.jit(fn)(p, jnp.asarray(x)):
+    for jfn, p in ((jfused, pf), (jpacked, ppk)):
+        for m in jfn(p, jnp.asarray(x)):
             m = np.asarray(m, np.float32)
             r = ref_by_shape[tuple(m.shape)]
             scale = np.abs(r).max() + 1e-6
@@ -131,16 +147,17 @@ def test_graph_optimizations_are_exact(name):
 
 def test_packed_inputs_match_unpacked():
     """packed_inputs=True consumes pre-packed crops bit-identically."""
-    data = _models()["face_landmarks_detector.tflite"]
-    fn0, p0 = tc.compile_tflite(data, fuse_dw_pw=True, pack_s2d=64)
-    fn1, p1 = tc.compile_tflite(data, fuse_dw_pw=True, pack_s2d=64,
-                                packed_inputs=True)
+    fn0, p0, jfn0 = get_compiled("face_landmarks_detector.tflite",
+                                 fuse_dw_pw=True, pack_s2d=64)
+    fn1, p1, jfn1 = get_compiled("face_landmarks_detector.tflite",
+                                 fuse_dw_pw=True, pack_s2d=64,
+                                 packed_inputs=True)
     assert fn1.input_shapes == [(1, 128, 128, 12)]
     rng = np.random.RandomState(5)
     x = rng.uniform(0, 1, size=(1, 256, 256, 3)).astype(np.float32)
     xp = (x.reshape(1, 128, 2, 128, 2, 3).transpose(0, 1, 3, 2, 4, 5)
           .reshape(1, 128, 128, 12))
-    for a, b in zip(fn0(p0, jnp.asarray(x)), fn1(p1, jnp.asarray(xp))):
+    for a, b in zip(jfn0(p0, jnp.asarray(x)), jfn1(p1, jnp.asarray(xp))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
@@ -151,7 +168,8 @@ def test_fuse_bottlenecks_matches_unfused():
     with the unfused compiled graph (interpret-mode kernels)."""
     from jax.experimental.pallas import tpu as pltpu
     data = _models()["face_landmarks_detector.tflite"]
-    fn0, p0 = tc.compile_tflite(data, layout="NCHW", planar_inputs=True)
+    fn0, p0, _ = get_compiled("face_landmarks_detector.tflite",
+                              layout="NCHW", planar_inputs=True)
     fn1, p1 = tc.compile_tflite(data, layout="NCHW", planar_inputs=True,
                                 fuse_bn=True, fuse_bn_min_hw=0)
     ops1 = [op.opcode for op in fn1.graph.ops]
@@ -181,11 +199,13 @@ def test_fuse_bottlenecks_matches_unfused():
 def test_batch_flexible_matches_per_sample():
     """batch_flexible=True runs a whole batch through the batch-1 graph in
     one call, matching per-sample invocations exactly."""
-    data = _models()["face_landmarks_detector.tflite"]
-    fn, p = tc.compile_tflite(data, layout="NCHW", planar_inputs=True,
-                              batch_flexible=True)
+    fn, p, _ = get_compiled("face_landmarks_detector.tflite",
+                            layout="NCHW", planar_inputs=True,
+                            batch_flexible=True)
     rng = np.random.RandomState(9)
     x = rng.uniform(0, 1, (3, 3, 256, 256)).astype(np.float32)
+    # 3 batch-1 eager calls + 1 batch-3: shape-flexibility is the point,
+    # so per-shape jits would not amortize — keep eager.
     singles = [fn(p, jnp.asarray(x[i:i + 1])) for i in range(3)]
     batched = fn(p, jnp.asarray(x))
     for k, b in enumerate(batched):
@@ -203,7 +223,8 @@ def test_external_stem_matches_full_graph():
     the full compiled graph bit-for-bit (the fused_stem production path)."""
     from bp_from_video_tpu.pallas import stem_kernel as sk
     data = _models()["face_landmarks_detector.tflite"]
-    fn0, p0 = tc.compile_tflite(data, layout="NCHW", planar_inputs=True)
+    fn0, p0, _ = get_compiled("face_landmarks_detector.tflite",
+                              layout="NCHW", planar_inputs=True)
     fn1, p1 = tc.compile_tflite(data, layout="NCHW", planar_inputs=True,
                                 external_stem=True)
     meta = fn1.external_stem_meta

@@ -12,9 +12,12 @@ PY = sys.executable
 
 def test_probe_success_returns_immediately():
     t0 = time.monotonic()
-    assert wait_for_tpu(total_wait_s=60, probe_timeout_s=10,
+    assert wait_for_tpu(total_wait_s=60, probe_timeout_s=30,
                         probe_cmd=[PY, "-c", "pass"])
-    assert time.monotonic() - t0 < 8
+    # Success means ONE probe, not the 60 s retry budget.  The bound is
+    # generous: interpreter spawn alone can take several seconds when the
+    # box is loaded (this flaked at <8 s during a 4-job round-5 session).
+    assert time.monotonic() - t0 < 30
 
 
 def test_probe_failure_exhausts_budget():

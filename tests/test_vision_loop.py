@@ -210,19 +210,32 @@ def test_seg_weighted_sampling_recovers_hr_with_trained_masks():
             hand_landmarker=Detections.empty(2, 21),
             seg_class=jnp.zeros((0, 0), jnp.int32),
             seg_conf=conf, seg_valid=jnp.asarray(True))
-        step = jax.jit(eng.signal_step)
-        st = eng.init_signal_state()
-        out = None
-        base_g = img[1]
-        for i in range(150):
-            t = np.float32((i + 1) / 30.0)
-            g = (base_g
-                 + skin_m * (10.0 * np.sin(2 * np.pi * f1 * t))
-                 + hair_m * (28.0 * np.sin(2 * np.pi * f2 * t)))
-            frame = np.stack([img[0], np.clip(g, 0, 255), img[2]],
-                             axis=-1).astype(np.uint8)
-            st, out = step(st, models, jnp.asarray(frame), t)
-        return float(np.asarray(out.bpm)[0])
+        # One device scan instead of 150 per-frame dispatches (the suite
+        # is trace/dispatch-bound; frames precompute vectorized on host).
+        n_t = 150
+        ts = ((np.arange(n_t) + 1) / 30.0).astype(np.float32)
+        g = (img[1][None]
+             + skin_m[None] * (10.0 * np.sin(2 * np.pi * f1 * ts)
+                               )[:, None, None]
+             + hair_m[None] * (28.0 * np.sin(2 * np.pi * f2 * ts)
+                               )[:, None, None])
+        frames = np.stack([np.broadcast_to(img[0], g.shape),
+                           np.clip(g, 0, 255),
+                           np.broadcast_to(img[2], g.shape)],
+                          axis=-1).astype(np.uint8)
+
+        def body(st, xt):
+            fr, t = xt
+            st, out = eng.signal_step(st, models, fr, t)
+            return st, out.bpm
+
+        @jax.jit
+        def scan_all(st, fs, tss):
+            return jax.lax.scan(body, st, (fs, tss))
+
+        _, bpms = scan_all(eng.init_signal_state(), jnp.asarray(frames),
+                           jnp.asarray(ts))
+        return float(np.asarray(bpms)[-1, 0])
 
     bpm_weighted = run(True)
     bpm_control = run(False)
