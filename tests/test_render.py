@@ -120,8 +120,11 @@ def test_trace_nan_gap_blanks_columns():
 
 
 @pytest.mark.slow
-def test_drawer_headless_end_to_end():
-    """Full display stage against real engine outputs (show=False)."""
+
+@pytest.fixture(scope="module")
+def drawer_engine():
+    """Shared engine + jitted step for the Drawer end-to-end tests: each
+    used to build and trace its own full engine (suite is trace-bound)."""
     from bp_from_video_tpu.runtime.engine import Engine
 
     cfg = EngineConfig(
@@ -131,8 +134,13 @@ def test_drawer_headless_end_to_end():
             hand_landmarker_path=None, person_segmenter_path=None),
         frame_height=48, frame_width=64)
     eng = Engine(cfg)
+    return cfg, eng, jax.jit(eng.step)
+
+
+def test_drawer_headless_end_to_end(drawer_engine):
+    """Full display stage against real engine outputs (show=False)."""
+    cfg, eng, step = drawer_engine
     state = eng.init_state()
-    step = jax.jit(eng.step)
     rng = np.random.default_rng(0)
     drawer = Drawer(cfg, show=False)
     for t in range(4):
@@ -148,23 +156,13 @@ def test_drawer_headless_end_to_end():
     drawer.cleanup()
 
 
-def test_drawer_hud_unpack_values():
+def test_drawer_hud_unpack_values(drawer_engine):
     """The packed scalar block must round-trip exact HUD values (a layout
     regression would silently misprint BPM/PTT)."""
-    import dataclasses
-    from bp_from_video_tpu.runtime.engine import Engine
-
-    cfg = EngineConfig(
-        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
-        inference=InferenceConfig(
-            face_detector_path=None, face_landmarker_path=None,
-            hand_landmarker_path=None, person_segmenter_path=None),
-        frame_height=32, frame_width=32)
-    eng = Engine(cfg)
+    cfg, eng, step = drawer_engine
     state = eng.init_state()
-    frame = jnp.zeros((32, 32, 3), jnp.uint8)
+    frame = jnp.zeros((48, 64, 3), jnp.uint8)
     out = None
-    step = jax.jit(eng.step)
     for t in range(3):
         state, out = step(eng.params, state, frame, jnp.float32((t + 1) / 30))
     # Overwrite the HUD fields with known values.
@@ -183,20 +181,14 @@ def test_drawer_hud_unpack_values():
         assert np.isfinite(tk["range_x"]).all()
 
 
-def test_drawer_bp_hud():
+def test_drawer_bp_hud(drawer_engine):
     """With a trained BP head attached, the drawer computes a per-frame
     SBP/DBP estimate from the HUD vitals and stamps it (reference's
     abandoned end goal surfaced live)."""
     import jax as _jax
-    from bp_from_video_tpu.runtime.engine import Engine
     from bp_from_video_tpu.train import bp_regressor as bpr
 
-    cfg = EngineConfig(
-        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
-        inference=InferenceConfig(
-            face_detector_path=None, face_landmarker_path=None,
-            hand_landmarker_path=None, person_segmenter_path=None),
-        frame_height=48, frame_width=64)
+    cfg, eng, step = drawer_engine
     sig = cfg.signal
     in_dim = 2 * (sig.num_signals + sig.num_pairs)
     state0, _ = bpr.init_train_state(_jax.random.key(0), in_dim)
@@ -204,9 +196,7 @@ def test_drawer_bp_hud():
                            np.zeros(in_dim), np.ones(in_dim),
                            np.array([100.0, 70.0]), np.array([15.0, 10.0]))
 
-    eng = Engine(cfg)
     state = eng.init_state()
-    step = jax.jit(eng.step)
     rng = np.random.default_rng(0)
     drawer = Drawer(cfg, show=False, bp_predictor=pred)
     for t in range(3):

@@ -22,6 +22,31 @@ import jax.numpy as jnp
 from bench import _asset_dir, _enable_compile_cache
 
 
+def net_batch(eng, ms, key, x):
+    """One landmark net over a batch of crops EXACTLY as predict_batch
+    runs it: fused Pallas stem+trunk when configured, else the
+    batch_flexible compiled graph, else vmapped batch-1 calls.  (The old
+    vmapped-batch-1-always harness both crashed the PALLAS_BN chain at
+    small S and mis-attributed — it never priced the production path.)
+
+    x: packed crops [..., 4C, sz/2, sz/2] when the runner takes packed
+    inputs for ``key``, else [..., 3, sz, sz]; leading dims collapse."""
+    import jax
+    import jax.numpy as jnp
+    r = eng.runner
+    if r._use_fused_stem(key):
+        stems = r._fused_stem_batch(key, ms.params[key], x)
+        return r._fused_trunk_batch(key, ms.params[key], stems)
+    flat = x.reshape((-1,) + x.shape[-3:])
+    if key + "_batch" in r._fns:
+        lm, pres, _ = r._fns[key + "_batch"](ms.params[key], flat)
+    else:
+        lm, pres, _ = jax.vmap(
+            lambda xx: r._fns[key](ms.params[key], xx[None]))(flat)
+    # Callers only reduce these (jnp.mean) — exact shapes don't matter.
+    return lm, pres
+
+
 def scan_time(label, step, carry0, clip_len, streams, reps=3):
     """Time `jax.lax.scan(step, carry0, arange)` like bench.py does."""
     @jax.jit
@@ -438,20 +463,9 @@ def main():
             scan_time("correlation only", step, carry0, clip_len, streams)
 
         elif v == "flm":
-            # Whole-batch call when the graph was compiled batch_flexible
-            # (the production predict_batch path); vmapping batch-1 calls
-            # through the PALLAS_BN chain breaks at small S and would
-            # mis-attribute anyway.
-            def flm_call(x256):
-                if "flm_lm_batch" in eng.runner._fns:
-                    return eng.runner._fns["flm_lm_batch"](
-                        ms.params["flm_lm"], x256)
-                return jax.vmap(lambda x: eng.runner._fns["flm_lm"](
-                    ms.params["flm_lm"], x[None]))(x256)
-
             def step(carry, i):
                 x256 = carry
-                lm, pres, _ = flm_call(x256)
+                lm, pres = net_batch(eng, ms, "flm_lm", x256)
                 x256_2 = x256 + 0.001 * jnp.mean(lm).astype(x256.dtype)
                 return x256_2, jnp.mean(lm)
             shape = ((streams, 12, 128, 128)
@@ -463,9 +477,7 @@ def main():
         elif v == "hand":
             def step(carry, i):
                 x224 = carry
-                hl, hp, _ = jax.vmap(jax.vmap(
-                    lambda x: eng.runner._fns["hand_lm"](
-                        ms.params["hand_lm"], x[None])))(x224)
+                hl, hp = net_batch(eng, ms, "hand_lm", x224)
                 x224_2 = x224 + 0.001 * jnp.mean(hl).astype(x224.dtype)
                 return x224_2, jnp.mean(hl)
             shape = ((streams, 2, 12, 112, 112)
@@ -477,19 +489,10 @@ def main():
 
         elif v == "nets":
             # Landmark nets on pre-cropped inputs, varying via carry.
-            def nets_flm_call(x256):
-                if "flm_lm_batch" in eng.runner._fns:
-                    return eng.runner._fns["flm_lm_batch"](
-                        ms.params["flm_lm"], x256)
-                return jax.vmap(lambda x: eng.runner._fns["flm_lm"](
-                    ms.params["flm_lm"], x[None]))(x256)
-
             def step(carry, i):
                 x256, x224 = carry
-                lm, pres, _ = nets_flm_call(x256)
-                hl, hp, _ = jax.vmap(jax.vmap(
-                    lambda x: eng.runner._fns["hand_lm"](
-                        ms.params["hand_lm"], x[None])))(x224)
+                lm, pres = net_batch(eng, ms, "flm_lm", x256)
+                hl, hp = net_batch(eng, ms, "hand_lm", x224)
                 x256_2 = x256 + 0.001 * jnp.mean(lm).astype(x256.dtype)
                 x224_2 = x224 + 0.001 * jnp.mean(hl).astype(x224.dtype)
                 return (x256_2, x224_2), (jnp.mean(lm) + jnp.mean(hl))
