@@ -14,6 +14,28 @@ from bp_from_video_tpu.ops import chain, correlate, iir, fir, spectrum
 
 from tests.ref_oracle import ref_signal_processor
 
+import functools
+
+
+# The suite is trace/compile-bound on a 1-CPU box; these tests used to
+# execute the DSP ops EAGERLY (per-op dispatch, DFT basis matrices built
+# per call).  Jitted-with-reuse: each distinct config compiles once (and
+# lands in the persistent test cache for later runs) while the 3-4 size/
+# seed parametrizations per config share the executable.
+@functools.lru_cache(maxsize=None)
+def jit_chain(cfg):
+    return jax.jit(lambda x, y: chain.process_signal(cfg, x, y))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_spectrum(cfg):
+    return jax.jit(lambda x, y: spectrum.transform_signal(cfg, x, y))
+
+
+jit_correlate = jax.jit(correlate.correlate_pair)
+jit_sosfiltfilt = jax.jit(iir.sosfiltfilt, static_argnums=(0, 6))
+jit_filtfilt_fir = jax.jit(fir.filtfilt_fir, static_argnums=(3,))
+
 
 def make_signal(n=250, n_valid=200, fs=25.0, jitter=0.3, nan_prob=0.1,
                 seed=0, offset=100.0):
@@ -79,8 +101,8 @@ def test_chain_parity(methods, n_valid, nan_prob):
     _, ref_sig = run_oracle(methods, T.PGRAM_LS, x, y)
     ref_y = np.array(ref_sig.y, np.float64)
     ref_x = np.array(ref_sig.x, np.float64)
-    mx, my = chain.process_signal(cfg, jnp.asarray(x, jnp.float32),
-                                  jnp.asarray(y, jnp.float32))
+    mx, my = jit_chain(cfg)(jnp.asarray(x, jnp.float32),
+                            jnp.asarray(y, jnp.float32))
     scale = np.nanmax(np.abs(ref_y)) + 1e-9
     has_filter = M.FILTER_BUTTER in methods or M.FILTER_FIR in methods
     # f32 vs the oracle's f64: filters and long chains accumulate more error.
@@ -124,7 +146,7 @@ def test_sosfiltfilt_matches_scipy(k):
     n = 250
     yc = np.zeros(n, np.float32)
     yc[:k] = y
-    mine = iir.sosfiltfilt(16, jnp.float32(0.8), jnp.float32(4.0),
+    mine = jit_sosfiltfilt(16, jnp.float32(0.8), jnp.float32(4.0),
                            jnp.float32(fs), jnp.asarray(yc), jnp.int32(k),
                            n + 2 * iir.default_padlen(16))
     err = np.abs(np.asarray(mine)[:k] - ref).max()
@@ -157,7 +179,7 @@ def test_filtfilt_fir_matches_scipy(k):
     n = max(k, 250)
     yc = np.zeros(n, np.float32)
     yc[:k] = y
-    mine = fir.filtfilt_fir(jnp.asarray(h, jnp.float32), jnp.asarray(yc),
+    mine = jit_filtfilt_fir(jnp.asarray(h, jnp.float32), jnp.asarray(yc),
                             jnp.int32(k), n + 2 * 3 * taps + taps - 1)
     err = np.abs(np.asarray(mine)[:k] - ref).max()
     assert err < 2e-3 * (np.abs(ref).max() + 1e-9), err
@@ -174,8 +196,8 @@ def test_spectrum_parity(transform, n_valid, nan_prob):
     ref_f = np.array(ref_spec.x, np.float64)
     ref_m = np.array(ref_spec.y, np.float64)
     cfg = SignalConfig(spectrum_transform=transform)
-    mf, mm = spectrum.transform_signal(cfg, jnp.asarray(x, jnp.float32),
-                                       jnp.asarray(y, jnp.float32))
+    mf, mm = jit_spectrum(cfg)(jnp.asarray(x, jnp.float32),
+                               jnp.asarray(y, jnp.float32))
     mf, mm = np.asarray(mf, np.float64), np.asarray(mm, np.float64)
     kv = np.isfinite(mf).sum()
     assert kv == len(ref_f), (kv, len(ref_f))
@@ -199,8 +221,8 @@ def test_welch_segmented_matches_scipy(n_valid):
     fs = 1.0 / np.mean((x[1:] - x[:-1])[pair])
     ref_f, ref_p = scipy.signal.welch(y[w], fs)
     cfg = SignalConfig(signal_max_samples=n, spectrum_transform=T.PGRAM_WELCH)
-    mf, mm = spectrum.transform_signal(cfg, jnp.asarray(x, jnp.float32),
-                                       jnp.asarray(y, jnp.float32))
+    mf, mm = jit_spectrum(cfg)(jnp.asarray(x, jnp.float32),
+                               jnp.asarray(y, jnp.float32))
     mf, mm = np.asarray(mf, np.float64), np.asarray(mm, np.float64)
     kv = np.isfinite(mf).sum()
     assert kv == len(ref_f), (kv, len(ref_f))
@@ -222,8 +244,8 @@ def test_spectrum_peak_bpm_parity():
             ref_spec.set_range((0.8, 4.0), (0.0, 1.0))
             f_ref, _ = ref_spec.get_peak()
             cfg = SignalConfig(spectrum_transform=transform)
-            mf, mm = spectrum.transform_signal(
-                cfg, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))
+            mf, mm = jit_spectrum(cfg)(
+                jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))
             f_mine, _ = sig.peak(mf, mm, 0.8, 4.0)
             bpm_ref = 60 * f_ref
             bpm_mine = 60 * float(f_mine)
@@ -240,9 +262,9 @@ def test_correlation_parity(n_valid, nan_prob):
     ref_corr = sp.correlate_signal_pair(sa, sb)
     ref_l = np.array(ref_corr.x, np.float64)
     ref_c = np.array(ref_corr.y, np.float64)
-    ml, mc = correlate.correlate_pair(jnp.asarray(x, jnp.float32),
-                                      jnp.asarray(ya, jnp.float32),
-                                      jnp.asarray(yb, jnp.float32))
+    ml, mc = jit_correlate(jnp.asarray(x, jnp.float32),
+                           jnp.asarray(ya, jnp.float32),
+                           jnp.asarray(yb, jnp.float32))
     ml, mc = np.asarray(ml, np.float64), np.asarray(mc, np.float64)
     kv = np.isfinite(mc).sum()
     assert kv == len(ref_c)

@@ -57,8 +57,28 @@ def _tracked_state(runner, rot_deg):
 
 def _points(runner, rot_deg, frame):
     st = _tracked_state(runner, rot_deg)
-    _, res = jax.jit(runner.predict)(runner.params, st, frame)
+    # One jitted predict per runner, reused across angles: a fresh
+    # jax.jit wrapper per call retraced the whole runner every time
+    # (3 angles x 2 runners per test — pure suite-time waste).
+    jp = getattr(runner, "_test_jit_predict", None)
+    if jp is None:
+        jp = jax.jit(runner.predict)
+        runner._test_jit_predict = jp
+    _, res = jp(runner.params, st, frame)
     return np.asarray(res.face_landmarker.points, np.float64)
+
+
+
+@pytest.fixture(scope="module")
+def shear_oracle():
+    """Shared shear-mode oracle runner (module scope: 4 tests re-built it,
+    each paying real-weight construction + a fresh predict trace)."""
+    return _runner("shear")
+
+
+@pytest.fixture(scope="module")
+def cover_pallas():
+    return _runner("cover", use_pallas=True, pallas_interpret=True)
 
 
 # The non-Pallas variant covers the per-stream cond path; it duplicates
@@ -83,14 +103,14 @@ def test_hybrid_upright_matches_cover(pallas):
 
 @pytest.mark.parametrize("pallas", [
     pytest.param(False, marks=pytest.mark.slow), True])
-def test_hybrid_tilted_matches_shear(pallas):
+def test_hybrid_tilted_matches_shear(pallas, shear_oracle):
     """Past the gate the hybrid crop/projection must be the shear rotated
     view.  The shear oracle runs through the plain per-stream path, the
     pallas hybrid through packed crops + the fused stem — numerically
     equivalent (the packed stem twin is exact), so landmark agreement is
     tight; random-init nets amplify interpolation deltas, so allow px."""
     frame = _frame()
-    shear = _runner("shear")  # per-stream plain path oracle
+    shear = shear_oracle  # per-stream plain path oracle
     hybrid = _runner("hybrid", use_pallas=pallas, pallas_interpret=pallas)
     cover = _runner("cover", use_pallas=pallas, pallas_interpret=pallas)
     for deg in (25.0, -40.0):
@@ -114,7 +134,8 @@ def test_hybrid_gate_threshold_is_configurable():
     assert np.nanmean(np.abs(p_w - p_c)) < 0.05
 
 
-def test_hybrid_batch_mixed_streams_shear_subbatch():
+def test_hybrid_batch_mixed_streams_shear_subbatch(shear_oracle,
+                                                  cover_pallas):
     """One tilted stream is served by the bounded shear SUB-BATCH while
     the upright stream stays on the Pallas cover fast path (round 4: the
     whole-batch flip cost all streams 2.9x for one tilted subject —
@@ -122,8 +143,8 @@ def test_hybrid_batch_mixed_streams_shear_subbatch():
     frame = _frame()
     frames = jnp.stack([frame, frame])
     hybrid = _runner("hybrid", use_pallas=True, pallas_interpret=True)
-    shear = _runner("shear")
-    cover = _runner("cover", use_pallas=True, pallas_interpret=True)
+    shear = shear_oracle
+    cover = cover_pallas
 
     st1 = _tracked_state(hybrid, 0.0)
     st2 = _tracked_state(hybrid, 30.0)
@@ -147,7 +168,7 @@ def test_hybrid_batch_mixed_streams_shear_subbatch():
     np.testing.assert_allclose(got[0], p_c0, atol=1.0)
 
 
-def test_hybrid_subbatch_overflow_falls_back_to_full_shear():
+def test_hybrid_subbatch_overflow_falls_back_to_full_shear(shear_oracle):
     """More gated crops than the shear budget: every gated crop must
     STILL get the rotated view (the whole-batch shear fallback) — the
     budget bounds cost, never fidelity."""
@@ -155,7 +176,7 @@ def test_hybrid_subbatch_overflow_falls_back_to_full_shear():
     frames = jnp.stack([frame, frame])
     hybrid = _runner("hybrid", use_pallas=True, pallas_interpret=True,
                      shear_subbatch=1)
-    shear = _runner("shear")
+    shear = shear_oracle
 
     st_b = jax.tree.map(lambda a, b: jnp.stack([a, b]),
                         _tracked_state(hybrid, 25.0),
@@ -223,7 +244,8 @@ def test_pow2_ladder_unit():
 
 
 @pytest.mark.slow
-def test_hybrid_ladder_intermediate_count_serves_all_gated():
+def test_hybrid_ladder_intermediate_count_serves_all_gated(shear_oracle,
+                                                          cover_pallas):
     """3 of 4 streams tilted with budget 4: the pay-per-serve switch picks
     the 4-crop rung (first pow2 >= 3) and every gated stream must still
     get the shear-grade view while the upright one stays on cover
@@ -232,8 +254,8 @@ def test_hybrid_ladder_intermediate_count_serves_all_gated():
     frames = jnp.stack([frame] * 4)
     hybrid = _runner("hybrid", use_pallas=True, pallas_interpret=True,
                      shear_subbatch=4)
-    shear = _runner("shear")
-    cover = _runner("cover", use_pallas=True, pallas_interpret=True)
+    shear = shear_oracle
+    cover = cover_pallas
 
     degs = (0.0, 25.0, 30.0, 35.0)
     st_b = jax.tree.map(lambda *a: jnp.stack(a),

@@ -257,3 +257,57 @@ def test_dryrun_multihost_child_death_mid_step(monkeypatch):
     # races) of ~distributed-init + compile-load + fault delay each.  A
     # hang would blow far past this.
     assert time.time() - t0 < 600
+
+
+@pytest.mark.slow
+def test_run_clip_lagged_sharded_matches_unsharded(monkeypatch):
+    """The lagged micro-batch clip scan under shard_map(dp) must equal the
+    single-device path (streams are independent; the [Tw, F, S, ...]
+    window layout shards on axis 2).  Landmark nets are stubbed to a
+    closed form and tracking pre-seeded — random-init nets on noise
+    frames flip knife-edge presence/peak decisions between fusion orders
+    (memory: assert continuous outputs, not argmax luck)."""
+    from bp_from_video_tpu.models import blaze
+
+    def fixed_lm(p, x, input_size):
+        n_lm = p["head_lm"]["w"].shape[1] // 3
+        i = jnp.arange(n_lm, dtype=jnp.float32)
+        xs = input_size * (0.3531 + 0.2973 * (i % 5) / 4.0)
+        ys = input_size * (0.3497 + 0.3011 * jnp.floor(i / 5.0)
+                           / max(1.0, (n_lm - 1) // 5))
+        lm = jnp.stack([xs, ys, jnp.zeros_like(xs)], -1).reshape(1, -1)
+        one = jnp.ones((1, 1), jnp.float32)
+        return lm, one, one
+
+    monkeypatch.setattr(blaze, "blaze_landmark_apply", fixed_lm)
+    s, f_n, t_w = 4, 3, 3
+    cfg = tiny_config(s)
+    mesh = make_mesh({STREAM_AXIS: 4}, cpu_devices(4))
+    ms_u = MultiStreamEngine(cfg)
+    ms_s = MultiStreamEngine(cfg, mesh=mesh)
+    rng = np.random.default_rng(17)
+    frames = jnp.asarray(rng.integers(
+        0, 256, (t_w, f_n, s, cfg.frame_height, cfg.frame_width, 3),
+        dtype=np.uint8))
+    ts = jnp.asarray(
+        (np.arange(1, t_w * f_n + 1, dtype=np.float32) / 30.0
+         ).reshape(t_w, f_n)[..., None] * np.ones((1, 1, s), np.float32))
+
+    def seeded(ms):
+        st = ms.init_states()
+        tr = st.track
+        return st._replace(track=tr._replace(
+            face_tracking=jnp.ones_like(tr.face_tracking),
+            hand_tracking=jnp.ones_like(tr.hand_tracking)))
+
+    st_u, out_u = ms_u.run_clip_lagged(ms_u.params, seeded(ms_u),
+                                       frames, ts)
+    st_s, out_s = ms_s.run_clip_lagged(
+        ms_s.shard_params(ms_s.params),
+        ms_s.shard_state(seeded(ms_s)), frames, ts)
+    np.testing.assert_allclose(np.asarray(st_u.signals.raw_y),
+                               np.asarray(st_s.signals.raw_y),
+                               rtol=1e-4, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(out_u.bpm),
+                               np.asarray(out_s.bpm),
+                               rtol=1e-4, equal_nan=True)
