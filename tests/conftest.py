@@ -76,3 +76,22 @@ def _hermetic_standins(request, monkeypatch):
         InferenceRunner, "_load_trained_standin",
         lambda self, key, standin_path, expect, meta_expect=None: None)
     yield
+
+
+@pytest.fixture(scope="session")
+def tiny_engine48():
+    """Session-shared tiny engine (48x64, random-init nets) + jitted step
+    for display-layer tests: the suite is trace-bound, and test_render /
+    test_glyphs each used to build and trace their own engine."""
+    from bp_from_video_tpu.config import (EngineConfig, InferenceConfig,
+                                          SignalConfig)
+    from bp_from_video_tpu.runtime.engine import Engine
+
+    cfg = EngineConfig(
+        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
+        inference=InferenceConfig(
+            face_detector_path=None, face_landmarker_path=None,
+            hand_landmarker_path=None, person_segmenter_path=None),
+        frame_height=48, frame_width=64)
+    eng = Engine(cfg)
+    return cfg, eng, jax.jit(eng.step)

@@ -96,26 +96,16 @@ def test_stamp_dyn_matches_static():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_drawer_device_text_stamps_hud():
+def test_drawer_device_text_stamps_hud(tiny_engine48):
     """device_text=True must put glyph pixels in the HUD rows on device and
     leave the plot's label band non-empty; device_text=False reproduces the
     text-free images (host stamps in that mode)."""
     import dataclasses
-    from bp_from_video_tpu.config import (DrawConfig, EngineConfig,
-                                          InferenceConfig, SignalConfig)
     from bp_from_video_tpu.render.drawer import Drawer
-    from bp_from_video_tpu.runtime.engine import Engine
 
-    base = EngineConfig(
-        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
-        inference=InferenceConfig(
-            face_detector_path=None, face_landmarker_path=None,
-            hand_landmarker_path=None, person_segmenter_path=None),
-        frame_height=64, frame_width=96)
-    eng = Engine(base)
+    base, eng, step = tiny_engine48
     state = eng.init_state()
-    step = jax.jit(eng.step)
-    frame = jnp.zeros((64, 96, 3), jnp.uint8)
+    frame = jnp.zeros((48, 64, 3), jnp.uint8)
     out = None
     for t in range(3):
         state, out = step(eng.params, state, frame,

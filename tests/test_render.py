@@ -119,22 +119,11 @@ def test_trace_nan_gap_blanks_columns():
     assert cols[-gl.width // 4:].sum() > 0
 
 
-@pytest.mark.slow
-
 @pytest.fixture(scope="module")
-def drawer_engine():
-    """Shared engine + jitted step for the Drawer end-to-end tests: each
-    used to build and trace its own full engine (suite is trace-bound)."""
-    from bp_from_video_tpu.runtime.engine import Engine
-
-    cfg = EngineConfig(
-        signal=SignalConfig(signal_max_samples=16, peak_max_samples=4),
-        inference=InferenceConfig(
-            face_detector_path=None, face_landmarker_path=None,
-            hand_landmarker_path=None, person_segmenter_path=None),
-        frame_height=48, frame_width=64)
-    eng = Engine(cfg)
-    return cfg, eng, jax.jit(eng.step)
+def drawer_engine(tiny_engine48):
+    """Shared engine + jitted step for the Drawer end-to-end tests (the
+    session-scoped tiny engine from conftest — suite is trace-bound)."""
+    return tiny_engine48
 
 
 def test_drawer_headless_end_to_end(drawer_engine):
