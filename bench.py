@@ -877,9 +877,16 @@ def main():
                       reps, render="display", micro_batch=f_n))
         return
     cfg, metric = build_config(preset, streams, h, w, on_tpu)
+    # BENCH_MB=F: measure this config through the lagged-rect micro-batch
+    # step (fixed per-step costs amortize over F frames — the round-5
+    # multistream-wall mitigation, also a flagship operating point).
+    mb_env = int(os.environ.get("BENCH_MB", "0")) or None
+    if mb_env:
+        metric = f"{metric}_mb{mb_env}"
     _emit(measure(cfg, metric, clip_len, reps,
                   render=(preset == "multistream"
-                          or bool(int(os.environ.get("BENCH_RENDER", "0"))))))
+                          or bool(int(os.environ.get("BENCH_RENDER", "0")))),
+                  micro_batch=mb_env))
 
 
 if __name__ == "__main__":
